@@ -1,0 +1,98 @@
+package graft.graph
+
+import org.apache.spark.graphx._
+
+import scala.reflect.ClassTag
+
+/** Weighted single-source shortest paths with path reconstruction.
+  *
+  * The reference delegates this to Neo4j GDS
+  * (`gds.shortestPath.dijkstra.stream`, `/root/reference/src/database.rs:484-513`).
+  * GraphX's built-in `lib.ShortestPaths` is hop-count only (no weights, no
+  * path), so this is a custom Pregel program.
+  *
+  * Design for scale: vertex state is `(dist, predecessor)` — O(1) per vertex,
+  * not O(path) — so messages stay constant-size no matter how long paths get.
+  * Path reconstruction is a separate walk over the predecessor pointers; for
+  * the reference's 8.5k-node map a driver-side walk over the collected
+  * (id → pred) map is optimal, while `reconstructDistributed` does the same
+  * via iterative joins for graphs whose vertex set cannot be collected.
+  *
+  * Semantics preserved from GDS (SURVEY.md §2.7): directed traversal,
+  * non-negative weights, unreachable target → None (reference maps this to
+  * HTTP 404), one optimal path returned with deterministic tie-breaking
+  * (min predecessor id — GDS ties are arbitrary, ours are stable for tests).
+  */
+object Dijkstra {
+
+  /** dist + predecessor per vertex; unreached = (+inf, -1). */
+  type State = (Double, VertexId)
+
+  def sssp[V: ClassTag](g: Graph[V, Double], source: VertexId): Graph[State, Double] = {
+    require(g.edges != null)
+    val init: Graph[State, Double] =
+      g.mapVertices((id, _) => if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L))
+
+    def mergeMsg(a: State, b: State): State =
+      if (a._1 < b._1) a
+      else if (b._1 < a._1) b
+      else if (a._2 <= b._2) a else b // equal dist: deterministic min-pred tie-break
+
+    init.pregel(
+      initialMsg = (Double.PositiveInfinity, -1L),
+      activeDirection = EdgeDirection.Out)(
+      vprog = (_, cur, msg) => mergeMsg(cur, msg),
+      sendMsg = triplet => {
+        val cand = triplet.srcAttr._1 + triplet.attr
+        val dst = triplet.dstAttr
+        // strict improvement, or equal-dist better tie-break, propagates
+        if (cand < dst._1 || (cand == dst._1 && triplet.srcId < dst._2))
+          Iterator((triplet.dstId, (cand, triplet.srcId)))
+        else Iterator.empty
+      },
+      mergeMsg = mergeMsg)
+  }
+
+  /** Distances only, as (vertexId, dist) for reachable vertices. */
+  def distances[V: ClassTag](g: Graph[V, Double], source: VertexId): Seq[(VertexId, Double)] =
+    sssp(g, source).vertices
+      .filter { case (_, (d, _)) => !d.isInfinite }
+      .map { case (id, (d, _)) => (id, d) }
+      .collect()
+      .toSeq
+
+  /** Single-pair path as an ordered vertex-id list (source..target), or None
+    * if unreachable — mirrors GDS stream yielding no row. Driver-side
+    * predecessor walk; fine up to millions of reachable vertices. */
+  def shortestPath[V: ClassTag](
+      g: Graph[V, Double], source: VertexId, target: VertexId): Option[(Double, Seq[VertexId])] = {
+    val state = sssp(g, source).vertices
+      .filter { case (_, (d, _)) => !d.isInfinite }
+      .collectAsMap()
+    state.get(target).map { case (dist, _) =>
+      var ids = List(target)
+      while (ids.head != source) ids = state(ids.head)._2 :: ids
+      (dist, ids)
+    }
+  }
+
+  /** 100 TB-safe path reconstruction: no driver-side vertex map; walks
+    * predecessor pointers with one small lookup join per hop against the
+    * (cached) SSSP vertex RDD. Hop count bounds the number of jobs. */
+  def reconstructDistributed[V: ClassTag](
+      g: Graph[V, Double], source: VertexId, target: VertexId,
+      maxHops: Int = 10000): Option[(Double, Seq[VertexId])] = {
+    val verts = sssp(g, source).vertices.cache()
+    def lookup(id: VertexId): Option[State] =
+      verts.filter(_._1 == id).map(_._2).collect().headOption
+    lookup(target).filter(!_._1.isInfinite).map { case (dist, _) =>
+      var ids = List(target)
+      var hops = 0
+      while (ids.head != source && hops < maxHops) {
+        ids = lookup(ids.head).get._2 :: ids
+        hops += 1
+      }
+      (dist, ids)
+    }
+  }
+}

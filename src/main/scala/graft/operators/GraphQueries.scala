@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.GQuery
+import graft.Tables.t
+import graft.graph.Dijkstra
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operator pack — the reference's graph analytics surface (SURVEY.md
+  * §2.7: weighted-Dijkstra SSSP G8/G9, projections G1/G2, degrees, components)
+  * expressed over graphs derived from the driver's tables so every operator
+  * has a DuckDB oracle (recursive-CTE shortest path / closed forms).
+  *
+  * The nation graph is a deterministic ring+chord topology over the 25
+  * `nation` rows (edges i→i±1, i→i±7 mod 25); edge weights are either unit
+  * (G8 "shortest", reference cost=1 at `database.rs:375`), arithmetic-derived,
+  * or the reference's risk formula computed from customer data (G9 "safest",
+  * `database.rs:311-332`). All weights are small integers so path costs are
+  * exact in both engines.
+  *
+  * Scale: GraphX partitions edges (EdgePartition2D at build time); Pregel
+  * supersteps are Spark jobs over edge partitions, so the same program runs
+  * unchanged on a 1000-executor cluster. The 25-node instance is a
+  * correctness fixture; the part⟷supplier bipartite graph (q20) grows with
+  * the data.
+  */
+object GraphQueries {
+
+  private val N = 25 // |nation| is fixed at every TPC-H scale factor
+
+  /** Directed ring+chord edge list (src, dst) over nation keys. */
+  private def ringChordEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = t(s, dir, "nation").select($"n_nationkey".cast("long").as("id"))
+    Seq(1, N - 1, 7, N - 7)
+      .map(d => n.select($"id".as("src"), (($"id" + d) % N).as("dst")))
+      .reduce(_ union _)
+  }
+
+  private def graphOf(edges: DataFrame): Graph[Long, Double] = {
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("double"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Graph.fromEdges(edgeRdd, defaultValue = 0L)
+  }
+
+  private def ssspFrame(s: SparkSession, g: Graph[Long, Double], source: VertexId): DataFrame = {
+    import s.implicits._
+    val rows = Dijkstra.distances(g, source).map { case (id, d) => (id.toInt, d.toLong) }
+    s.createDataFrame(rows).toDF("n_nationkey", "dist").orderBy($"n_nationkey")
+  }
+
+  /** Oracle scaffold: bounded-depth recursive CTE SSSP — enumerates (node,
+    * dist) states with UNION dedup; `maxDist` bounds recursion. */
+  private def ssspOracle(edgesSql: String, maxDist: Int): String =
+    s"""WITH RECURSIVE edges AS ($edgesSql),
+       |r(node, dist) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION
+       |  SELECT e.dst, r.dist + e.w FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.dist + e.w <= $maxDist)
+       |SELECT CAST(node AS INTEGER) AS n_nationkey, CAST(MIN(dist) AS BIGINT) AS dist
+       |FROM r GROUP BY node ORDER BY n_nationkey""".stripMargin
+
+  private val ringChordSql =
+    s"""SELECT CAST(n_nationkey AS BIGINT) AS src, CAST((n_nationkey + 1) % $N AS BIGINT) AS dst FROM nation
+       |  UNION ALL SELECT n_nationkey, (n_nationkey + ${N - 1}) % $N FROM nation
+       |  UNION ALL SELECT n_nationkey, (n_nationkey + 7) % $N FROM nation
+       |  UNION ALL SELECT n_nationkey, (n_nationkey + ${N - 7}) % $N FROM nation""".stripMargin
+
+  /** q17 — G8 "shortest": unit-cost Dijkstra from node 0 (cost=1 per the
+    * reference, `database.rs:375` — shortest = fewest jumps). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    ssspFrame(s, graphOf(ringChordEdges(s, dir).withColumn("w", lit(1L))), 0L)
+
+  private val q17Sql = ssspOracle(
+    s"SELECT src, dst, CAST(1 AS BIGINT) AS w FROM (${ringChordSql.replace("\n", " ")})", N)
+
+  /** q18 — weighted Dijkstra, data-independent integer weights. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ringChordEdges(s, dir)
+      .withColumn("w", lit(1L) + ($"src" * 7L + $"dst" * 13L) % 5L)
+    ssspFrame(s, graphOf(e), 0L)
+  }
+
+  private val q18Sql = ssspOracle(
+    s"SELECT src, dst, CAST(1 + (src*7 + dst*13) % 5 AS BIGINT) AS w FROM (${ringChordSql.replace("\n", " ")})",
+    N * 5)
+
+  /** q19 — G9 "safest": Dijkstra over risk-weighted edges where risk is the
+    * reference formula (E1, `database.rs:324-332`: kills²/jumps + baseline;
+    * E2 baseline = Σkills/Σjumps else 0.01, `sync.rs:303-307`) computed from
+    * customer data per destination nation, bucketed to an integer weight. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perNation = t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(
+        sum(when($"c_acctbal" < 0.0, 1L).otherwise(0L)).as("kills"),
+        count(lit(1)).as("jumps"))
+    val totals = perNation.agg(sum($"kills").as("tk"), sum($"jumps").as("tj"))
+    val baseline = when(col("tj") > 0L, col("tk").cast("double") / col("tj").cast("double"))
+      .otherwise(lit(0.01))
+    val kills2 = col("kills").cast("double") * col("kills").cast("double")
+    val risk = t(s, dir, "nation")
+      .join(perNation, $"n_nationkey" === $"c_nationkey", "left")
+      .crossJoin(broadcast(totals))
+      .select($"n_nationkey".cast("long").as("rid"),
+        (when(coalesce($"jumps", lit(0L)) > 0L,
+          (coalesce($"kills", lit(0L)).cast("double") * coalesce($"kills", lit(0L)).cast("double"))
+            / coalesce($"jumps", lit(0L)).cast("double"))
+          .otherwise(coalesce($"kills", lit(0L)).cast("double") * coalesce($"kills", lit(0L)).cast("double"))
+          + baseline).as("risk"))
+      .select($"rid", (lit(1L) + floor($"risk" * 1000.0).cast("long") % 7L).as("w"))
+    val e = ringChordEdges(s, dir)
+      .join(broadcast(risk), $"dst" === $"rid")
+      .select($"src", $"dst", $"w")
+    ssspFrame(s, graphOf(e), 0L)
+  }
+
+  private val q19Sql = {
+    val riskSql =
+      """SELECT CAST(n_nationkey AS BIGINT) AS rid,
+        |  CAST(1 + CAST(FLOOR(1000.0 * (
+        |    CASE WHEN COALESCE(jumps, 0) > 0
+        |      THEN CAST(COALESCE(kills,0) AS DOUBLE) * CAST(COALESCE(kills,0) AS DOUBLE) / CAST(COALESCE(jumps,0) AS DOUBLE)
+        |      ELSE CAST(COALESCE(kills,0) AS DOUBLE) * CAST(COALESCE(kills,0) AS DOUBLE) END
+        |    + (SELECT CASE WHEN SUM(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) IS NULL THEN 0.01
+        |         WHEN COUNT(*) > 0 THEN CAST(SUM(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         ELSE 0.01 END FROM customer)
+        |  )) AS BIGINT) % 7 AS BIGINT) AS w
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS kills,
+        |    CAST(COUNT(*) AS BIGINT) AS jumps
+        |  FROM customer GROUP BY c_nationkey) pn ON n_nationkey = c_nationkey""".stripMargin
+    ssspOracle(
+      s"""SELECT e.src, e.dst, r.w FROM (${ringChordSql.replace("\n", " ")}) e
+         | JOIN (${riskSql.replace("\n", " ")}) r ON e.dst = r.rid""".stripMargin.replace("\n", " "),
+      N * 7)
+  }
+
+  /** q20 — degrees on the data-scale part⟷supplier bipartite graph (GraphX
+    * `degrees`); oracle = distinct-part count per supplier. Suppliers get a
+    * disjoint vertex-id range. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SUPP = 1000000000L
+    val pairs = t(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), SUPP + r.getLong(1), 1.0))
+    val g = Graph.fromEdges(edges, 0L)
+    val deg = g.degrees
+      .filter(_._1 >= SUPP)
+      .map { case (id, d) => (id - SUPP, d.toLong) }
+      .collect().toSeq
+    s.createDataFrame(deg).toDF("s_suppkey", "degree").orderBy($"s_suppkey")
+  }
+
+  private val q20Sql =
+    """SELECT l_suppkey AS s_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS degree
+      |FROM lineitem GROUP BY l_suppkey ORDER BY s_suppkey""".stripMargin
+
+  /** q21 — connected components (GraphX `connectedComponents`) on a chain
+    * forest over nations (links within groups of 5); label = min member id. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = t(s, dir, "nation").select($"n_nationkey".cast("long").as("id"))
+    val fwd = n.filter($"id" % 5 =!= 4).select($"id".as("src"), ($"id" + 1).as("dst"))
+    val e = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val g = Graph.fromEdges(
+      e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
+    val cc = g.connectedComponents().vertices
+      .map { case (id, comp) => (id.toInt, comp) }
+      .collect().toSeq
+    s.createDataFrame(cc).toDF("n_nationkey", "component").orderBy($"n_nationkey")
+  }
+
+  private val q21Sql =
+    """SELECT n_nationkey, CAST((n_nationkey // 5) * 5 AS BIGINT) AS component
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** q22 — PageRank (10 iterations) on the ring+chord graph. Float iteration
+    * order is engine-specific, so no SQL oracle (rows-only check); the
+    * ScalaTest suite asserts rank-sum ≈ N and symmetry instead. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = graphOf(ringChordEdges(s, dir).withColumn("w", lit(1L)))
+    val pr = g.staticPageRank(10).vertices
+      .map { case (id, r) => (id.toInt, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .collect().toSeq
+    s.createDataFrame(pr).toDF("n_nationkey", "rank").orderBy($"n_nationkey")
+  }
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
+    GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
+    GQuery("q19_graph_sssp_risk", q19, Some(q19Sql), bench = true),
+    GQuery("q20_graph_degrees", q20, Some(q20Sql)),
+    GQuery("q21_graph_components", q21, Some(q21Sql)),
+    GQuery("q22_graph_pagerank", q22, None),
+  )
+}
