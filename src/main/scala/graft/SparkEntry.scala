@@ -14,11 +14,14 @@ object SparkEntry {
 
   val registry: Seq[GQuery] =
     operators.Relational.all ++
-      operators.GraphQueries.all
+      operators.GraphQueries.all ++
+      operators.EveQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own flagship: bootstrap the star map and answer
+    * /shortest-route/Jita/to/Amarr. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q17_graph_sssp_hops")(spark, "/root/testdata/sf0.001")
+    queries("eve_shortest_route")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

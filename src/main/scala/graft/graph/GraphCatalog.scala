@@ -46,9 +46,15 @@ final class GraphCatalog[V, E] {
 
   def dropAll(): Unit = list.foreach(drop)
 
-  /** Cache and force materialization so queries never pay projection cost. */
+  /** Cache and force materialization so queries never pay projection cost.
+    * Graph builders (e.g. `Graph.fromEdges`) usually pre-assign a storage
+    * level; only persist when none is set. */
   private def materialize(g: Graph[V, E]): Graph[V, E] = {
-    val cached = g.persist(StorageLevel.MEMORY_AND_DISK)
+    val cached =
+      if (g.vertices.getStorageLevel == StorageLevel.NONE &&
+        g.edges.getStorageLevel == StorageLevel.NONE)
+        g.persist(StorageLevel.MEMORY_AND_DISK)
+      else g
     cached.vertices.count() // force materialization
     cached.edges.count()
     cached

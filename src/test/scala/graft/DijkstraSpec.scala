@@ -1,0 +1,78 @@
+package graft
+
+import graft.graph.Dijkstra
+import org.apache.spark.graphx.{Edge, Graph}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dijkstra invariants (SURVEY.md §5): optimality vs brute force on random
+  * graphs, path validity, local/Pregel agreement, unreachable → None. */
+class DijkstraSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def graphOf(edges: Seq[(Long, Long, Double)]): Graph[Long, Double] =
+    Graph.fromEdges(
+      spark.sparkContext.parallelize(edges.map(e => Edge(e._1, e._2, e._3)), 2), 0L)
+
+  /** Floyd-Warshall reference distances. */
+  private def brute(edges: Seq[(Long, Long, Double)], src: Long): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var dist = Map((src, src) -> 0.0).withDefaultValue(Double.PositiveInfinity)
+    for (n <- nodes) dist += (n, n) -> 0.0
+    for ((a, b, w) <- edges) if (w < dist((a, b))) dist += (a, b) -> w
+    for (k <- nodes; i <- nodes; j <- nodes)
+      if (dist((i, k)) + dist((k, j)) < dist((i, j)))
+        dist += (i, j) -> (dist((i, k)) + dist((k, j)))
+    nodes.map(n => n -> dist((src, n))).filter(!_._2.isInfinite).toMap
+  }
+
+  private def randomEdges(rng: scala.util.Random): Seq[(Long, Long, Double)] = {
+    val n = 2 + rng.nextInt(11)
+    val m = 1 + rng.nextInt(30)
+    (0 until m).map { _ =>
+      val a = rng.nextInt(n).toLong
+      var b = rng.nextInt(n).toLong
+      while (b == a) b = rng.nextInt(n).toLong
+      (a, b, (1 + rng.nextInt(9)).toDouble)
+    }.distinct
+  }
+
+  test("local Dijkstra matches brute force on 60 random graphs") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 60) {
+      val edges = randomEdges(rng)
+      val src = edges.head._1
+      val got = Dijkstra.localSssp(edges, src).map { case (id, (d, _)) => id -> d }
+      assert(got === brute(edges, src), s"edges=$edges src=$src")
+    }
+  }
+
+  test("Pregel SSSP matches local Dijkstra") {
+    val edges = Seq(
+      (0L, 1L, 1.0), (1L, 2L, 2.0), (0L, 2L, 5.0), (2L, 3L, 1.0),
+      (1L, 3L, 7.0), (3L, 4L, 1.0), (0L, 4L, 100.0), (4L, 0L, 1.0))
+    val local = Dijkstra.localSssp(edges, 0L).map { case (id, (d, _)) => id -> d }
+    val pregel = Dijkstra.distances(graphOf(edges), 0L).toMap
+    assert(pregel === local)
+  }
+
+  test("path is valid, optimal, and endpoints match") {
+    val edges = Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 5L, 1.0),
+      (0L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 4.0))
+    val Some((cost, path)) = Dijkstra.autoPath(graphOf(edges), 0L, 5L)
+    assert(cost === 3.0)
+    assert(path.head === 0L && path.last === 5L)
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    path.sliding(2).foreach { case Seq(a, b) => assert(edgeSet((a, b))) }
+  }
+
+  test("unreachable target → None (reference 404 semantics)") {
+    val edges = Seq((0L, 1L, 1.0), (2L, 3L, 1.0))
+    assert(Dijkstra.autoPath(graphOf(edges), 0L, 3L).isEmpty)
+  }
+
+  test("directed traversal: no backwards shortcut") {
+    val edges = Seq((0L, 1L, 1.0), (2L, 1L, 1.0))
+    assert(Dijkstra.autoPath(graphOf(edges), 0L, 2L).isEmpty)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.api.EveGraph
+import graft.fixtures.StarMap
+import graft.store.EveStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end fixture tests over the FIXTURES.md mini star map: bootstrap →
+  * routes, wormhole snapshot-replace, dedup, island 404 semantics. */
+class EveGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def engine(withWormholes: Boolean): EveGraph = {
+    val dir = java.nio.file.Files.createTempDirectory("evestore-test").toString
+    val eng = new EveGraph(new EveStore(spark, dir))
+    eng.bootstrap(StarMap.source(withWormholes))
+    eng
+  }
+
+  private lazy val plain = engine(withWormholes = false)
+  private lazy val wormy = engine(withWormholes = true)
+
+  test("shortest route takes the 3-hop corridor") {
+    assert(plain.shortestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "Perimeter", "Urlen", "Amarr")))
+  }
+
+  test("safest route avoids the dangerous corridor") {
+    assert(plain.safestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "SafeA", "SafeB", "SafeC", "Amarr")))
+  }
+
+  test("wormholes shorten the shortest route via Thera") {
+    assert(wormy.shortestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "Thera", "Amarr")))
+  }
+
+  test("non-wormhole signatures are filtered (P7): no route to the island via Thera") {
+    assert(wormy.shortestRoute("Jita", "Island1").isEmpty)
+  }
+
+  test("unreachable island → None (404)") {
+    assert(plain.shortestRoute("Jita", "Island1").isEmpty)
+    assert(plain.shortestRoute("Island1", "Island2") ===
+      Some(Seq("Island1", "Island2")))
+  }
+
+  test("unknown system name → None (404)") {
+    assert(plain.shortestRoute("Jita", "Nowhere").isEmpty)
+  }
+
+  test("duplicate system rows are deduped to one survivor") {
+    import spark.implicits._
+    val n = plain.store.systems.filter($"system_id" === StarMap.SafeA).count()
+    assert(n === 1L)
+  }
+
+  test("sentinel normalization applied during sync") {
+    import spark.implicits._
+    val row = plain.store.systems.filter($"system_id" === StarMap.Island2).head()
+    assert(row.constellation_id === -1L)
+    assert(row.security_class === "undefined")
+    assert(row.planets === Seq.empty)
+  }
+
+  test("edge risk = destination-system E1 risk") {
+    import spark.implicits._
+    // baseline = Σkills/Σjumps = 75/1100; Perimeter risk = 30²/100 + b
+    val b = 75.0 / 1100.0
+    val edge = plain.store.jumps
+      .filter($"src_system_id" === StarMap.Jita && $"dst_system_id" === StarMap.Perimeter)
+      .head()
+    assert(math.abs(edge.risk - (9.0 + b)) < 1e-12)
+    // quiet SafeA: 0 kills, 100 jumps → baseline only
+    val safe = plain.store.jumps
+      .filter($"src_system_id" === StarMap.Jita && $"dst_system_id" === StarMap.SafeA)
+      .head()
+    assert(math.abs(safe.risk - b) < 1e-12)
+  }
+
+  test("wormhole refresh is snapshot-replace: no duplicate edges on re-refresh") {
+    import spark.implicits._
+    val eng = engine(withWormholes = true)
+    val before = eng.store.jumps.count()
+    eng.refreshWormholes(StarMap.source(withWormholes = true))
+    assert(eng.store.jumps.count() === before)
+    // and each wormhole edge exists exactly once per direction
+    val theraEdges = eng.store.jumps
+      .filter($"src_system_id" === StarMap.Thera || $"dst_system_id" === StarMap.Thera)
+    assert(theraEdges.count() === 4L) // Jita↔Thera, Thera↔Amarr
+  }
+
+  test("wormholes expire when the next refresh has no signatures") {
+    import spark.implicits._
+    val eng = engine(withWormholes = true)
+    eng.refreshWormholes(StarMap.source(withWormholes = false))
+    assert(eng.store.jumps
+      .filter($"src_system_id" === StarMap.Thera || $"dst_system_id" === StarMap.Thera)
+      .count() === 0L)
+    assert(eng.shortestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "Perimeter", "Urlen", "Amarr")))
+  }
+
+  test("diff-sync removes systems absent from the source (DETACH semantics)") {
+    import spark.implicits._
+    val eng = engine(withWormholes = false)
+    val smaller = new graft.sources.FixtureSource(
+      systems = StarMap.systemResponses.filterNot(_.system_id == StarMap.Perimeter),
+      stargates = StarMap.stargateResponses)
+    eng.refreshSystems(smaller)
+    assert(eng.store.systems.filter($"name" === "Perimeter").count() === 0L)
+    // incident edges detached both directions
+    assert(eng.store.jumps
+      .filter($"src_system_id" === StarMap.Perimeter || $"dst_system_id" === StarMap.Perimeter)
+      .count() === 0L)
+    // graph projections rebuilt on next query: corridor now broken → Safe chain
+    eng.refreshSystemMap()
+    assert(eng.shortestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "SafeA", "SafeB", "SafeC", "Amarr")))
+  }
+
+  test("rate-limited source aborts the sync (S7 policy)") {
+    val eng = engine(withWormholes = false)
+    val limited = new graft.sources.FixtureSource(
+      systems = StarMap.systemResponses, stargates = StarMap.stargateResponses,
+      rateLimited = true)
+    assertThrows[graft.sources.SourceRateLimited] {
+      eng.refreshSystems(limited)
+    }
+  }
+
+  test("graph catalog: lazy build, list, drop") {
+    val eng = engine(withWormholes = false)
+    assert(!eng.catalog.exists("jump-risk") || eng.catalog.exists("jump-risk"))
+    eng.safestRoute("Jita", "Amarr") // G10 lazy build
+    assert(eng.catalog.exists("jump-risk"))
+    assert(eng.catalog.drop("jump-risk"))
+    assert(!eng.catalog.exists("jump-risk"))
+    assert(!eng.catalog.drop("jump-risk"))
+  }
+}
