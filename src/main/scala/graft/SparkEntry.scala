@@ -15,7 +15,12 @@ object SparkEntry {
   val registry: Seq[GQuery] =
     operators.Relational.all ++
       operators.GraphQueries.all ++
-      operators.EveQueries.all
+      operators.EveQueries.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextOps.all ++
+      operators.Multimodal.all ++
+      streaming.EventsStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own flagship: bootstrap the star map and answer

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.GQuery
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for a training-data pipeline over the
+  * `documents` table: exact (hash group-by), exact n-gram Jaccard with
+  * prefix filtering, MinHash+LSH, and SimHash — each designed for the
+  * 100 TB shape (inverted-index joins, never an all-pairs cross join).
+  *
+  * Scale design:
+  *  - q24 (exact Jaccard) uses *prefix filtering*: shingles are globally
+  *    ordered rarest-first (by document frequency); two docs with
+  *    Jaccard ≥ t must share a shingle within their first
+  *    |S| − ⌈t·|S|⌉ + 1 shingles, so only those postings are joined. The
+  *    candidate set is then verified with full intersection — the result is
+  *    exact, which is why it can carry a DuckDB oracle.
+  *  - q25 (MinHash) never materializes signatures against each other:
+  *    band hashes bucket-join candidates, exact Jaccard verifies. Output is
+  *    candidate-recall-dependent (rows-only check; the spec asserts recall
+  *    on the planted near-dups).
+  *  - q26 (SimHash) uses the pigeonhole block trick: for Hamming ≤ 3 over
+  *    64 bits split into 4 blocks, at least one block matches exactly, so
+  *    the block join has *perfect* recall at that radius.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.8
+
+  /** (doc_id, shingles array<string>) — distinct word 3-grams, lowercase. */
+  def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", array_distinct(
+        expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("sh"))
+  }
+
+  /** Verify candidate pairs against full shingle sets; returns
+    * (doc_a, doc_b, jaccard) with jaccard ≥ threshold. */
+  private def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val a = shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q23 — exact dedup: canonical text hash → min-doc_id survivor + group
+    * size (the A3 "keep one per key" shape on content identity). */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy($"text_hash")
+  }
+
+  private val q23Sql =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** q24 — exact n-gram Jaccard near-dup pairs via prefix filtering. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir).cache()
+    val posting = sh.select($"doc_id", explode($"sh").as("shingle"))
+    val dfreq = posting.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted rarest-first (df, shingle) for the global order
+    val sorted = posting.join(dfreq, "shingle")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"shingle"))).as("ranked"))
+      .select($"doc_id",
+        expr("transform(ranked, r -> r.shingle)").as("ordered"))
+    val prefixes = sorted
+      .withColumn("plen",
+        (size($"ordered") - ceil(lit(JaccardThreshold) * size($"ordered")) + 1).cast("int"))
+      .select($"doc_id", explode(slice($"ordered", lit(1), greatest($"plen", lit(1)))).as("shingle"))
+    val candidates = prefixes.as("x").join(prefixes.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, sh, JaccardThreshold)
+  }
+
+  private val q24Sql =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) s
+       |       FROM w WHERE len(ws) >= 3),
+       |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+       |          FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |sz AS (SELECT doc_id, len(s) AS n FROM sh)
+       |SELECT p.i AS doc_a, p.j AS doc_b,
+       |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+       |FROM pairs p JOIN sz sa ON sa.doc_id = p.i JOIN sz sb ON sb.doc_id = p.j
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val MinHashPerms = 64
+  val Bands = 16 // × 4 rows
+
+  /** (doc_id, sig array<bigint>[64]) — min over shingles of xxhash64(seed k). */
+  def minhashSignatures(shingles: DataFrame): DataFrame = {
+    val posting = shingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val mins: Seq[Column] =
+      (0 until MinHashPerms).map(k => min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+    posting.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinHashPerms).map(k => col(s"h$k")): _*).as("sig"))
+  }
+
+  /** q25 — MinHash + LSH banding: 16 bands × 4 rows, bucket join on
+    * (band index, band hash), exact-Jaccard verification. Same output shape
+    * as q24; approximate recall → rows-only check. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir).cache()
+    val sig = minhashSignatures(sh)
+    val bands = sig.select($"doc_id", posexplode(
+      array((0 until Bands).map(b =>
+        xxhash64((0 until 4).map(r => $"sig" (b * 4 + r)): _*)): _*)))
+      .toDF("doc_id", "band", "bhash")
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, sh, JaccardThreshold)
+  }
+
+  val SimHashBits = 64
+  val HammingRadius = 3
+
+  /** (doc_id, simhash bigint) — sign-aggregated token hashes. */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    tokens.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until SimHashBits).map(j =>
+          when(col(s"b$j") > 0L, lit(1L << j)).otherwise(lit(0L)): Column)
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** q26 — SimHash near-dup pairs at Hamming ≤ 3 via the 4-block pigeonhole
+    * join (perfect recall at this radius, no all-pairs scan). */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = simhashFingerprints(s, dir).cache()
+    val blocks = fp.select($"doc_id", $"simhash", posexplode(
+      array((0 until 4).map(b =>
+        shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("doc_id", "simhash", "block", "bval")
+    val candidates = blocks.as("x").join(blocks.as("y"),
+        col("x.block") === col("y.block") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= HammingRadius)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q23_exact_dedup", q23, Some(q23Sql)),
+    GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
+    GQuery("q25_minhash_lsh_pairs", q25, None, bench = true),
+    GQuery("q26_simhash_pairs", q26, None, bench = true),
+  )
+}

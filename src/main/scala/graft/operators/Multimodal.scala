@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.GQuery
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with typed
+  * metadata, batch decode/feature-extraction via `mapPartitions` over a
+  * typed Dataset (the Scala analogue of `mapInPandas` batch UDFs).
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * container): [[StubDecoder]] derives deterministic pseudo-features from
+  * the raw bytes. Everything around it — binary schema, partition-batched
+  * iteration, feature array shape — is the real pipeline and is what the
+  * oracle/spec verify.
+  */
+object Multimodal {
+
+  /** A media row: payload is an opaque blob + metadata columns. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String,
+      width: Int, height: Int)
+
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
+      fake_label: Long, feature: Seq[Float])
+
+  /** STUB decoder: a real implementation would JNI/FFI into an image/audio
+    * codec here; this one derives a deterministic 8-dim feature from byte
+    * statistics so the distributed plumbing is testable. */
+  object StubDecoder {
+    val FeatureDim = 8
+
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val bytes = r.payload
+        val feature = (0 until FeatureDim).map { i =>
+          var acc = 0L
+          var j = i
+          while (j < bytes.length) { acc += (bytes(j) & 0xFF); j += FeatureDim }
+          (acc % 997L).toFloat / 997f
+        }
+        MediaFeatures(r.doc_id, bytes.length.toLong,
+          if (bytes.nonEmpty) bytes(0) & 0xFF else -1,
+          bytes.length.toLong % 10L, feature)
+      }
+  }
+
+  /** documents → media rows: UTF-8 payload standing in for image bytes. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"),
+        lit("image/fake").as("media_type"),
+        ($"n_chars" % 640).cast("int").as("width"),
+        ($"n_chars" % 480).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** q35 — the decode pipeline end-to-end: binary column → partition-batched
+    * stub decode → typed features. Scalar outputs are byte-derivable so the
+    * DuckDB oracle can verify the plumbing exactly. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(StubDecoder.decodeBatch)
+      .select($"doc_id", $"n_bytes", $"first_byte", $"fake_label")
+      .orderBy($"doc_id")
+  }
+
+  private val q35Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+      |  CAST(octet_length(encode(text)) % 10 AS BIGINT) AS fake_label
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
+  )
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.GQuery
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: token counting (whitespace and
+  * BPE-ish regex), quality scoring, language-ID heuristic, document
+  * fingerprinting, and corpus word statistics. All pure column expressions
+  * (codegen'd, no UDFs) with exact DuckDB oracles.
+  */
+object TextOps {
+
+  /** q30 — token counting: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digits / single punctuation). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val q30Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q31 — language-ID n-gram/stopword heuristic: score stopword hits per
+    * language, argmax with fixed priority. (The synthetic corpus shares one
+    * vocabulary, so the honest answer is mostly 'en' — determinism over
+    * data realism.) */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(pat: String) =
+      size(regexp_extract_all(lower($"text"), lit(pat), lit(0))).cast("long")
+    val en = hits("\\b(the|a|of|and|to|in)\\b")
+    val de = hits("\\b(der|die|das|und|ist|ein)\\b")
+    val fr = hits("\\b(le|la|les|et|est|une)\\b")
+    val es = hits("\\b(el|los|las|y|es|una)\\b")
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"))
+      .withColumn("pred_lang",
+        when($"de_hits" > $"en_hits" && $"de_hits" >= $"fr_hits" && $"de_hits" >= $"es_hits", "de")
+          .when($"fr_hits" > $"en_hits" && $"fr_hits" >= $"es_hits", "fr")
+          .when($"es_hits" > $"en_hits", "es")
+          .when($"en_hits" > 0, "en")
+          .otherwise("unknown"))
+      .select($"doc_id", $"pred_lang", $"labeled_lang",
+        ($"pred_lang" === $"labeled_lang").as("agree"))
+      .orderBy($"doc_id")
+  }
+
+  private val q31Sql =
+    """WITH h AS (SELECT doc_id, lang AS labeled_lang,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS en_hits,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS BIGINT) AS de_hits,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS BIGINT) AS fr_hits,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS BIGINT) AS es_hits
+      |  FROM documents),
+      |p AS (SELECT doc_id, labeled_lang,
+      |  CASE WHEN de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+      |       WHEN fr_hits > en_hits AND fr_hits >= es_hits THEN 'fr'
+      |       WHEN es_hits > en_hits THEN 'es'
+      |       WHEN en_hits > 0 THEN 'en'
+      |       ELSE 'unknown' END AS pred_lang
+      |  FROM h)
+      |SELECT doc_id, pred_lang, labeled_lang, pred_lang = labeled_lang AS agree
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q32 — quality scoring: length / stopword-ratio / punctuation-ratio
+    * features folded into a bounded score. Single-division doubles only. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nWords = size(split(trim($"text"), "\\s+")).cast("double")
+    val stopHits = size(regexp_extract_all(lower($"text"),
+      lit("\\b(the|a|of|and|to|in|is|was)\\b"), lit(0))).cast("double")
+    val punct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val chars = length($"text").cast("double")
+    t(s, dir, "documents")
+      .select($"doc_id",
+        nWords.cast("long").as("n_words"),
+        round(stopHits / nWords, 6).as("stopword_ratio"),
+        round(punct / chars, 6).as("punct_ratio"),
+        round(least(nWords / 200.0, lit(1.0)), 6).as("length_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val q32Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |  ROUND(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|was)\b')) AS DOUBLE)
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
+      |  ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+      |  ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 200.0, 1.0), 6) AS length_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q33 — document fingerprinting: canonical-form MD5 (whitespace
+    * collapsed, lowercased) + 64-bit prefix for compact storage. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = regexp_replace(lower(trim($"text")), "\\s+", " ")
+    t(s, dir, "documents")
+      .select($"doc_id", md5(canon).as("fingerprint"),
+        substring(md5(canon), 1, 16).as("fp64"))
+      .orderBy($"doc_id")
+  }
+
+  private val q33Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q34 — corpus word frequency (A4 explode→aggregate shape): top 20. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word")
+      .limit(20)
+  }
+
+  private val q34Sql =
+    """SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+      |GROUP BY word ORDER BY freq DESC, word LIMIT 20""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q30_token_counts", q30, Some(q30Sql)),
+    GQuery("q31_lang_id", q31, Some(q31Sql)),
+    GQuery("q32_quality_scores", q32, Some(q32Sql)),
+    GQuery("q33_fingerprints", q33, Some(q33Sql)),
+    GQuery("q34_word_frequency", q34, Some(q34Sql), bench = true),
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operator specs: dedup recall/precision relations, ANN
+  * overlap vs the exact baseline, multimodal stub plumbing, streaming ==
+  * batch. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("minhash LSH pairs ⊆ exact Jaccard pairs, recall ≥ 0.9 on planted dups") {
+    val exact = run("q24_ngram_jaccard_pairs").select("doc_a", "doc_b")
+    val lsh = run("q25_minhash_lsh_pairs").select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).count() === 0L, "LSH produced a non-near-dup pair")
+    val nExact = exact.count()
+    val recall = lsh.intersect(exact).count().toDouble / nExact
+    assert(nExact >= 20L)
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("simhash: identical-text pairs at hamming 0; radius bounded") {
+    val pairs = run("q26_simhash_pairs").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Number](2).intValue <= Dedup.HammingRadius))
+    // doc 0 and 82 share near-identical text (jaccard 0.95) → tiny hamming
+    assert(pairs.exists(r => r.getLong(0) === 0L && r.getLong(1) === 82L))
+  }
+
+  test("IVF ANN top-k overlaps exact brute-force top-k") {
+    val exact = run("q27_ann_brute_topk").select("vec_id")
+    val ann = run("q28_ann_ivf_topk").select("vec_id")
+    val overlap = exact.intersect(ann).count()
+    assert(overlap >= 8L, s"overlap=$overlap/10")
+  }
+
+  test("embedding near-dup pairs: planted duplicates are found") {
+    import spark.implicits._
+    // corpus with exact duplicates planted at vec_id+100000
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(50)
+    val dup = emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val tmp = java.nio.file.Files.createTempDirectory("embdup").toString
+    emb.unionByName(dup).write.parquet(s"$tmp/embeddings.parquet")
+    val pairs = SparkEntry.queries("q29_embed_dup_pairs")(spark, tmp).collect()
+    assert(pairs.length === 50)
+    assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 100000L))
+    assert(pairs.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("cosine column: golden values") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val vals = df.collect().map(_.getDouble(0))
+    assert(math.abs(vals(0)) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+  }
+
+  test("multimodal stub decoder: deterministic, 8-dim, empty-safe") {
+    val rows = Iterator(
+      Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "image/fake", 10, 10),
+      Multimodal.MediaRow(2L, Array.empty[Byte], "image/fake", 0, 0))
+    val out = Multimodal.StubDecoder.decodeBatch(rows).toSeq
+    assert(out.head.n_bytes === 5L)
+    assert(out.head.first_byte === 'h'.toInt)
+    assert(out.head.feature.length === Multimodal.StubDecoder.FeatureDim)
+    assert(out(1).n_bytes === 0L && out(1).first_byte === -1)
+    val again = Multimodal.StubDecoder.decodeBatch(Iterator(
+      Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "image/fake", 10, 10))).next()
+    assert(again.feature === out.head.feature)
+  }
+
+  test("streaming windowed counts equal the batch plan") {
+    import spark.implicits._
+    val streamed = run("q36_stream_window")
+    val batch = Tables.events(spark, dir)
+      .withColumn("ts_t", timestamp_micros($"ts_us"))
+      .groupBy(window($"ts_t", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(38,6)")).as("sum_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n", $"sum_value")
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+}
