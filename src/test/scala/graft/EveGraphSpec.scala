@@ -119,6 +119,41 @@ class EveGraphSpec extends AnyFunSuite {
       Some(Seq("Jita", "SafeA", "SafeB", "SafeC", "Amarr")))
   }
 
+  test("per-row 404 is skipped, sync continues (S8 policy)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evestore-404").toString
+    val eng = new EveGraph(new EveStore(spark, dir))
+    val lossy = new graft.sources.FixtureSource(
+      systems = StarMap.systemResponses, stargates = StarMap.stargateResponses,
+      kills = StarMap.killSnapshots, jumps = StarMap.jumpSnapshots,
+      missingIds = Set(StarMap.Island1))
+    eng.bootstrap(lossy)
+    // the missing system is simply absent; everything else synced
+    assert(eng.store.systems.filter($"system_id" === StarMap.Island1).count() === 0L)
+    assert(eng.store.systems.count() === 10L)
+    assert(eng.shortestRoute("Jita", "Amarr").nonEmpty)
+  }
+
+  test("edge derivation validates both endpoints (S11/J3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evestore-j3").toString
+    val eng = new EveGraph(new EveStore(spark, dir))
+    // stargate whose destination system does not exist anywhere
+    val ghostGate = graft.model.StargateResponse(59999999L, "Stargate (Ghost)",
+      StarMap.Jita, 29624L, graft.model.Position(0, 0, 0),
+      graft.model.StargateDestination(59999998L, 77777777L))
+    val src = new graft.sources.FixtureSource(
+      systems = StarMap.systemResponses.map(s =>
+        if (s.system_id == StarMap.Jita) s.copy(stargates = s.stargates.map(_ :+ ghostGate.stargate_id)) else s),
+      stargates = StarMap.stargateResponses :+ ghostGate,
+      kills = StarMap.killSnapshots, jumps = StarMap.jumpSnapshots)
+    eng.bootstrap(src)
+    // ghost gate row lands in the stargate table…
+    assert(eng.store.stargates.filter($"stargate_id" === ghostGate.stargate_id).count() === 1L)
+    // …but no edge to the nonexistent endpoint is created
+    assert(eng.store.jumps.filter($"dst_system_id" === 77777777L).count() === 0L)
+  }
+
   test("rate-limited source aborts the sync (S7 policy)") {
     val eng = engine(withWormholes = false)
     val limited = new graft.sources.FixtureSource(
