@@ -27,8 +27,14 @@ object Similarity {
   val K = 10
   val QueryVecId = 0L
 
-  /** Sequential-fold cosine similarity between two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<double> columns — native fused
+    * Catalyst expression (codegen'd single loop, no intermediate arrays). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** Higher-order-function formulation (identical fold order and results);
+    * kept for the spec that proves the native expression matches it. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

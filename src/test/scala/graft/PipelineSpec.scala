@@ -62,6 +62,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(vals(1) - 1.0) < 1e-12)
   }
 
+  test("native CosineSimilarity expression ≡ higher-order-function fold, bit-exact") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val q = emb.filter($"vec_id" === 0L).select($"vec".as("qvec"))
+    val both = emb.crossJoin(broadcast(q))
+      .select($"vec_id",
+        Similarity.cosine($"vec", $"qvec").as("native"),
+        Similarity.cosineHof($"vec", $"qvec").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0L)
+    // interpreted eval path agrees with codegen path
+    val row = both.filter($"vec_id" === 17L).head()
+    assert(row.getDouble(1) === row.getDouble(2))
+  }
+
   test("multimodal stub decoder: deterministic, 8-dim, empty-safe") {
     val rows = Iterator(
       Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "image/fake", 10, 10),
