@@ -53,6 +53,73 @@ object EventsStream {
       .orderBy($"win_start", $"event_type")
   }
 
+  /** Per-user session state for the stateful operator. */
+  final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** q37 — stateful streaming sessionization via
+    * `flatMapGroupsWithState`: per-user custom state (KeyValueGroupedDataset),
+    * >30 min gap starts a new session. On a finite AvailableNow input the
+    * result is deterministic and equals the batch window formulation (q14),
+    * so it shares that oracle.
+    *
+    * State design for an unbounded stream: only (last_ts, counts) per user
+    * is retained — O(users), not O(events); with a live source you would add
+    * a GroupStateTimeout to expire idle users. Events inside one batch are
+    * sorted by (ts, event_id) before folding, giving deterministic output.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withUs = batchSchema("ts").dataType match {
+      case LongType => stream.withColumn("ts_us", expr("ts div 1000"))
+      case _ => stream.withColumn("ts_us", unix_micros($"ts".cast("timestamp")))
+    }
+    val typed = withUs.select($"user_id".as[Long], $"ts_us".as[Long], $"event_id".as[Long])
+      .as[(Long, Long, Long)]
+
+    def fold(userId: Long, events: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[SessionAgg] = {
+      val sorted = events.toSeq.sortBy(e => (e._2, e._3))
+      var (lastTs, sessions, count) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+      sorted.foreach { case (_, ts, _) =>
+        if (lastTs == Long.MinValue || ts - lastTs > 1800L * 1000000L) sessions += 1
+        lastTs = ts
+        count += 1
+      }
+      state.update((lastTs, sessions, count))
+      Iterator.single(SessionAgg(userId, sessions, count))
+    }
+
+    val sinkName = s"events_sessions_${nameCounter.incrementAndGet()}"
+    val q = typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode sink may hold one row per (user, batch); keep the latest
+    s.table(sinkName)
+      .groupBy($"user_id")
+      .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q37Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val q36Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
       |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -61,5 +128,6 @@ object EventsStream {
 
   val all: Seq[GQuery] = Seq(
     GQuery("q36_stream_window", windowedCounts, Some(q36Sql)),
+    GQuery("q37_stream_sessionize", sessionize, Some(q37Sql)),
   )
 }
