@@ -119,6 +119,28 @@ object Dijkstra {
   private def smallEnough[V: ClassTag](g: Graph[V, Double], threshold: Long): Boolean =
     g.edges.count() <= threshold
 
+  /** DataFrame-level adaptive SSSP: `edges` must have (src, dst, w) columns.
+    * Small edge sets are collected and solved driver-local without ever
+    * constructing a GraphX graph (saves the RDD conversion + partitioning
+    * jobs); large ones build the distributed graph and run Pregel. */
+  def ssspFromEdges(edges: org.apache.spark.sql.DataFrame, source: VertexId,
+      threshold: Long = DefaultLocalThreshold): Seq[(VertexId, Double)] = {
+    import org.apache.spark.sql.functions.col
+    val norm = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("double"))
+    // limit-probe instead of full count: one cheap job decides the dispatch
+    val probe = norm.limit((threshold + 1).toInt).collect()
+    if (probe.length <= threshold) {
+      localSssp(probe.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), source)
+        .map { case (id, (d, _)) => (id, d) }.toSeq
+    } else {
+      val g = Graph.fromEdges(
+        norm.rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getDouble(2))),
+        0L)
+      distances(g, source)
+    }
+  }
+
   /** Distances with local-vs-Pregel dispatch. */
   def autoDistances[V: ClassTag](
       g: Graph[V, Double], source: VertexId,

@@ -76,16 +76,17 @@ object Dedup {
     val sh = docShingles(s, dir).cache()
     val posting = sh.select($"doc_id", explode($"sh").as("shingle"))
     val dfreq = posting.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // per-doc shingles sorted rarest-first (df, shingle) for the global order
-    val sorted = posting.join(dfreq, "shingle")
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"df", $"shingle"))).as("ranked"))
-      .select($"doc_id",
-        expr("transform(ranked, r -> r.shingle)").as("ordered"))
-    val prefixes = sorted
-      .withColumn("plen",
-        (size($"ordered") - ceil(lit(JaccardThreshold) * size($"ordered")) + 1).cast("int"))
-      .select($"doc_id", explode(slice($"ordered", lit(1), greatest($"plen", lit(1)))).as("shingle"))
+    // global order = rarest-first (df, shingle); rank within doc via window
+    // (one shuffle on doc_id; dfreq and sizes broadcast)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"shingle")
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    val prefixes = posting.join(dfreq.hint("broadcast"), "shingle")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes.hint("broadcast"), "doc_id")
+      .filter($"rn" <= greatest(
+        ($"n" - ceil(lit(JaccardThreshold) * $"n") + 1).cast("int"), lit(1)))
+      .select($"doc_id", $"shingle")
     val candidates = prefixes.as("x").join(prefixes.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -144,14 +145,17 @@ object Dedup {
   val SimHashBits = 64
   val HammingRadius = 3
 
-  /** (doc_id, simhash bigint) — sign-aggregated token hashes. */
+  /** (doc_id, simhash bigint) — sign-aggregated token hashes. Tokens are
+    * pre-counted per (doc, token) so the 64-column bit aggregation runs
+    * over the much smaller distinct-token relation (weight = count). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tokens = t(s, dir, "documents")
       .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64($"tok"))
     val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+      sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, $"cnt").otherwise(-$"cnt")).as(s"b$j")
     }
     tokens.groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)

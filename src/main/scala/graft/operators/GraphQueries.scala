@@ -45,9 +45,9 @@ object GraphQueries {
     Graph.fromEdges(edgeRdd, defaultValue = 0L)
   }
 
-  private def ssspFrame(s: SparkSession, g: Graph[Long, Double], source: VertexId): DataFrame = {
+  private def ssspFrame(s: SparkSession, edges: DataFrame, source: VertexId): DataFrame = {
     import s.implicits._
-    val rows = Dijkstra.distances(g, source).map { case (id, d) => (id.toInt, d.toLong) }
+    val rows = Dijkstra.ssspFromEdges(edges, source).map { case (id, d) => (id.toInt, d.toLong) }
     s.createDataFrame(rows).toDF("n_nationkey", "dist").orderBy($"n_nationkey")
   }
 
@@ -72,7 +72,7 @@ object GraphQueries {
   /** q17 — G8 "shortest": unit-cost Dijkstra from node 0 (cost=1 per the
     * reference, `database.rs:375` — shortest = fewest jumps). */
   private def q17(s: SparkSession, dir: String): DataFrame =
-    ssspFrame(s, graphOf(ringChordEdges(s, dir).withColumn("w", lit(1L))), 0L)
+    ssspFrame(s, ringChordEdges(s, dir).withColumn("w", lit(1L)), 0L)
 
   private val q17Sql = ssspOracle(
     s"SELECT src, dst, CAST(1 AS BIGINT) AS w FROM (${ringChordSql.replace("\n", " ")})", N)
@@ -82,7 +82,7 @@ object GraphQueries {
     import s.implicits._
     val e = ringChordEdges(s, dir)
       .withColumn("w", lit(1L) + ($"src" * 7L + $"dst" * 13L) % 5L)
-    ssspFrame(s, graphOf(e), 0L)
+    ssspFrame(s, e, 0L)
   }
 
   private val q18Sql = ssspOracle(
@@ -117,7 +117,7 @@ object GraphQueries {
     val e = ringChordEdges(s, dir)
       .join(broadcast(risk), $"dst" === $"rid")
       .select($"src", $"dst", $"w")
-    ssspFrame(s, graphOf(e), 0L)
+    ssspFrame(s, e, 0L)
   }
 
   private val q19Sql = {
