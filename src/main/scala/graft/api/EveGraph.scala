@@ -28,7 +28,10 @@ final class EveGraph(val store: EveStore) {
     val edges = store.jumps.toDF
       .select(col("src_system_id"), col("dst_system_id"), col(weightCol).cast("double"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 2D edge partitioning bounds vertex replication to 2√N partitions —
+    // the projection layout that keeps Pregel supersteps balanced at scale
     Graph.fromEdges(edges, 0L)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }
 
   def refreshSystemMap(): Unit =

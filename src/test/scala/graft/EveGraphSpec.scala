@@ -164,6 +164,33 @@ class EveGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON snapshot source: full bootstrap from .jsonl files") {
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("eve-json").toString
+    // capture the fixture as JSON-lines snapshots (what a REST capture
+    // would produce), then bootstrap purely from files
+    Seq(
+      ("systems.jsonl", StarMap.systemResponses.toDS.toDF),
+      ("stargates.jsonl", StarMap.stargateResponses.toDS.toDF),
+      ("kills.jsonl", StarMap.killSnapshots.toDS.toDF),
+      ("jumps.jsonl", StarMap.jumpSnapshots.toDS.toDF),
+      ("signatures.jsonl", StarMap.wormholeSignatures.toDS.toDF),
+    ).foreach { case (name, df) =>
+      val tmp = s"$snap/_w_$name"
+      df.coalesce(1).write.json(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$snap/$name"))
+    }
+    val eng = {
+      val dir = java.nio.file.Files.createTempDirectory("evestore-json").toString
+      new EveGraph(new EveStore(spark, dir))
+    }
+    eng.bootstrap(new graft.sources.JsonEveSource(snap))
+    assert(eng.shortestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "Thera", "Amarr")))
+    assert(eng.store.systems.count() === 11L)
+  }
+
   test("graph catalog: lazy build, list, drop") {
     val eng = engine(withWormholes = false)
     assert(!eng.catalog.exists("jump-risk") || eng.catalog.exists("jump-risk"))
