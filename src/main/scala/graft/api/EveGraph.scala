@@ -137,8 +137,8 @@ final class EveGraph(val store: EveStore) {
     // edge only if both endpoints exist (same validation as J3)
     val sys = store.systems.select($"system_id").distinct()
     val valid = whs.toDF("in_id", "out_id")
-      .join(broadcast(sys.toDF("a")), $"in_id" === $"a", "left_semi")
-      .join(broadcast(sys.toDF("b")), $"out_id" === $"b", "left_semi")
+      .join(sys.toDF("a"), $"in_id" === $"a", "left_semi")
+      .join(sys.toDF("b"), $"out_id" === $"b", "left_semi")
       .as[(Long, Long)]
     store.addWormholes(valid)
     refreshSystemMap()

@@ -20,11 +20,13 @@ import org.apache.spark.sql.expressions.Window
   *  - count/sum     A1/A2 `/root/reference/src/database.rs:179-197`, sync.rs:256
   *  - dedup         A3  `/root/reference/src/database.rs:546-555`
   *
-  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
-  * broadcast; the only genuinely large-large join (lineitem⋈orders) shuffles
-  * on its natural key and relies on AQE for skew; aggregates are partial
-  * (map-side) by construction. All filters/projections are plain column
-  * expressions so they push into the parquet scan.
+  * Scale notes: provably-tiny dimensions (nation/region, fixed-size) are
+  * broadcast-hinted; anything that scales with data (customer, id sets) is
+  * left to AQE's runtime size decision. The genuinely large-large join
+  * (lineitem⋈orders) shuffles on its natural key and relies on AQE for
+  * skew; aggregates are partial (map-side) by construction. All
+  * filters/projections are plain column expressions so they push into the
+  * parquet scan.
   */
 object Relational {
 
@@ -96,7 +98,7 @@ object Relational {
   private def q04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey") // customer scales; AQE decides
       .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")

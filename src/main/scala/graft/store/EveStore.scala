@@ -101,7 +101,8 @@ final class EveStore(val spark: SparkSession, root: String) {
   /** DETACH DELETE by id list: anti-join the node table *and* both edge
     * endpoints. */
   def removeSystems(ids: Dataset[Long]): Unit = {
-    val idDf = broadcast(ids.toDF("rid"))
+    // id set scales with the diff, not the table: let AQE pick the strategy
+    val idDf = ids.toDF("rid")
     write("systems", systems.toDF.join(idDf, $"system_id" === $"rid", "left_anti"))
     write("jumps", jumps.toDF
       .join(idDf, $"src_system_id" === $"rid", "left_anti")
@@ -110,7 +111,7 @@ final class EveStore(val spark: SparkSession, root: String) {
 
   def removeStargates(ids: Dataset[Long]): Unit =
     write("stargates", stargates.toDF
-      .join(broadcast(ids.toDF("rid")), $"stargate_id" === $"rid", "left_anti"))
+      .join(ids.toDF("rid"), $"stargate_id" === $"rid", "left_anti"))
 
   /** G7 — drop every edge touching the named system, both directions
     * (undirected match, `database.rs:458-466`; wormhole expiry). */
@@ -131,8 +132,8 @@ final class EveStore(val spark: SparkSession, root: String) {
       $"system_id".as("src_system_id"),
       $"destination_system_id".as("dst_system_id"))
     val validated = candidates
-      .join(broadcast(sys.toDF("sid")), $"src_system_id" === $"sid", "left_semi")
-      .join(broadcast(sys.toDF("did")), $"dst_system_id" === $"did", "left_semi")
+      .join(sys.toDF("sid"), $"src_system_id" === $"sid", "left_semi")
+      .join(sys.toDF("did"), $"dst_system_id" === $"did", "left_semi")
       .select($"src_system_id", $"dst_system_id",
         lit(1.0).as("cost"), lit(0.0).as("risk"))
     // preserve risk already set on surviving edges
@@ -163,8 +164,8 @@ final class EveStore(val spark: SparkSession, root: String) {
     val k = kills.toDF("k_id", "ship_kills")
     val j = jumps_.toDF("j_id", "ship_jumps")
     write("systems", systems.toDF
-      .join(broadcast(k), $"system_id" === $"k_id", "left")
-      .join(broadcast(j), $"system_id" === $"j_id", "left")
+      .join(k, $"system_id" === $"k_id", "left")
+      .join(j, $"system_id" === $"j_id", "left")
       .withColumn("kills", coalesce($"ship_kills", $"kills"))
       .withColumn("jumps", coalesce($"ship_jumps", $"jumps"))
       .drop("k_id", "ship_kills", "j_id", "ship_jumps"))
@@ -186,7 +187,7 @@ final class EveStore(val spark: SparkSession, root: String) {
       .select($"system_id".as("risk_id"),
         graft.risk.Risk.totalRisk($"kills", $"jumps", baseline).as("new_risk"))
     write("jumps", jumps.toDF
-      .join(broadcast(riskBySystem), $"dst_system_id" === $"risk_id", "left")
+      .join(riskBySystem, $"dst_system_id" === $"risk_id", "left")
       .withColumn("risk", coalesce($"new_risk", $"risk"))
       .drop("risk_id", "new_risk"))
   }

@@ -91,6 +91,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.feature === out.head.feature)
   }
 
+  test("salted skew join ≡ plain join") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = graft.operators.SkewJoin.salted(li, o, "l_orderkey", 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0L)
+    val twoPath = graft.operators.SkewJoin.saltedHeavyHitters(li, o, "l_orderkey", 8, 3L)
+    assert(twoPath.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(twoPath).count() === 0L)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     import spark.implicits._
     val streamed = run("q36_stream_window")
