@@ -28,7 +28,11 @@ object Dijkstra {
   /** dist + predecessor per vertex; unreached = (+inf, -1). */
   type State = (Double, VertexId)
 
-  def sssp[V: ClassTag](g: Graph[V, Double], source: VertexId): Graph[State, Double] = {
+  /** `maxIterations` bounds Pregel supersteps (diameter bound) — the
+    * at-scale guard SURVEY §7.4 calls for; default unbounded = exact
+    * fixpoint, identical to GDS. */
+  def sssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
+      maxIterations: Int = Int.MaxValue): Graph[State, Double] = {
     require(g.edges != null)
     val init: Graph[State, Double] =
       g.mapVertices((id, _) => if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L))
@@ -40,6 +44,7 @@ object Dijkstra {
 
     init.pregel(
       initialMsg = (Double.PositiveInfinity, -1L),
+      maxIterations = maxIterations,
       activeDirection = EdgeDirection.Out)(
       vprog = (_, cur, msg) => mergeMsg(cur, msg),
       sendMsg = triplet => {
