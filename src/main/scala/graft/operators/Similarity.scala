@@ -51,11 +51,14 @@ object Similarity {
     val emb = embeddings(s, dir)
     val q = emb.filter($"vec_id" === QueryVecId)
       .select($"vec".as("qvec"))
-    emb.filter($"vec_id" =!= QueryVecId)
+    val topk = emb.filter($"vec_id" =!= QueryVecId)
       .crossJoin(broadcast(q))
       .select($"vec_id", round(cosine($"vec", $"qvec"), 3).as("sim"))
-      .withColumn("rank", row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
-      .filter($"rank" <= K)
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(K) // TakeOrderedAndProject: per-partition top-k, no global sort
+    // rank assignment runs over just K rows, so the unpartitioned window is
+    // not a scale bottleneck
+    topk.withColumn("rank", row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
       .select($"rank", $"vec_id", $"sim")
       .orderBy($"rank")
   }
@@ -130,12 +133,13 @@ object Similarity {
       .select($"cent_id", cosine($"cvec", $"qvec").as("csim"))
       .orderBy($"csim".desc, $"cent_id").limit(NProbe)
       .select($"cent_id".as("cell"))
-    assigned.join(broadcast(probed), "cell")
+    val topk = assigned.join(broadcast(probed), "cell")
       .filter($"vec_id" =!= QueryVecId)
       .crossJoin(broadcast(qvec))
       .select($"vec_id", round(cosine($"vec", $"qvec"), 3).as("sim"))
-      .withColumn("rank", row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
-      .filter($"rank" <= K)
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(K)
+    topk.withColumn("rank", row_number().over(Window.orderBy($"sim".desc, $"vec_id")))
       .select($"rank", $"vec_id", $"sim")
       .orderBy($"rank")
   }
