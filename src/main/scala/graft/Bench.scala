@@ -25,25 +25,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer caches
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warmup: JVM + codegen + parquet footer caches (best-effort)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val names = SparkEntry.benchQueries
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // min over repeated runs: filters ambient machine noise, reports the
-      // plan's actual cost
-      val best = (1 to runs).map { _ =>
+      // plan's actual cost; a failed query is marked -1, never a fast time
+      val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+      val best = if (timings.forall(_._1)) timings.map(_._2).min else -1.0
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0.0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,7 +30,8 @@ object StarMap {
     (SafeB, Turnur),
     (Island1, Island2))
 
-  private def gateId(src: Long, dst: Long): Long = 50000000L + (src % 100000L) * 1000L + (dst % 100000L)
+  private def gateId(src: Long, dst: Long): Long =
+    50000000000L + (src % 100000L) * 100000L + (dst % 100000L) // disjoint 5-digit slots -> collision-free
 
   val stargateResponses: Seq[StargateResponse] =
     gatePairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.map { case (src, dst) =>

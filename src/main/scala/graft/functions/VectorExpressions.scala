@@ -42,10 +42,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
 
+  // result can be null on length mismatch even with non-null inputs
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with pads nulls -> HOF yields null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -71,14 +75,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $x.getDouble($i);
-         |  double $yv = $y.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $x.getDouble($i);
+         |    double $yv = $y.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -97,10 +105,13 @@ case class DotProduct(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -113,10 +124,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += $x.getDouble($i) * $y.getDouble($i); }
-         |${ev.value} = $dot;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $x.getDouble($i) * $y.getDouble($i); }
+         |  ${ev.value} = $dot;
+         |}
        """.stripMargin
     })
 

@@ -184,6 +184,8 @@ object Dijkstra {
         ids = lookup(ids.head).get._2 :: ids
         hops += 1
       }
+      require(ids.head == source,
+        s"path reconstruction exceeded maxHops=$maxHops before reaching $source")
       (dist, ids)
     }
   }

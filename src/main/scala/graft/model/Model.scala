@@ -36,12 +36,16 @@ final case class Stargate(
     destination_stargate_id: Long,
     destination_system_id: Long)
 
-/** Edge table `JUMP` — `database.rs:372-375` (cost) + `311-313` (risk). */
+/** Edge table `JUMP` — `database.rs:372-375` (cost) + `311-313` (risk).
+  * `kind` ("gate" | "wormhole") records edge provenance: the reference
+  * never rebuilds wormhole edges from stargates, so edge re-derivation must
+  * leave them untouched (`sync.rs:66-94` owns their lifecycle). */
 final case class Jump(
     src_system_id: Long,
     dst_system_id: Long,
     cost: Double,
-    risk: Double)
+    risk: Double,
+    kind: String)
 
 /** Last-hour kill/jump snapshots — `esi.rs:85-107`. */
 final case class SystemKills(system_id: Long, ship_kills: Int)

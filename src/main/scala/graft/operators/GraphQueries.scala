@@ -103,7 +103,6 @@ object GraphQueries {
     val totals = perNation.agg(sum($"kills").as("tk"), sum($"jumps").as("tj"))
     val baseline = when(col("tj") > 0L, col("tk").cast("double") / col("tj").cast("double"))
       .otherwise(lit(0.01))
-    val kills2 = col("kills").cast("double") * col("kills").cast("double")
     val risk = t(s, dir, "nation")
       .join(perNation, $"n_nationkey" === $"c_nationkey", "left")
       .crossJoin(broadcast(totals))
@@ -147,16 +146,17 @@ object GraphQueries {
     * disjoint vertex-id range. */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val SUPP = 1000000000L
+    // suppliers live in the negative id range: disjoint from part keys at
+    // any scale factor (keys are non-negative), no offset collisions
     val pairs = t(s, dir, "lineitem")
       .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
       .distinct()
-    val edges = pairs.rdd.map(r => Edge(r.getLong(0), SUPP + r.getLong(1), 1.0))
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), -r.getLong(1) - 1L, 1.0))
     val g = Graph.fromEdges(edges, 0L)
     val deg = g.degrees
-      .filter(_._1 >= SUPP)
-      .map { case (id, d) => (id - SUPP, d.toLong) }
-      .collect().toSeq
+      .filter(_._1 < 0L)
+      .map { case (id, d) => (-id - 1L, d.toLong) }
+    // stays distributed: no driver collect of the degree table
     s.createDataFrame(deg).toDF("s_suppkey", "degree").orderBy($"s_suppkey")
   }
 

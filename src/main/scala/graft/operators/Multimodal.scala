@@ -21,7 +21,7 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String,
       width: Int, height: Int)
 
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_byte: Int,
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, first_cp: Int,
       fake_label: Long, feature: Seq[Float])
 
   /** STUB decoder: a real implementation would JNI/FFI into an image/audio
@@ -39,8 +39,11 @@ object Multimodal {
           while (j < bytes.length) { acc += (bytes(j) & 0xFF); j += FeatureDim }
           (acc % 997L).toFloat / 997f
         }
+        // decode back to text for the code-point feature: well-defined for
+        // any UTF-8 payload (DuckDB's ascii() = first code point, '' -> 0)
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         MediaFeatures(r.doc_id, bytes.length.toLong,
-          if (bytes.nonEmpty) bytes(0) & 0xFF else -1,
+          if (text.nonEmpty) text.codePointAt(0) else 0,
           bytes.length.toLong % 10L, feature)
       }
   }
@@ -63,14 +66,14 @@ object Multimodal {
     import s.implicits._
     mediaTable(s, dir)
       .mapPartitions(StubDecoder.decodeBatch)
-      .select($"doc_id", $"n_bytes", $"first_byte", $"fake_label")
+      .select($"doc_id", $"n_bytes", $"first_cp", $"fake_label")
       .orderBy($"doc_id")
   }
 
   private val q35Sql =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+      |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_cp,
       |  CAST(octet_length(encode(text)) % 10 AS BIGINT) AS fake_label
       |FROM documents ORDER BY doc_id""".stripMargin
 

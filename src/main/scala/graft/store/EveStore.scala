@@ -135,14 +135,18 @@ final class EveStore(val spark: SparkSession, root: String) {
       .join(sys.toDF("sid"), $"src_system_id" === $"sid", "left_semi")
       .join(sys.toDF("did"), $"dst_system_id" === $"did", "left_semi")
       .select($"src_system_id", $"dst_system_id",
-        lit(1.0).as("cost"), lit(0.0).as("risk"))
-    // preserve risk already set on surviving edges
-    val existing = jumps.toDF.select($"src_system_id", $"dst_system_id", $"risk".as("old_risk"))
-    val merged = validated.join(existing, Seq("src_system_id", "dst_system_id"), "left")
+        lit(1.0).as("cost"), lit(0.0).as("risk"), lit("gate").as("kind"))
+    // preserve risk already set on surviving gate edges
+    val existing = jumps.toDF.filter($"kind" === "gate")
+      .select($"src_system_id", $"dst_system_id", $"risk".as("old_risk"))
+    val gates = validated.join(existing, Seq("src_system_id", "dst_system_id"), "left")
       .select($"src_system_id", $"dst_system_id", $"cost",
-        coalesce($"old_risk", lit(0.0)).as("risk"))
+        coalesce($"old_risk", lit(0.0)).as("risk"), $"kind")
       .dropDuplicates("src_system_id", "dst_system_id")
-    write("jumps", merged)
+    // wormhole edges have their own lifecycle (refreshWormholes); gate
+    // re-derivation must not delete them
+    val wormholes = jumps.toDF.filter($"kind" === "wormhole")
+    write("jumps", gates.unionByName(wormholes))
   }
 
   /** S12 — wormhole edges are inserted in both directions, *without* an
@@ -153,6 +157,7 @@ final class EveStore(val spark: SparkSession, root: String) {
     val both = p.select($"in_id".as("src_system_id"), $"out_id".as("dst_system_id"))
       .union(p.select($"out_id", $"in_id"))
       .withColumn("cost", lit(1.0)).withColumn("risk", lit(0.0))
+      .withColumn("kind", lit("wormhole"))
     write("jumps", jumps.toDF.unionByName(both))
   }
 

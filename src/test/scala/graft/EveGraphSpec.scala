@@ -90,6 +90,16 @@ class EveGraphSpec extends AnyFunSuite {
     assert(theraEdges.count() === 4L) // Jita↔Thera, Thera↔Amarr
   }
 
+  test("stargate refresh preserves active wormhole edges (provenance)") {
+    import spark.implicits._
+    val eng = engine(withWormholes = true)
+    assert(eng.shortestRoute("Jita", "Amarr") === Some(Seq("Jita", "Thera", "Amarr")))
+    // a gates-only refresh must not wipe the wormhole overlay
+    eng.refreshStargates(StarMap.source(withWormholes = true))
+    assert(eng.store.jumps.filter($"kind" === "wormhole").count() === 4L)
+    assert(eng.shortestRoute("Jita", "Amarr") === Some(Seq("Jita", "Thera", "Amarr")))
+  }
+
   test("wormholes expire when the next refresh has no signatures") {
     import spark.implicits._
     val eng = engine(withWormholes = true)

@@ -75,6 +75,12 @@ class PipelineSpec extends AnyFunSuite {
     // interpreted eval path agrees with codegen path
     val row = both.filter($"vec_id" === 17L).head()
     assert(row.getDouble(1) === row.getDouble(2))
+    // length mismatch → null, matching the zip_with null-padding semantics
+    val mism = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .head()
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
   }
 
   test("multimodal stub decoder: deterministic, 8-dim, empty-safe") {
@@ -83,9 +89,9 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.MediaRow(2L, Array.empty[Byte], "image/fake", 0, 0))
     val out = Multimodal.StubDecoder.decodeBatch(rows).toSeq
     assert(out.head.n_bytes === 5L)
-    assert(out.head.first_byte === 'h'.toInt)
+    assert(out.head.first_cp === 'h'.toInt)
     assert(out.head.feature.length === Multimodal.StubDecoder.FeatureDim)
-    assert(out(1).n_bytes === 0L && out(1).first_byte === -1)
+    assert(out(1).n_bytes === 0L && out(1).first_cp === 0)
     val again = Multimodal.StubDecoder.decodeBatch(Iterator(
       Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "image/fake", 10, 10))).next()
     assert(again.feature === out.head.feature)
