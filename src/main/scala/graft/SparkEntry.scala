@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.all ++
       operators.GraphQueries.all ++
       operators.EveQueries.all ++
+      operators.TemporalJoins.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextOps.all ++

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark lacks natively, composed from built-ins
+  * (preference (a) in SURVEY §7.3 — no custom SparkPlan needed):
+  *
+  *  - **As-of join** via the union+window technique: union both sides with a
+  *    side marker, one window pass per key ordered by (ts, side), and
+  *    `last(_, ignoreNulls)` carries the most recent right row forward.
+  *    One shuffle on the key — never a per-row range probe. This is the
+  *    scalable formulation (an equi-join + sort would re-shuffle both sides
+  *    anyway; here the sort IS the join).
+  *
+  *  - **Banded range join** via time bucketing: |Δts| ≤ B pairs must share a
+  *    bucket of width B or sit in adjacent buckets, so the left side probes
+  *    two buckets and the exact predicate filters — an equi-join on
+  *    (key, bucket), never a cross join.
+  */
+object TemporalJoins {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * `rightTs ≤ leftTs` on the same key. Right payload columns are carried
+    * as `r_<name>`; unmatched left rows keep nulls. */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String]): DataFrame = {
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct(rightPayload.map(col): _*).as("_r"))
+    val leftCols = left.columns
+    val l = left.select(
+      Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(r.schema("_r").dataType).as("_r")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+    val rPadded = r.select(
+      Seq(col(key), col("_ts"), col("_side"), col("_r")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // deterministic tie-break at equal timestamps: lexicographic order of
+    // the right payload struct (first payload column decides)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rPadded)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
+        rightPayload.map(p => col("_match").getField(p).as(s"r_$p")): _*)
+  }
+
+  /** Banded range self/two-table join: pairs on `key` with
+    * `0 ≤ rightTs − leftTs ≤ bandMicros`. */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, bandMicros: Long): DataFrame = {
+    val l = left.withColumn("_bk",
+      explode(array((col(leftTs) / bandMicros).cast("long"),
+        (col(leftTs) / bandMicros).cast("long") + 1L)))
+    val r = right.withColumn("_bk", (col(rightTs) / bandMicros).cast("long"))
+    l.join(r, Seq(key, "_bk"))
+      .filter(col(rightTs) >= col(leftTs) && col(rightTs) - col(leftTs) <= bandMicros)
+      .drop("_bk")
+  }
+
+  /** q38 — as-of join on events: each purchase matched to the user's most
+    * recent prior-or-simultaneous view. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_us".as("v_ts"), $"event_id".as("v_event"))
+    asof(purchases, views, "user_id", "ts_us", "v_ts", Seq("v_event", "v_ts"))
+      .select($"user_id", $"event_id", $"ts_us",
+        $"r_v_event".as("view_event"),
+        ($"ts_us" - $"r_v_ts").as("gap_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // The oracle mirrors the union+window formulation (identical tie-breaks:
+  // at equal ts the view sorts first, so it is visible to the purchase).
+  private val q38Sql =
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, 0 AS side,
+      |    event_id AS v_event, NULL::BIGINT AS event_id FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,
+      |    NULL::BIGINT AS v_event, event_id FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+      |m AS (SELECT user_id, ts_us, side, event_id,
+      |    LAST_VALUE(v_event IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, side, v_event
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, side, v_event
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts
+      |  FROM u)
+      |SELECT user_id, event_id, ts_us, view_event, ts_us - v_ts AS gap_us
+      |FROM m WHERE side = 1 ORDER BY user_id, event_id""".stripMargin
+
+  /** q39 — banded range join: view→purchase pairs of the same user within
+    * 30 minutes. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_us", $"event_id".as("view_event"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us".as("p_ts"), $"event_id".as("purchase_event"))
+    bandedRangeJoin(views, purchases, "user_id", "ts_us", "p_ts", 1800L * 1000000L)
+      .select($"user_id", $"view_event", $"purchase_event", ($"p_ts" - $"ts_us").as("gap_us"))
+      .orderBy($"user_id", $"view_event", $"purchase_event")
+  }
+
+  private val q39Sql =
+    """SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+      |  AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+      |ORDER BY v.user_id, view_event, purchase_event""".stripMargin
+
+  /** q40 — rollup aggregate with grouping id (beyond-reference analytics
+    * completeness; subtotals + grand total in one pass). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.Tables.dec
+    graft.Tables.t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  private val q40Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q38_asof_join", q38, Some(q38Sql), bench = true),
+    GQuery("q39_range_join", q39, Some(q39Sql)),
+    GQuery("q40_rollup", q40, Some(q40Sql)),
+  )
+}

@@ -97,6 +97,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.feature === out.head.feature)
   }
 
+  test("as-of join ≡ naive per-row latest-match") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase").select($"user_id", $"ts_us", $"event_id")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts_us".as("v_ts"), $"event_id".as("v_event"))
+    val got = graft.operators.TemporalJoins
+      .asof(p, v.withColumnRenamed("vu", "user_id"), "user_id", "ts_us", "v_ts", Seq("v_event"))
+      .select($"user_id", $"event_id", $"r_v_event")
+    // naive: theta join + keep max-(ts, event) view per purchase
+    val naive = p.join(v, $"user_id" === $"vu" && $"v_ts" <= $"ts_us", "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_id").orderBy($"v_ts".desc, $"v_event".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"v_event".as("r_v_event"))
+    assert(got.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(got).count() === 0L)
+  }
+
+  test("banded range join ≡ naive theta join") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter($"event_type" === "view").select($"user_id", $"ts_us", $"event_id".as("ve"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts_us".as("p_ts"), $"event_id".as("pe"))
+    val band = 1800L * 1000000L
+    val got = graft.operators.TemporalJoins
+      .bandedRangeJoin(v, p.withColumnRenamed("pu", "user_id"), "user_id", "ts_us", "p_ts", band)
+      .select($"user_id", $"ve", $"pe")
+    val naive = v.join(p, $"user_id" === $"pu" && $"p_ts" >= $"ts_us" && $"p_ts" - $"ts_us" <= band)
+      .select($"user_id", $"ve", $"pe")
+    assert(got.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(got).count() === 0L)
+  }
+
   test("salted skew join ≡ plain join") {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
