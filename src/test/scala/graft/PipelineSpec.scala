@@ -148,6 +148,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain.exceptAll(twoPath).count() === 0L)
   }
 
+  test("bucketed tables join and aggregate with zero shuffle") {
+    import spark.implicits._
+    import graft.store.Bucketing
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority")
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(o, "o_b", "o_orderkey", 4)
+    // disable auto-broadcast so the plans show the large-large case the
+    // bucketing is designed for (at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.read(spark, "li_b")
+        .join(Bucketing.read(spark, "o_b"), $"l_orderkey" === $"o_orderkey")
+      assert(Bucketing.isShuffleFree(joined), "bucketed equi-join must not shuffle")
+      // same join without bucketing does shuffle — the property is real
+      val unbucketed = li.join(o, $"l_orderkey" === $"o_orderkey")
+      assert(!Bucketing.isShuffleFree(unbucketed))
+      // and results agree
+      assert(joined.count() === unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("streaming windowed counts equal the batch plan") {
     import spark.implicits._
     val streamed = run("q36_stream_window")
