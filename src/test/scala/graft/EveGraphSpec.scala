@@ -174,6 +174,34 @@ class EveGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming risk refresh equals the batch refresh (foreachBatch cadence)") {
+    import spark.implicits._
+    // engine bootstrapped with NO kill/jump data
+    val dir = java.nio.file.Files.createTempDirectory("evestore-rs").toString
+    val eng = new EveGraph(new EveStore(spark, dir))
+    eng.bootstrap(new graft.sources.FixtureSource(
+      systems = StarMap.systemResponses, stargates = StarMap.stargateResponses))
+    // snapshots arrive as a stream
+    val snapDir = java.nio.file.Files.createTempDirectory("snapshots").toString
+    val kills = StarMap.killSnapshots.map(k => k.system_id -> k.ship_kills).toMap
+    StarMap.jumpSnapshots
+      .map(j => (j.system_id, kills.getOrElse(j.system_id, 0), j.ship_jumps))
+      .toDF("system_id", "ship_kills", "ship_jumps")
+      .write.mode("append").parquet(snapDir)
+    val q = graft.streaming.RiskStream.start(eng, snapDir)
+    q.awaitTermination()
+    // identical risks to the batch-refreshed engine
+    val streamed = eng.store.jumps.toDF
+      .select($"src_system_id", $"dst_system_id", $"risk")
+    val batch = plain.store.jumps.toDF
+      .select($"src_system_id", $"dst_system_id", $"risk")
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+    // and the swapped projection answers the safest route identically
+    assert(eng.safestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "SafeA", "SafeB", "SafeC", "Amarr")))
+  }
+
   test("JSON snapshot source: full bootstrap from .jsonl files") {
     import spark.implicits._
     val snap = java.nio.file.Files.createTempDirectory("eve-json").toString
