@@ -142,9 +142,68 @@ object TemporalJoins {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q41 — exact percentiles (median/p90 of quantity per return flag).
+    * Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition; inputs are small exact doubles so the one
+    * interpolation op is bit-stable. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q41Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q42 — correlated-subquery shape (Catalyst decorrelates it into a
+    * join): customers spending more than 2× their nation's per-customer
+    * average. Integer cents arithmetic keeps both engines exact. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // explicit round-to-nearest: Spark's double→long CAST truncates while
+    // DuckDB's rounds; round() first makes both engines agree
+    val cents = round(col("o_totalprice") * 100.0, 0).cast("long")
+    val spend = graft.Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(sum(cents).as("spend_cents"))
+    val cust = graft.Tables.t(s, dir, "customer")
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_nationkey", coalesce($"spend_cents", lit(0L)).as("spend_cents"))
+    val nation = cust.groupBy($"c_nationkey")
+      .agg(sum($"spend_cents").as("nation_cents"), count(lit(1)).as("nation_custs"))
+    cust.join(nation, Seq("c_nationkey"))
+      .filter($"spend_cents" * $"nation_custs" > $"nation_cents" * 2L)
+      .select($"c_custkey", $"spend_cents")
+      .orderBy($"c_custkey")
+  }
+
+  private val q42Sql =
+    """WITH spend AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    COALESCE((SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+      |              FROM orders WHERE o_custkey = c_custkey), 0) AS spend_cents
+      |  FROM customer),
+      |nat AS (SELECT c_nationkey, CAST(SUM(spend_cents) AS BIGINT) AS nation_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS nation_custs
+      |  FROM spend GROUP BY c_nationkey)
+      |SELECT s.c_custkey, s.spend_cents
+      |FROM spend s JOIN nat n ON s.c_nationkey = n.c_nationkey
+      |WHERE s.spend_cents * n.nation_custs > n.nation_cents * 2
+      |ORDER BY s.c_custkey""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q38_asof_join", q38, Some(q38Sql), bench = true),
     GQuery("q39_range_join", q39, Some(q39Sql)),
     GQuery("q40_rollup", q40, Some(q40Sql)),
+    GQuery("q41_percentiles", q41, Some(q41Sql)),
+    GQuery("q42_decorrelated", q42, Some(q42Sql)),
   )
 }
