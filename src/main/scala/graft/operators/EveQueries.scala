@@ -18,12 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EveQueries {
 
-  private def freshEngine(s: SparkSession, withWormholes: Boolean): EveGraph = {
-    val dir = java.nio.file.Files.createTempDirectory("evestore").toString
-    val eng = new EveGraph(new EveStore(s, dir))
-    eng.bootstrap(StarMap.source(withWormholes))
-    eng
-  }
+  // one bootstrapped engine per (session, wormhole-flag): the fixture is
+  // immutable and every query only reads, so Verify's four eve queries pay
+  // bootstrap twice instead of four times
+  private val engines =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Boolean), EveGraph]
+
+  private def freshEngine(s: SparkSession, withWormholes: Boolean): EveGraph =
+    engines.getOrElseUpdate((s, withWormholes), {
+      val dir = java.nio.file.Files.createTempDirectory("evestore").toString
+      val eng = new EveGraph(new EveStore(s, dir))
+      eng.bootstrap(StarMap.source(withWormholes))
+      eng
+    })
 
   private def routeFrame(s: SparkSession, route: Option[Seq[String]]): DataFrame = {
     import s.implicits._

@@ -195,6 +195,56 @@ object GraphQueries {
     s.createDataFrame(pr).toDF("n_nationkey", "rank").orderBy($"n_nationkey")
   }
 
+  /** q43 — strongly connected components (GraphX `stronglyConnected
+    * Components`) on directed 5-cycles over nations; label = min member. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = t(s, dir, "nation").select($"n_nationkey".cast("long").as("id"))
+    // directed cycle within each group of 5: i→i+1, last→first
+    val e = n.select($"id".as("src"),
+      when($"id" % 5 === 4, $"id" - 4).otherwise($"id" + 1).as("dst"))
+    val g = Graph.fromEdges(e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
+    val scc = g.stronglyConnectedComponents(numIter = 10).vertices
+      .map { case (id, comp) => (id.toInt, comp) }
+    s.createDataFrame(scc).toDF("n_nationkey", "component").orderBy($"n_nationkey")
+  }
+
+  private val q43Sql =
+    """SELECT n_nationkey, CAST((n_nationkey // 5) * 5 AS BIGINT) AS component
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** q44 — triangle counting (GraphX `triangleCount`) on the undirected
+    * {±1,±2,±3}-chord circulant graph over nations; oracle enumerates
+    * triangles relationally via a canonical a<b<c triple join. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = t(s, dir, "nation").select($"n_nationkey".cast("long").as("id"))
+    val dirs = Seq(1, 2, 3)
+    val fwd = dirs.map(d => n.select($"id".as("src"), (($"id" + d) % N).as("dst")))
+      .reduce(_ union _)
+    val e = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val g = Graph.fromEdges(e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = g.triangleCount().vertices.map { case (id, c) => (id.toInt, c.toLong) }
+    s.createDataFrame(tc).toDF("n_nationkey", "n_triangles").orderBy($"n_nationkey")
+  }
+
+  private val q44Sql =
+    s"""WITH d AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS src, CAST((n_nationkey + 1) % $N AS BIGINT) AS dst FROM nation
+       |  UNION ALL SELECT n_nationkey, (n_nationkey + 2) % $N FROM nation
+       |  UNION ALL SELECT n_nationkey, (n_nationkey + 3) % $N FROM nation),
+       |e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pv AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+       |  CAST(COALESCE(cnt, 0) AS BIGINT) AS n_triangles
+       |FROM nation LEFT JOIN (
+       |  SELECT v, COUNT(*) AS cnt FROM pv GROUP BY v) t ON n_nationkey = v
+       |ORDER BY n_nationkey""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -202,5 +252,7 @@ object GraphQueries {
     GQuery("q20_graph_degrees", q20, Some(q20Sql)),
     GQuery("q21_graph_components", q21, Some(q21Sql)),
     GQuery("q22_graph_pagerank", q22, None),
+    GQuery("q43_graph_scc", q43, Some(q43Sql)),
+    GQuery("q44_graph_triangles", q44, Some(q44Sql)),
   )
 }
