@@ -47,6 +47,9 @@ object Dedup {
     val b = shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
       .join(a, "doc_a").join(b, "doc_b")
+      // size filter pushes below the intersection: pruned pairs never pay it
+      .filter(lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))) <=
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -86,9 +89,13 @@ object Dedup {
       .join(sizes.hint("broadcast"), "doc_id")
       .filter($"rn" <= greatest(
         ($"n" - ceil(lit(JaccardThreshold) * $"n") + 1).cast("int"), lit(1)))
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", $"shingle", $"n")
+    // length filter: jac ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|) — prunes
+    // size-mismatched candidates before the expensive intersection verify
     val candidates = prefixes.as("x").join(prefixes.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          lit(JaccardThreshold) * greatest(col("x.n"), col("y.n")) <=
+          least(col("x.n"), col("y.n")).cast("double"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(candidates, sh, JaccardThreshold)
