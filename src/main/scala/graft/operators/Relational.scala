@@ -354,6 +354,36 @@ object Relational {
       |  CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q45 — TPC-H Q3 shape: selective filters on both sides of a
+    * fact-fact join, grouped revenue, global top-k by revenue. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = t(s, dir, "orders").filter($"o_orderdate" < cut)
+    val li = t(s, dir, "lineitem").filter($"l_shipdate" > cut)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q45Sql =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority,
+      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM customer
+      |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |GROUP BY l_orderkey, orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     GQuery("q02_filter_project", q02, Some(q02Sql), bench = true),
@@ -371,5 +401,6 @@ object Relational {
     GQuery("q14_sessionize", q14, Some(q14Sql), bench = true),
     GQuery("q15_having", q15, Some(q15Sql)),
     GQuery("q16_global_topk", q16, Some(q16Sql)),
+    GQuery("q45_shipping_priority", q45, Some(q45Sql), bench = true),
   )
 }

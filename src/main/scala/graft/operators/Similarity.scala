@@ -144,6 +144,30 @@ object Similarity {
       .orderBy($"rank")
   }
 
+  /** Persisted IVF index: cell assignments written as parquet partitioned
+    * BY cell, so probing nprobe cells is a partition-pruned scan — at
+    * 100 TB the query reads only probed directories, never the corpus.
+    * Build once, query many (the amortization split a real ANN service
+    * needs). */
+  def buildIvfIndex(emb: DataFrame, indexDir: String): Unit =
+    ivfAssign(emb).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(indexDir)
+
+  /** Query a persisted index: nprobe nearest cells → pruned scan → exact
+    * re-rank. `cells` are the probed cell ids (from centroid similarity). */
+  def queryIvfIndex(s: SparkSession, indexDir: String, qvec: Seq[Double],
+      cells: Seq[Long], k: Int = K): DataFrame = {
+    import s.implicits._
+    val idx = s.read.parquet(indexDir).filter($"cell".isin(cells: _*))
+    idx.withColumn("sim", round(cosine($"vec",
+        array(qvec.map(lit): _*).cast("array<double>")), 3))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"sim")
+  }
+
   /** q29 — embedding near-duplicate pairs (cosine ≥ 0.98): bucket-local
     * all-pairs over LSH signature groups with multi-probe, exact verify. */
   private def q29(s: SparkSession, dir: String): DataFrame = {

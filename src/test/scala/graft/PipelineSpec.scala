@@ -39,6 +39,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 8L, s"overlap=$overlap/10")
   }
 
+  test("persisted IVF index: partition-pruned probe matches in-memory ANN") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    Similarity.buildIvfIndex(emb, idxDir)
+    val qvec = emb.filter($"vec_id" === 0L).head().getSeq[Double](1)
+    // probe ALL cells → must reproduce the exact brute-force top-k
+    val all = (0L until Similarity.Centroids.toLong)
+    val got = Similarity.queryIvfIndex(spark, idxDir, qvec, all, k = Similarity.K + 1)
+      .filter($"vec_id" =!= 0L).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = run("q27_ann_brute_topk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.take(exact.length).toSeq === exact.toSeq)
+    // and the probe plan prunes partitions (scan carries a cell filter)
+    val probed = spark.read.parquet(idxDir).filter($"cell".isin(0L, 1L))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+  }
+
   test("embedding near-dup pairs: planted duplicates are found") {
     import spark.implicits._
     // corpus with exact duplicates planted at vec_id+100000
