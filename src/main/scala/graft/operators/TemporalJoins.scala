@@ -53,13 +53,18 @@ object TemporalJoins {
     * `0 ≤ rightTs − leftTs ≤ bandMicros`. */
   def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, bandMicros: Long): DataFrame = {
-    val l = left.withColumn("_bk",
+    // internal renames keep the join collision-safe when both sides use the
+    // same timestamp column name (e.g. a self-join on ts_us)
+    val l = left.withColumn("_lts", col(leftTs)).withColumn("_bk",
       explode(array((col(leftTs) / bandMicros).cast("long"),
         (col(leftTs) / bandMicros).cast("long") + 1L)))
-    val r = right.withColumn("_bk", (col(rightTs) / bandMicros).cast("long"))
-    l.join(r, Seq(key, "_bk"))
-      .filter(col(rightTs) >= col(leftTs) && col(rightTs) - col(leftTs) <= bandMicros)
-      .drop("_bk")
+    val r0 = right.withColumn("_rts", col(rightTs))
+    val r = (if (left.columns.contains(rightTs) && rightTs != leftTs) r0.drop(rightTs) else r0)
+      .withColumn("_bk", (col("_rts") / bandMicros).cast("long"))
+    val rSafe = if (rightTs == leftTs) r.drop(rightTs) else r
+    l.join(rSafe, Seq(key, "_bk"))
+      .filter(col("_rts") >= col("_lts") && col("_rts") - col("_lts") <= bandMicros)
+      .drop("_bk", "_lts", "_rts")
   }
 
   /** q38 — as-of join on events: each purchase matched to the user's most

@@ -28,7 +28,8 @@ object Bucketing {
   /** True if the executed plan of `df` contains no exchange at all (neither
     * shuffle nor broadcast) — the co-location property bucketing buys. */
   def isShuffleFree(df: DataFrame): Boolean = {
-    df.collect() // force execution so AQE finalizes the plan
+    // finalize AQE without materializing rows on the driver
+    df.write.format("noop").mode(SaveMode.Overwrite).save()
     !df.queryExecution.executedPlan.toString.contains("Exchange")
   }
 }

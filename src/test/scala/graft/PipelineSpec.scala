@@ -53,10 +53,12 @@ class PipelineSpec extends AnyFunSuite {
     val exact = run("q27_ann_brute_topk").collect()
       .map(r => (r.getLong(1), r.getDouble(2)))
     assert(got.take(exact.length).toSeq === exact.toSeq)
-    // and the probe plan prunes partitions (scan carries a cell filter)
+    // and the probe plan prunes partitions: the PartitionFilters list
+    // itself must carry the cell predicate (a bare "PartitionFilters: []"
+    // would mean a full-index scan)
     val probed = spark.read.parquet(idxDir).filter($"cell".isin(0L, 1L))
     val scan = probed.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined, scan)
   }
 
   test("embedding near-dup pairs: planted duplicates are found") {
@@ -153,6 +155,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(naive.exceptAll(got).count() === 0L)
   }
 
+  test("banded range join tolerates identical timestamp column names") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter($"event_type" === "view").select($"user_id", $"ts_us", $"event_id".as("ve"))
+    val p = ev.filter($"event_type" === "purchase").select($"user_id", $"ts_us", $"event_id".as("pe"))
+    val band = 1800L * 1000000L
+    // both sides keep the name ts_us — must not throw AMBIGUOUS_REFERENCE
+    val got = graft.operators.TemporalJoins
+      .bandedRangeJoin(v, p, "user_id", "ts_us", "ts_us", band)
+      .select($"user_id", $"ve", $"pe")
+    val naive2 = v.join(
+        p.select($"user_id".as("pu"), $"ts_us".as("p_ts"), $"pe"),
+        $"user_id" === $"pu" && $"p_ts" >= $"ts_us" && $"p_ts" - $"ts_us" <= band)
+      .select($"user_id", $"ve", $"pe")
+    assert(got.exceptAll(naive2).count() === 0L)
+    assert(naive2.exceptAll(got).count() === 0L)
+  }
+
   test("salted skew join ≡ plain join") {
     import spark.implicits._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -180,6 +200,7 @@ class PipelineSpec extends AnyFunSuite {
     // disable auto-broadcast so the plans show the large-large case the
     // bucketing is designed for (at 100 TB neither side broadcasts)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAdaptive = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -193,7 +214,10 @@ class PipelineSpec extends AnyFunSuite {
       assert(joined.count() === unbucketed.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      prevAdaptive match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 
