@@ -40,6 +40,28 @@ final class EveGraph(val store: EveStore) {
   def refreshJumpRisk(): Unit =
     catalog.refresh("jump-risk", () => buildProjection("risk"))
 
+  /** G5 at scale: risk is a function of the *destination* system, so a
+    * risk-only refresh need not rebuild the edge structure — join the new
+    * per-system risks onto the vertices and re-derive edge weights with
+    * `mapTriplets`. Topology RDDs are reused; only the vertex values and
+    * edge attrs change (SURVEY §2.7 "incremental joinVertices" note).
+    * Falls back to a full build when no projection exists yet. */
+  def refreshJumpRiskIncremental(): Unit = {
+    import spark.implicits._
+    if (!catalog.exists("jump-risk")) { refreshJumpRisk(); return }
+    val riskBySystem = store.jumps.toDF
+      .select($"dst_system_id".as("id"), $"risk")
+      .dropDuplicates("id")
+      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
+    catalog.refresh("jump-risk", () => {
+      val old = catalog.getOrCreate("jump-risk", () => buildProjection("risk"))
+      old.mapVertices((_, _) => 0.0)
+        .joinVertices(riskBySystem)((_, _, r) => r)
+        .mapTriplets(t => t.dstAttr)
+        .mapVertices((_, _) => 0L)
+    })
+  }
+
   // ---- route queries (G8/G9/G10, `database.rs:484-544`) ----
 
   private def systemIdByName(name: String): Option[Long] =

@@ -174,6 +174,30 @@ class EveGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental risk projection refresh equals full rebuild") {
+    import graft.model.{SystemJumps, SystemKills}
+    val dir = java.nio.file.Files.createTempDirectory("evestore-inc").toString
+    val eng = new EveGraph(new EveStore(spark, dir))
+    eng.bootstrap(StarMap.source(withWormholes = false))
+    // new snapshot arrives: SafeB becomes dangerous
+    import spark.implicits._
+    eng.store.updateKillsJumps(
+      Seq(SystemKills(StarMap.SafeB, 50)).toDS(),
+      Seq.empty[SystemJumps].toDS())
+    eng.store.refreshJumpRisks()
+    // full rebuild vs incremental vertex-join update
+    eng.refreshJumpRisk()
+    val full = eng.catalog.getOrCreate("jump-risk", () => fail("must exist"))
+      .triplets.map(t => (t.srcId, t.dstId, t.attr)).collect().toSet
+    eng.refreshJumpRiskIncremental()
+    val inc = eng.catalog.getOrCreate("jump-risk", () => fail("must exist"))
+      .triplets.map(t => (t.srcId, t.dstId, t.attr)).collect().toSet
+    assert(inc === full)
+    // and the dangerous SafeB reroutes the safest path
+    assert(eng.safestRoute("Jita", "Amarr") ===
+      Some(Seq("Jita", "Perimeter", "Urlen", "Amarr")))
+  }
+
   test("streaming risk refresh equals the batch refresh (foreachBatch cadence)") {
     import spark.implicits._
     // engine bootstrapped with NO kill/jump data
