@@ -25,7 +25,7 @@ final class EveGraph(val store: EveStore) {
   // ---- projections (G1/G2, `database.rs:422-456`) ----
 
   private def buildProjection(weightCol: String): Graph[Long, Double] = {
-    val edges = store.jumps.toDF
+    val edges = store.jumps.toDF()
       .select(col("src_system_id"), col("dst_system_id"), col(weightCol).cast("double"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     // 2D edge partitioning bounds vertex replication to 2√N partitions —
@@ -49,7 +49,7 @@ final class EveGraph(val store: EveStore) {
   def refreshJumpRiskIncremental(): Unit = {
     import spark.implicits._
     if (!catalog.exists("jump-risk")) { refreshJumpRisk(); return }
-    val riskBySystem = store.jumps.toDF
+    val riskBySystem = store.jumps.toDF()
       .select($"dst_system_id".as("id"), $"risk")
       .dropDuplicates("id")
       .rdd.map(r => (r.getLong(0), r.getDouble(1)))

@@ -56,7 +56,7 @@ object EveQueries {
   private def risks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val eng = freshEngine(s, withWormholes = false)
-    eng.store.jumps.toDF
+    eng.store.jumps.toDF()
       .select($"src_system_id", $"dst_system_id", $"cost", $"risk")
       .orderBy($"src_system_id", $"dst_system_id")
   }

@@ -21,7 +21,7 @@ object SkewJoin {
     require(salt > 0)
     // deterministic per-row salt: hash of the whole left row, not rand(),
     // so results are reproducible run to run
-    val leftCols = left.columns.map(col)
+    val leftCols = left.columns.toIndexedSeq.map(col)
     val l = left.withColumn("_salt", pmod(hash(leftCols: _*), lit(salt)))
     val r = right.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
     l.join(r, Seq(key, "_salt")).drop("_salt")

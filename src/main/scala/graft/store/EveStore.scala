@@ -59,18 +59,18 @@ final class EveStore(val spark: SparkSession, root: String) {
   def jumps: Dataset[Jump] = read("jumps").as[Jump]
 
   def initEmpty(): Unit = {
-    if (!exists("systems")) write("systems", spark.emptyDataset[System].toDF)
-    if (!exists("stargates")) write("stargates", spark.emptyDataset[Stargate].toDF)
-    if (!exists("jumps")) write("jumps", spark.emptyDataset[Jump].toDF)
+    if (!exists("systems")) write("systems", spark.emptyDataset[System].toDF())
+    if (!exists("stargates")) write("stargates", spark.emptyDataset[Stargate].toDF())
+    if (!exists("jumps")) write("jumps", spark.emptyDataset[Jump].toDF())
   }
 
   // ---- node sinks (S9/S10) ----
 
   def appendSystems(rows: Dataset[System]): Unit =
-    write("systems", systems.toDF.unionByName(rows.toDF))
+    write("systems", systems.toDF().unionByName(rows.toDF()))
 
   def appendStargates(rows: Dataset[Stargate]): Unit =
-    write("stargates", stargates.toDF.unionByName(rows.toDF))
+    write("stargates", stargates.toDF().unionByName(rows.toDF()))
 
   // ---- dedup repair (A3, `database.rs:546-578`) ----
 
@@ -79,20 +79,20 @@ final class EveStore(val spark: SparkSession, root: String) {
     * reference's per-instance DETACH (SURVEY.md §7.4 "Dedup + DETACH"). */
   def dedupSystems(): Unit = {
     val w = Window.partitionBy($"system_id").orderBy($"name", $"constellation_id")
-    write("systems", systems.toDF
+    write("systems", systems.toDF()
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"))
     dedupJumps()
   }
 
   def dedupStargates(): Unit = {
     val w = Window.partitionBy($"stargate_id").orderBy($"name")
-    write("stargates", stargates.toDF
+    write("stargates", stargates.toDF()
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"))
   }
 
   def dedupJumps(): Unit = {
     val w = Window.partitionBy($"src_system_id", $"dst_system_id").orderBy($"cost", $"risk")
-    write("jumps", jumps.toDF
+    write("jumps", jumps.toDF()
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"))
   }
 
@@ -103,21 +103,21 @@ final class EveStore(val spark: SparkSession, root: String) {
   def removeSystems(ids: Dataset[Long]): Unit = {
     // id set scales with the diff, not the table: let AQE pick the strategy
     val idDf = ids.toDF("rid")
-    write("systems", systems.toDF.join(idDf, $"system_id" === $"rid", "left_anti"))
-    write("jumps", jumps.toDF
+    write("systems", systems.toDF().join(idDf, $"system_id" === $"rid", "left_anti"))
+    write("jumps", jumps.toDF()
       .join(idDf, $"src_system_id" === $"rid", "left_anti")
       .join(idDf, $"dst_system_id" === $"rid", "left_anti"))
   }
 
   def removeStargates(ids: Dataset[Long]): Unit =
-    write("stargates", stargates.toDF
+    write("stargates", stargates.toDF()
       .join(ids.toDF("rid"), $"stargate_id" === $"rid", "left_anti"))
 
   /** G7 — drop every edge touching the named system, both directions
     * (undirected match, `database.rs:458-466`; wormhole expiry). */
   def dropConnectionsOf(systemName: String): Unit = {
     val ids = systems.filter($"name" === systemName).select($"system_id".as("rid"))
-    write("jumps", jumps.toDF
+    write("jumps", jumps.toDF()
       .join(broadcast(ids), $"src_system_id" === $"rid" || $"dst_system_id" === $"rid", "left_anti"))
   }
 
@@ -137,7 +137,7 @@ final class EveStore(val spark: SparkSession, root: String) {
       .select($"src_system_id", $"dst_system_id",
         lit(1.0).as("cost"), lit(0.0).as("risk"), lit("gate").as("kind"))
     // preserve risk already set on surviving gate edges
-    val existing = jumps.toDF.filter($"kind" === "gate")
+    val existing = jumps.toDF().filter($"kind" === "gate")
       .select($"src_system_id", $"dst_system_id", $"risk".as("old_risk"))
     val gates = validated.join(existing, Seq("src_system_id", "dst_system_id"), "left")
       .select($"src_system_id", $"dst_system_id", $"cost",
@@ -145,7 +145,7 @@ final class EveStore(val spark: SparkSession, root: String) {
       .dropDuplicates("src_system_id", "dst_system_id")
     // wormhole edges have their own lifecycle (refreshWormholes); gate
     // re-derivation must not delete them
-    val wormholes = jumps.toDF.filter($"kind" === "wormhole")
+    val wormholes = jumps.toDF().filter($"kind" === "wormhole")
     write("jumps", gates.unionByName(wormholes))
   }
 
@@ -158,7 +158,7 @@ final class EveStore(val spark: SparkSession, root: String) {
       .union(p.select($"out_id", $"in_id"))
       .withColumn("cost", lit(1.0)).withColumn("risk", lit(0.0))
       .withColumn("kind", lit("wormhole"))
-    write("jumps", jumps.toDF.unionByName(both))
+    write("jumps", jumps.toDF().unionByName(both))
   }
 
   // ---- snapshot upsert (J7, `database.rs:256-292`) ----
@@ -168,7 +168,7 @@ final class EveStore(val spark: SparkSession, root: String) {
   def updateKillsJumps(kills: Dataset[SystemKills], jumps_ : Dataset[SystemJumps]): Unit = {
     val k = kills.toDF("k_id", "ship_kills")
     val j = jumps_.toDF("j_id", "ship_jumps")
-    write("systems", systems.toDF
+    write("systems", systems.toDF()
       .join(k, $"system_id" === $"k_id", "left")
       .join(j, $"system_id" === $"j_id", "left")
       .withColumn("kills", coalesce($"ship_kills", $"kills"))
@@ -182,7 +182,7 @@ final class EveStore(val spark: SparkSession, root: String) {
     * statements: every edge's risk becomes its *destination* system's
     * kills²/jumps + baseline (baseline = Σkills/Σjumps, fallback 0.01). */
   def refreshJumpRisks(): Unit = {
-    val sys = systems.toDF
+    val sys = systems.toDF()
     val totals = sys.agg(
       sum($"kills".cast("long")).as("tk"),
       sum($"jumps".cast("long")).as("tj"))
@@ -191,7 +191,7 @@ final class EveStore(val spark: SparkSession, root: String) {
     val riskBySystem = sys.crossJoin(broadcast(totals))
       .select($"system_id".as("risk_id"),
         graft.risk.Risk.totalRisk($"kills", $"jumps", baseline).as("new_risk"))
-    write("jumps", jumps.toDF
+    write("jumps", jumps.toDF()
       .join(riskBySystem, $"dst_system_id" === $"risk_id", "left")
       .withColumn("risk", coalesce($"new_risk", $"risk"))
       .drop("risk_id", "new_risk"))

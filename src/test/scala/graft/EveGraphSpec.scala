@@ -215,9 +215,9 @@ class EveGraphSpec extends AnyFunSuite {
     val q = graft.streaming.RiskStream.start(eng, snapDir)
     q.awaitTermination()
     // identical risks to the batch-refreshed engine
-    val streamed = eng.store.jumps.toDF
+    val streamed = eng.store.jumps.toDF()
       .select($"src_system_id", $"dst_system_id", $"risk")
-    val batch = plain.store.jumps.toDF
+    val batch = plain.store.jumps.toDF()
       .select($"src_system_id", $"dst_system_id", $"risk")
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
@@ -232,11 +232,11 @@ class EveGraphSpec extends AnyFunSuite {
     // capture the fixture as JSON-lines snapshots (what a REST capture
     // would produce), then bootstrap purely from files
     Seq(
-      ("systems.jsonl", StarMap.systemResponses.toDS.toDF),
-      ("stargates.jsonl", StarMap.stargateResponses.toDS.toDF),
-      ("kills.jsonl", StarMap.killSnapshots.toDS.toDF),
-      ("jumps.jsonl", StarMap.jumpSnapshots.toDS.toDF),
-      ("signatures.jsonl", StarMap.wormholeSignatures.toDS.toDF),
+      ("systems.jsonl", StarMap.systemResponses.toDS.toDF()),
+      ("stargates.jsonl", StarMap.stargateResponses.toDS.toDF()),
+      ("kills.jsonl", StarMap.killSnapshots.toDS.toDF()),
+      ("jumps.jsonl", StarMap.jumpSnapshots.toDS.toDF()),
+      ("signatures.jsonl", StarMap.wormholeSignatures.toDS.toDF()),
     ).foreach { case (name, df) =>
       val tmp = s"$snap/_w_$name"
       df.coalesce(1).write.json(tmp)
