@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact bounded top-k as a typed [[Aggregator]] (SURVEY §2.10 — the
+  * user-facing custom-aggregate surface). The buffer never exceeds k
+  * entries, so partial aggregation ships O(k) per partition instead of the
+  * whole group — the map-side-combine property that makes per-group top-k
+  * scale without a full window sort.
+  *
+  * Entries are (score, id); ordering is score desc with id asc tie-break,
+  * matching a ROW_NUMBER() OVER (ORDER BY score DESC, id) oracle.
+  */
+final case class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def best(a: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    a.sortBy { case (s, id) => (-s, id) }.take(k)
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    best(b :+ in)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    best(a ++ b)
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = best(r)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

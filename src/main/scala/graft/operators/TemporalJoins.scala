@@ -204,11 +204,40 @@ object TemporalJoins {
       |WHERE s.spend_cents * n.nation_custs > n.nation_cents * 2
       |ORDER BY s.c_custkey""".stripMargin
 
+  /** q46 — custom typed Aggregator: exact bounded top-k per group (orders
+    * by totalprice within each status). The aggregation ships O(k) buffers
+    * map-side instead of window-sorting whole groups; oracle is the
+    * equivalent ROW_NUMBER window. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = graft.functions.TopK(3).toColumn
+    graft.Tables.t(s, dir, "orders")
+      .select($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk)
+      .flatMap { case (status, hits) =>
+        hits.zipWithIndex.map { case ((price, key), i) => (status, i + 1, key, price) }
+      }
+      .toDF("o_orderstatus", "rank", "o_orderkey", "o_totalprice")
+      .orderBy($"o_orderstatus", $"rank")
+  }
+
+  private val q46Sql =
+    """SELECT o_orderstatus, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) WHERE rank <= 3
+      |ORDER BY o_orderstatus, rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q38_asof_join", q38, Some(q38Sql), bench = true),
     GQuery("q39_range_join", q39, Some(q39Sql)),
     GQuery("q40_rollup", q40, Some(q40Sql)),
     GQuery("q41_percentiles", q41, Some(q41Sql)),
     GQuery("q42_decorrelated", q42, Some(q42Sql)),
+    GQuery("q46_topk_aggregator", q46, Some(q46Sql)),
   )
 }
