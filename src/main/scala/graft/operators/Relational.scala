@@ -384,6 +384,41 @@ object Relational {
       |GROUP BY l_orderkey, orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** q47 — TPC-H Q7 shape: five-way join through both dimension paths
+    * (supplier-nation and customer-nation), bilateral filter, grouped
+    * yearly volume. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = t(s, dir, "nation").select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = t(s, dir, "nation").select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter($"s_nk" < 5 && $"c_nk" >= 20)
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("volume"),
+        count(lit(1)).as("n"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q47Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS volume,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_nationkey < 5 AND n2.n_nationkey >= 20
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     GQuery("q02_filter_project", q02, Some(q02Sql), bench = true),
@@ -402,5 +437,6 @@ object Relational {
     GQuery("q15_having", q15, Some(q15Sql)),
     GQuery("q16_global_topk", q16, Some(q16Sql)),
     GQuery("q45_shipping_priority", q45, Some(q45Sql), bench = true),
+    GQuery("q47_bilateral_volume", q47, Some(q47Sql)),
   )
 }
