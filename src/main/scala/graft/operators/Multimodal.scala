@@ -48,6 +48,47 @@ object Multimodal {
       }
   }
 
+  /** A sampled frame: fixed-size byte slice of a "video" payload. */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size frames
+    * and keep every `everyN`-th (the video-pipeline primitive; a real
+    * decoder would seek keyframes, the slicing/batch plumbing is
+    * identical). Pure typed flatMap — distributes per partition, no
+    * driver involvement. */
+  def sampleFrames(rows: Iterator[MediaRow], frameBytes: Int, everyN: Int): Iterator[Frame] =
+    rows.flatMap { r =>
+      val n = r.payload.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      (0 until nFrames by everyN).iterator.map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, n)
+        Frame(r.doc_id, i.toLong, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+
+  val FrameBytes = 64
+  val SampleEvery = 3
+
+  /** q48 — frame-sampling pipeline: payload → typed frame rows; scalar
+    * outputs (index, frame length) are arithmetically derivable from the
+    * byte length, so the oracle verifies the slicing exactly. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(rows => sampleFrames(rows, FrameBytes, SampleEvery))
+      .select($"doc_id", $"frame_idx",
+        length($"frame_bytes").cast("long").as("frame_len"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val q48Sql =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       |idx AS (SELECT doc_id, n, unnest(range(0, (n + ${FrameBytes - 1}) // $FrameBytes, $SampleEvery)) AS frame_idx FROM m)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(LEAST($FrameBytes, n - frame_idx * $FrameBytes) AS BIGINT) AS frame_len
+       |FROM idx ORDER BY doc_id, frame_idx""".stripMargin
+
   /** documents → media rows: UTF-8 payload standing in for image bytes. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -79,5 +120,6 @@ object Multimodal {
 
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
+    GQuery("q48_frame_sample", q48, Some(q48Sql)),
   )
 }

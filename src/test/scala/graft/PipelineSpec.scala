@@ -221,6 +221,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling: slicing, stride, and remainder frame") {
+    val row = Multimodal.MediaRow(7L, (0 until 150).map(_.toByte).toArray, "video/fake", 0, 0)
+    val frames = Multimodal.sampleFrames(Iterator(row), frameBytes = 64, everyN = 2).toSeq
+    // frames 0..2 exist (64+64+22 bytes); stride 2 keeps 0 and 2
+    assert(frames.map(_.frame_idx) === Seq(0L, 2L))
+    assert(frames.head.frame_bytes.length === 64)
+    assert(frames.head.frame_bytes(0) === 0.toByte)
+    assert(frames(1).frame_bytes.length === 22)
+    assert(frames(1).frame_bytes(0) === 128.toByte)
+    assert(Multimodal.sampleFrames(Iterator(row.copy(payload = Array.empty)), 64, 2).isEmpty)
+  }
+
   test("streaming windowed counts equal the batch plan") {
     import spark.implicits._
     val streamed = run("q36_stream_window")
