@@ -232,6 +232,28 @@ object TemporalJoins {
       |  FROM orders) WHERE rank <= 3
       |ORDER BY o_orderstatus, rank""".stripMargin
 
+  /** q49 — CUBE: all grouping-set combinations in one pass (completes the
+    * grouping-sets family next to q40's ROLLUP). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.Tables.dec
+    graft.Tables.t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(sum(dec($"o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"total", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  private val q49Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q38_asof_join", q38, Some(q38Sql), bench = true),
     GQuery("q39_range_join", q39, Some(q39Sql)),
@@ -239,5 +261,6 @@ object TemporalJoins {
     GQuery("q41_percentiles", q41, Some(q41Sql)),
     GQuery("q42_decorrelated", q42, Some(q42Sql)),
     GQuery("q46_topk_aggregator", q46, Some(q46Sql)),
+    GQuery("q49_cube", q49, Some(q49Sql)),
   )
 }
