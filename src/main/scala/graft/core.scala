@@ -39,6 +39,20 @@ object Tables {
     * order-independent and identical across engines. */
   def dec(c: Column): Column = c.cast(DecimalType(38, 6))
 
+  /** Hash-stable rendering of a DECIMAL(38,6) result column.
+    *
+    * The driver's compare may read the Spark parquet and the DuckDB result
+    * through different client paths (pyarrow keeps `decimal.Decimal`,
+    * duckdb's fetchdf converts DECIMAL → float64), so a decimal that is
+    * *numerically* identical on both engines can still hash-differ purely by
+    * Python-side representation. Rendering to a fixed-scale string on BOTH
+    * engines removes the ambiguity: Spark's decimal→string is
+    * BigDecimal.toString (plain notation for scale 6: "1.500000") and
+    * DuckDB's DECIMAL→VARCHAR prints the same fixed-scale form. The sum
+    * itself stays decimal-exact; only the final rendering changes.
+    * Oracle side: wrap with CAST(... AS VARCHAR). */
+  def decStr(c: Column): Column = c.cast("string")
+
   /** events with an exact epoch-micros column `ts_us`. The driver's events
     * table stores TIMESTAMP(NANOS); with `spark.sql.legacy.parquet.nanosAsLong`
     * it surfaces as epoch-nanos Long and `div 1000` (integer division — a

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
-import graft.Tables.{dec, t}
+import graft.Tables.{dec, decStr, t}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -37,20 +37,20 @@ object Relational {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).as("sum_qty"),
-        sum(dec($"l_extendedprice")).as("sum_base_price"),
-        sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
-        sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge"),
+        decStr(sum(dec($"l_quantity"))).as("sum_qty"),
+        decStr(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        decStr(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("sum_disc_price"),
+        decStr(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")))).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS VARCHAR) AS sum_charge,
       |  CAST(COUNT(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -102,13 +102,13 @@ object Relational {
       .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
-      .agg(sum(dec($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(decStr(sum(dec($"o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy($"r_name")
   }
 
   private val q04Sql =
     """SELECT r_name,
-      |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -124,14 +124,14 @@ object Relational {
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(
-        sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+        decStr(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"o_orderpriority")
   }
 
   private val q05Sql =
     """SELECT o_orderpriority,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -251,14 +251,14 @@ object Relational {
       .join(snap, $"c_custkey" === $"o_custkey", "left")
       .select($"c_custkey",
         coalesce($"pcnt", lit(0L)).as("pending_orders"),
-        coalesce($"pspend", lit(BigDecimal(0)).cast("decimal(38,6)")).as("pending_spend"))
+        decStr(coalesce($"pspend", lit(BigDecimal(0)).cast("decimal(38,6)"))).as("pending_spend"))
       .orderBy($"c_custkey")
   }
 
   private val q12Sql =
     """SELECT c_custkey,
       |  COALESCE(pcnt, 0) AS pending_orders,
-      |  COALESCE(pspend, CAST(0 AS DECIMAL(38,6))) AS pending_spend
+      |  CAST(COALESCE(pspend, CAST(0 AS DECIMAL(38,6))) AS VARCHAR) AS pending_spend
       |FROM customer LEFT JOIN (
       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS pcnt,
       |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS pspend
@@ -369,20 +369,25 @@ object Relational {
       .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
+      // top-k is selected on the DECIMAL value; only the rendering is string
+      .withColumn("revenue", decStr($"revenue"))
   }
 
   private val q45Sql =
-    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-      |  o_orderpriority,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-      |  AND EXISTS (SELECT 1 FROM customer
-      |    WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
-      |GROUP BY l_orderkey, orderdate, o_orderpriority
-      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    """SELECT l_orderkey, orderdate, o_orderpriority,
+      |  CAST(revenue AS VARCHAR) AS revenue
+      |FROM (
+      |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |    o_orderpriority,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |    AND EXISTS (SELECT 1 FROM customer
+      |      WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |  GROUP BY l_orderkey, orderdate, o_orderpriority
+      |  ORDER BY revenue DESC, l_orderkey LIMIT 10)""".stripMargin
 
   /** q47 — TPC-H Q7 shape: five-way join through both dimension paths
     * (supplier-nation and customer-nation), bilateral filter, grouped
@@ -399,7 +404,7 @@ object Relational {
       .join(broadcast(n2), $"c_nationkey" === $"c_nk")
       .filter($"s_nk" < 5 && $"c_nk" >= 20)
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
-      .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("volume"),
+      .agg(decStr(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("volume"),
         count(lit(1)).as("n"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
@@ -407,7 +412,7 @@ object Relational {
   private val q47Sql =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-      |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS volume,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS volume,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey

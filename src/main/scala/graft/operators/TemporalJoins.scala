@@ -129,20 +129,20 @@ object TemporalJoins {
     * completeness; subtotals + grand total in one pass). */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.Tables.dec
+    import graft.Tables.{dec, decStr}
     graft.Tables.t(s, dir, "lineitem")
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
-        $"sum_qty", $"n")
+        decStr($"sum_qty").as("sum_qty"), $"n")
       .orderBy($"returnflag", $"linestatus")
   }
 
   private val q40Sql =
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS sum_qty,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -236,20 +236,20 @@ object TemporalJoins {
     * grouping-sets family next to q40's ROLLUP). */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.Tables.dec
+    import graft.Tables.{dec, decStr}
     graft.Tables.t(s, dir, "orders")
       .cube($"o_orderstatus", $"o_orderpriority")
       .agg(sum(dec($"o_totalprice")).as("total"), count(lit(1)).as("n"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
-        $"total", $"n")
+        decStr($"total").as("total"), $"n")
       .orderBy($"status", $"priority")
   }
 
   private val q49Sql =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
-      |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS total,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin

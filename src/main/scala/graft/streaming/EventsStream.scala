@@ -49,7 +49,7 @@ object EventsStream {
     q.awaitTermination()
     s.table(sinkName)
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
-        $"event_type", $"n", $"sum_value")
+        $"event_type", $"n", graft.Tables.decStr($"sum_value").as("sum_value"))
       .orderBy($"win_start", $"event_type")
   }
 
@@ -123,7 +123,7 @@ object EventsStream {
   private val q36Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
       |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |  SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   val all: Seq[GQuery] = Seq(

@@ -18,14 +18,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rel):
-    df = rel.fetchdf()
+def canon_df(df):
     df = df[sorted(df.columns)]
-    # normalize away representation noise the way a value-hash would see it
     rows = []
     for t in df.itertuples(index=False):
         rows.append(tuple(repr(v) for v in t))
     return sorted(df.columns), sorted(rows)
+
+
+def canon(rel):
+    return canon_df(rel.fetchdf())
+
+
+def canon_arrow(path_glob):
+    # Spark-side read via pyarrow: keeps decimal.Decimal objects where
+    # duckdb's fetchdf would coerce to float64 — the asymmetry that made
+    # every decimal-output query hash-fail in round 1. Reading the spark
+    # dump this way reproduces the driver's most adversarial path.
+    import pyarrow.dataset as pads
+    df = pads.dataset(glob.glob(path_glob)).to_table().to_pandas()
+    return canon_df(df)
 
 
 def main(sf_dir, out_dir):
@@ -44,7 +56,7 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            got_cols, got = canon(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
+            got_cols, got = canon_arrow(f"{spark_dir}/*.parquet")
             exp_cols, exp = canon(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {e}")
