@@ -112,7 +112,15 @@ object Dijkstra {
       if (known.isEmpty) {
         dist(id) = (d, pred)
         adj.getOrElse(id, Array.empty).foreach { case (nxt, w) =>
-          if (!dist.contains(nxt)) pq.enqueue((d + w, nxt, id))
+          dist.get(nxt) match {
+            case None => pq.enqueue((d + w, nxt, id))
+            // zero-weight edges allow an equal-dist candidate to arrive
+            // AFTER the neighbor settled; Pregel would still deliver that
+            // message, so apply the min-pred tie-break directly (a pred
+            // change never cascades: downstream tie-breaks compare this
+            // vertex's id, which is unchanged)
+            case Some((kd, kp)) => if (d + w == kd && id < kp) dist(nxt) = (kd, id)
+          }
         }
       } else if (better) {
         dist(id) = (d, pred) // equal-dist deterministic min-pred tie-break
@@ -166,7 +174,9 @@ object Dijkstra {
         while (ids.head != source) ids = state(ids.head)._2 :: ids
         (d, ids)
       }
-    } else shortestPath(g, source, target)
+      // large graphs: never collect the reachable vertex set to the driver —
+      // walk predecessors distributively (O(pathLen) small lookup jobs)
+    } else reconstructDistributed(g, source, target)
 
   /** 100 TB-safe path reconstruction: no driver-side vertex map; walks
     * predecessor pointers with one small lookup join per hop against the
@@ -177,16 +187,18 @@ object Dijkstra {
     val verts = sssp(g, source).vertices.cache()
     def lookup(id: VertexId): Option[State] =
       verts.filter(_._1 == id).map(_._2).collect().headOption
-    lookup(target).filter(!_._1.isInfinite).map { case (dist, _) =>
-      var ids = List(target)
-      var hops = 0
-      while (ids.head != source && hops < maxHops) {
-        ids = lookup(ids.head).get._2 :: ids
-        hops += 1
+    try {
+      lookup(target).filter(!_._1.isInfinite).map { case (dist, _) =>
+        var ids = List(target)
+        var hops = 0
+        while (ids.head != source && hops < maxHops) {
+          ids = lookup(ids.head).get._2 :: ids
+          hops += 1
+        }
+        require(ids.head == source,
+          s"path reconstruction exceeded maxHops=$maxHops before reaching $source")
+        (dist, ids)
       }
-      require(ids.head == source,
-        s"path reconstruction exceeded maxHops=$maxHops before reaching $source")
-      (dist, ids)
-    }
+    } finally verts.unpersist(blocking = false)
   }
 }

@@ -86,4 +86,31 @@ class DijkstraSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L, 1.0), (2L, 1L, 1.0))
     assert(Dijkstra.autoPath(graphOf(edges), 0L, 2L).isEmpty)
   }
+
+  test("autoPath: forced-distributed reconstruction matches local path") {
+    val edges = Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 5L, 1.0),
+      (0L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 4.0), (5L, 6L, 2.0))
+    val g = graphOf(edges)
+    val local = Dijkstra.autoPath(g, 0L, 6L)
+    val dist = Dijkstra.autoPath(g, 0L, 6L, threshold = 0L)
+    assert(local === Some((5.0, Seq(0L, 1L, 2L, 5L, 6L))))
+    assert(dist === local)
+    // unreachable stays None on the distributed path too
+    assert(Dijkstra.autoPath(graphOf(Seq((0L, 1L, 1.0), (2L, 3L, 1.0))),
+      0L, 3L, threshold = 0L).isEmpty)
+  }
+
+  test("zero-weight edges: local and Pregel agree on (dist, pred)") {
+    // 0→2 settles dist 1 via pred 2's candidates; the zero-weight edge 1→2
+    // delivers an equal-dist candidate from a smaller pred id AFTER 2 may
+    // already be settled — both dispatch paths must pick pred=1
+    val edges = Seq(
+      (0L, 3L, 1.0), (3L, 2L, 0.0), (0L, 1L, 1.0), (1L, 2L, 0.0))
+    val local = Dijkstra.localSssp(edges, 0L)
+    val pregel = Dijkstra.sssp(graphOf(edges), 0L).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    assert(local === pregel)
+    assert(local(2L) === ((1.0, 1L)))
+  }
 }
