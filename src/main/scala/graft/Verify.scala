@@ -25,6 +25,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the eve_* oracles read the bootstrapped fixture store (systems +
+    // jump topologies) from the dump dir; their SQL carries a
+    // {{EVE_FIXTURE}} placeholder resolved to the absolute path here
+    val fixtureDir = Paths.get(outDir).toAbsolutePath.toString + "/eve_fixture"
+    try operators.EveQueries.persistFixture(spark, Paths.get(outDir).toAbsolutePath.toString)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture persist failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,7 +46,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{EVE_FIXTURE}}", fixtureDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -29,6 +29,19 @@ object Dedup {
 
   val JaccardThreshold = 0.8
 
+  /** 63-bit hash derived from md5: hi 31 bits × 2³² + lo 32 bits of the
+    * digest prefix. Non-negative and built from pure arithmetic so DuckDB
+    * reproduces it exactly (no engine-specific hash like xxhash64, no
+    * signed-overflow edge cases under ANSI mode) — this is what makes the
+    * MinHash/SimHash pipelines fully oracle-checkable. */
+  def hash63(c: Column): Column =
+    (conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 2147483648L) * 4294967296L +
+      conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[hash63]] over SQL fragment `x`. */
+  private def hash63Sql(x: String): String =
+    s"(('0x' || substr(md5($x),1,8))::BIGINT % 2147483648) * 4294967296 + ('0x' || substr(md5($x),9,8))::BIGINT"
+
   /** (doc_id, shingles array<string>) — distinct word 3-grams, lowercase. */
   def docShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -80,13 +93,15 @@ object Dedup {
     val posting = sh.select($"doc_id", explode($"sh").as("shingle"))
     val dfreq = posting.groupBy($"shingle").agg(count(lit(1)).as("df"))
     // global order = rarest-first (df, shingle); rank within doc via window
-    // (one shuffle on doc_id; dfreq and sizes broadcast)
+    // (one shuffle on doc_id). dfreq and sizes are corpus-sized — one row
+    // per distinct shingle / per document — so they must NOT be broadcast:
+    // shuffle joins on the natural keys, AQE localizes them when small
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"shingle")
     val sizes = sh.select($"doc_id", size($"sh").as("n"))
-    val prefixes = posting.join(dfreq.hint("broadcast"), "shingle")
+    val prefixes = posting.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .join(sizes.hint("broadcast"), "doc_id")
+      .join(sizes, "doc_id")
       .filter($"rn" <= greatest(
         ($"n" - ceil(lit(JaccardThreshold) * $"n") + 1).cast("int"), lit(1)))
       .select($"doc_id", $"shingle", $"n")
@@ -119,11 +134,19 @@ object Dedup {
   val MinHashPerms = 64
   val Bands = 16 // × 4 rows
 
-  /** (doc_id, sig array<bigint>[64]) — min over shingles of xxhash64(seed k). */
+  /** (doc_id, sig array<bigint>[64]) — Carter-Wegman permutation family:
+    * h_k = h1 + k·h2 from ONE md5 per shingle (h1 < 2⁶², h2 < 2³¹, so
+    * h_k < 2⁶³ — no signed overflow under ANSI mode on either engine),
+    * instead of 64 independent hash evaluations per posting row. */
   def minhashSignatures(shingles: DataFrame): DataFrame = {
     val posting = shingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("m", md5(col("shingle")))
+      .withColumn("h1",
+        (conv(substring(col("m"), 1, 8), 16, 10).cast("long") % 1073741824L) * 4294967296L +
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("m"), 17, 8), 16, 10).cast("long") % 2147483648L)
     val mins: Seq[Column] =
-      (0 until MinHashPerms).map(k => min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+      (0 until MinHashPerms).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"h$k"))
     posting.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -131,15 +154,16 @@ object Dedup {
   }
 
   /** q25 — MinHash + LSH banding: 16 bands × 4 rows, bucket join on
-    * (band index, band hash), exact-Jaccard verification. Same output shape
-    * as q24; approximate recall → rows-only check. */
+    * (band index, band hash), exact-Jaccard verification. The whole
+    * pipeline (hash63 permutations → band buckets → verified Jaccard) is
+    * deterministic and SQL-expressible, so it carries a full DuckDB oracle. */
   private def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
     val sig = minhashSignatures(sh)
     val bands = sig.select($"doc_id", posexplode(
       array((0 until Bands).map(b =>
-        xxhash64((0 until 4).map(r => $"sig" (b * 4 + r)): _*)): _*)))
+        hash63(concat_ws(",", (0 until 4).map(r => $"sig"(b * 4 + r).cast("string")): _*))): _*)))
       .toDF("doc_id", "band", "bhash")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -147,6 +171,32 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(candidates, sh, JaccardThreshold)
+  }
+
+  private val q25Sql = {
+    val bh = hash63Sql("string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) s
+       |       FROM w WHERE len(ws) >= 3),
+       |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |hmap AS (SELECT doc_id,
+       |    (('0x' || substr(m,1,8))::BIGINT % 1073741824) * 4294967296 + ('0x' || substr(m,9,8))::BIGINT AS h1,
+       |    ('0x' || substr(m,17,8))::BIGINT % 2147483648 AS h2
+       |  FROM (SELECT doc_id, md5(shingle) AS m FROM post)),
+       |hmin AS (SELECT doc_id, k, MIN(h1 + k * h2) AS mh
+       |         FROM hmap, range($MinHashPerms) t(k) GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // 4 AS band, $bh AS bhash
+       |          FROM hmin GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.i, c.j, len(list_intersect(sa.s, sb.s)) AS inter,
+       |                 len(sa.s) AS na, len(sb.s) AS nb
+       |          FROM cand c JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j)
+       |SELECT i AS doc_a, j AS doc_b,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val SimHashBits = 64
@@ -160,7 +210,7 @@ object Dedup {
     val tokens = t(s, dir, "documents")
       .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64($"tok"))
+      .withColumn("h", hash63($"tok"))
     val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>
       sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, $"cnt").otherwise(-$"cnt")).as(s"b$j")
     }
@@ -194,10 +244,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val q26Sql = {
+    val h = hash63Sql("tok")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+       |th AS (SELECT doc_id, cnt, $h AS h FROM tc),
+       |bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |         FROM th, range($SimHashBits) t(j) GROUP BY doc_id, j),
+       |fp AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |       FROM bits GROUP BY doc_id),
+       |blocks AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 16 AS INTEGER)) & 65535 AS bval
+       |           FROM fp, range(4) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS i, x.simhash AS si, y.doc_id AS j, y.simhash AS sj
+       |         FROM blocks x JOIN blocks y
+       |           ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT i AS doc_a, j AS doc_b, CAST(bit_count(xor(si, sj)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(si, sj)) <= $HammingRadius
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q23_exact_dedup", q23, Some(q23Sql)),
     GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
-    GQuery("q25_minhash_lsh_pairs", q25, None, bench = true),
-    GQuery("q26_simhash_pairs", q26, None, bench = true),
+    GQuery("q25_minhash_lsh_pairs", q25, Some(q25Sql), bench = true),
+    GQuery("q26_simhash_pairs", q26, Some(q26Sql), bench = true),
   )
 }

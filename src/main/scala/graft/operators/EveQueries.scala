@@ -12,9 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * These exercise the EVE domain paths the TPC-H-shaped queries cannot
   * (sentinel normalization, DETACH deletes, projection catalog, snapshot
-  * replace). Fixture inputs are embedded, not read from sfDir, so there is
-  * no DuckDB oracle — the driver's rows-only check applies; exact golden
-  * values are asserted in the ScalaTest suite instead.
+  * replace). Fixture inputs are embedded, not read from sfDir — so the
+  * DuckDB oracles read the *persisted fixture store* instead:
+  * [[persistFixture]] dumps the bootstrapped systems table (with kills /
+  * jumps counters, risk NOT included) and the two jump topologies (gates /
+  * gates+wormholes, cost only) next to the query outputs, and each oracle
+  * recomputes the expected answer from first principles — risk via the
+  * E1/E2 formulas in SQL, routes via a recursive-CTE optimal-path search
+  * (the q17–q19 technique; the fixture's optima are unique, so engine
+  * tie-breaking cannot diverge). `{{EVE_FIXTURE}}` is substituted with the
+  * absolute dump path by Verify at dump time.
   */
 object EveQueries {
 
@@ -61,10 +68,83 @@ object EveQueries {
       .orderBy($"src_system_id", $"dst_system_id")
   }
 
+  /** Dump the bootstrapped fixture store for the oracles: systems with the
+    * refreshed kills/jumps counters (risk intentionally excluded — the
+    * oracle recomputes it), plus cost-only jump topologies for both
+    * variants. Engines are cached, so this reuses the bootstrap the route
+    * queries already paid for. */
+  def persistFixture(s: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val gates = freshEngine(s, withWormholes = false)
+    val wh = freshEngine(s, withWormholes = true)
+    def dump(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/eve_fixture/$name")
+    dump(gates.store.systems.toDF()
+      .select(col("system_id"), col("name"), col("kills"), col("jumps")), "systems")
+    dump(gates.store.jumps.toDF()
+      .select(col("src_system_id"), col("dst_system_id"), col("cost")), "jumps_gates")
+    dump(wh.store.jumps.toDF()
+      .select(col("src_system_id"), col("dst_system_id"), col("cost")), "jumps_wh")
+  }
+
+  private val fixtureSys = "read_parquet('{{EVE_FIXTURE}}/systems/*.parquet')"
+
+  /** E1/E2 in SQL over the persisted systems table, op-for-op the same
+    * double arithmetic as [[graft.risk.Risk]] (k²/j + baseline; baseline =
+    * Σkills/Σjumps else 0.01) so values match bit-exactly. */
+  private val riskSql =
+    s"""SELECT system_id,
+       |  (CASE WHEN jumps > 0
+       |     THEN CAST(kills AS DOUBLE) * CAST(kills AS DOUBLE) / CAST(jumps AS DOUBLE)
+       |     ELSE CAST(kills AS DOUBLE) * CAST(kills AS DOUBLE) END)
+       |  + (SELECT CASE WHEN SUM(CAST(jumps AS BIGINT)) > 0
+       |       THEN CAST(SUM(CAST(kills AS BIGINT)) AS DOUBLE) / CAST(SUM(CAST(jumps AS BIGINT)) AS DOUBLE)
+       |       ELSE 0.01 END FROM $fixtureSys) AS risk
+       |FROM $fixtureSys""".stripMargin
+
+  /** Recursive-CTE optimal-path search: enumerate simple paths from/to the
+    * named systems over the given weighted edge set, keep the cheapest
+    * (unique on this fixture), emit (step, system_name). */
+  private def routeOracle(edgesSql: String, from: String, to: String): String =
+    s"""WITH RECURSIVE
+       |sys AS (SELECT system_id, name FROM $fixtureSys),
+       |e AS ($edgesSql),
+       |p(node, path, cost) AS (
+       |  SELECT system_id, [system_id], CAST(0 AS DOUBLE) FROM sys WHERE name = '$from'
+       |  UNION ALL
+       |  SELECT e.dst, list_append(p.path, e.dst), p.cost + e.w
+       |  FROM p JOIN e ON e.src = p.node
+       |  WHERE NOT list_contains(p.path, e.dst)),
+       |best AS (SELECT p.path FROM p JOIN sys t ON t.name = '$to' AND p.node = t.system_id
+       |         ORDER BY p.cost, p.path LIMIT 1),
+       |steps AS (SELECT CAST(generate_subscripts(best.path, 1) - 1 AS INTEGER) AS step,
+       |                 unnest(best.path) AS sid FROM best)
+       |SELECT steps.step, s.name AS system_name
+       |FROM steps JOIN sys s ON s.system_id = steps.sid ORDER BY step""".stripMargin
+
+  private def gateEdges(table: String): String =
+    s"SELECT src_system_id AS src, dst_system_id AS dst, cost AS w FROM read_parquet('{{EVE_FIXTURE}}/$table/*.parquet')"
+
+  /** Risk-weighted edges: weight = destination system's recomputed risk
+    * (J5 — edge risk is the dst system's E1 value). */
+  private val riskEdges =
+    s"""SELECT j.src_system_id AS src, j.dst_system_id AS dst, r.risk AS w
+       |FROM read_parquet('{{EVE_FIXTURE}}/jumps_gates/*.parquet') j
+       |JOIN ($riskSql) r ON r.system_id = j.dst_system_id""".stripMargin
+
+  private val risksOracle =
+    s"""SELECT j.src_system_id, j.dst_system_id, j.cost, r.risk
+       |FROM read_parquet('{{EVE_FIXTURE}}/jumps_gates/*.parquet') j
+       |JOIN ($riskSql) r ON r.system_id = j.dst_system_id
+       |ORDER BY j.src_system_id, j.dst_system_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
-    GQuery("eve_shortest_route", shortest, None),
-    GQuery("eve_shortest_route_wormholes", shortestWh, None),
-    GQuery("eve_safest_route", safest, None),
-    GQuery("eve_jump_risks", risks, None),
+    GQuery("eve_shortest_route", shortest,
+      Some(routeOracle(gateEdges("jumps_gates"), "Jita", "Amarr"))),
+    GQuery("eve_shortest_route_wormholes", shortestWh,
+      Some(routeOracle(gateEdges("jumps_wh"), "Jita", "Amarr"))),
+    GQuery("eve_safest_route", safest,
+      Some(routeOracle(riskEdges, "Jita", "Amarr"))),
+    GQuery("eve_jump_risks", risks, Some(risksOracle)),
   )
 }

@@ -68,7 +68,9 @@ class PipelineSpec extends AnyFunSuite {
     val dup = emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
     val tmp = java.nio.file.Files.createTempDirectory("embdup").toString
     emb.unionByName(dup).write.parquet(s"$tmp/embeddings.parquet")
-    val pairs = SparkEntry.queries("q29_embed_dup_pairs")(spark, tmp).collect()
+    // production near-dup floor (the registered q29 lowers it to what the
+    // synthetic corpus contains; the operator is the same)
+    val pairs = Similarity.embedDupPairs(spark, tmp, 0.98).collect()
     assert(pairs.length === 50)
     assert(pairs.forall(r => r.getLong(1) === r.getLong(0) + 100000L))
     assert(pairs.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
