@@ -49,8 +49,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // any failed query poisons the headline total (-1): a regression must
+    // never read as a speedup by dropping its own time out of the sum
+    val failed = results.count(_._2 < 0.0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,7 +24,12 @@ final class EveGraph(val store: EveStore) {
 
   // ---- projections (G1/G2, `database.rs:422-456`) ----
 
-  private def buildProjection(weightCol: String): Graph[Long, Double] = {
+  // jumps-table version each projection was built from: the incremental
+  // risk path is only sound while the edge topology is unchanged
+  private val builtAgainst = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def buildProjection(name: String, weightCol: String): Graph[Long, Double] = {
+    builtAgainst.put(name, store.jumpsVersion)
     val edges = store.jumps.toDF()
       .select(col("src_system_id"), col("dst_system_id"), col(weightCol).cast("double"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -35,28 +40,35 @@ final class EveGraph(val store: EveStore) {
   }
 
   def refreshSystemMap(): Unit =
-    catalog.refresh("system-map", () => buildProjection("cost"))
+    catalog.refresh("system-map", () => buildProjection("system-map", "cost"))
 
   def refreshJumpRisk(): Unit =
-    catalog.refresh("jump-risk", () => buildProjection("risk"))
+    catalog.refresh("jump-risk", () => buildProjection("jump-risk", "risk"))
 
   /** G5 at scale: risk is a function of the *destination* system, so a
     * risk-only refresh need not rebuild the edge structure — join the new
     * per-system risks onto the vertices and re-derive edge weights with
     * `mapTriplets`. Topology RDDs are reused; only the vertex values and
     * edge attrs change (SURVEY §2.7 "incremental joinVertices" note).
-    * Falls back to a full build when no projection exists yet. */
+    *
+    * Risk comes from [[EveStore.riskBySystem]] — the systems table, the
+    * same source the full refresh writes onto edges — never from existing
+    * edge rows (wormhole edges carry risk=0.0 until the next full refresh,
+    * so an edge-derived dedup would nondeterministically pick stale
+    * weights). Falls back to a full build when no projection exists yet OR
+    * the edge set changed since the projection was built (the reused
+    * topology would silently be stale). */
   def refreshJumpRiskIncremental(): Unit = {
-    import spark.implicits._
-    if (!catalog.exists("jump-risk")) { refreshJumpRisk(); return }
-    val riskBySystem = store.jumps.toDF()
-      .select($"dst_system_id".as("id"), $"risk")
-      .dropDuplicates("id")
+    val current = store.jumpsVersion
+    if (!catalog.exists("jump-risk") || !builtAgainst.get("jump-risk").contains(current)) {
+      refreshJumpRisk(); return
+    }
+    val riskVerts = store.riskBySystem()
       .rdd.map(r => (r.getLong(0), r.getDouble(1)))
     catalog.refresh("jump-risk", () => {
-      val old = catalog.getOrCreate("jump-risk", () => buildProjection("risk"))
+      val old = catalog.getOrCreate("jump-risk", () => buildProjection("jump-risk", "risk"))
       old.mapVertices((_, _) => 0.0)
-        .joinVertices(riskBySystem)((_, _, r) => r)
+        .joinVertices(riskVerts)((_, _, r) => r)
         .mapTriplets(t => t.dstAttr)
         .mapVertices((_, _) => 0L)
     })
@@ -81,7 +93,7 @@ final class EveGraph(val store: EveStore) {
     for {
       src <- systemIdByName(from)
       dst <- systemIdByName(to)
-      g = catalog.getOrCreate(graphName, () => buildProjection(weightCol))
+      g = catalog.getOrCreate(graphName, () => buildProjection(graphName, weightCol))
       res <- Dijkstra.autoPath(g, src, dst)
     } yield {
       val names = namesByIds(res._2.distinct)

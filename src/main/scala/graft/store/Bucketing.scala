@@ -1,6 +1,9 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec, QueryStageExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
 
 /** Bucketed-table support: pre-shuffle once at write time so repeated
   * equi-joins and aggregations on the bucket key run with NO exchange.
@@ -26,10 +29,26 @@ object Bucketing {
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True if the executed plan of `df` contains no exchange at all (neither
-    * shuffle nor broadcast) — the co-location property bucketing buys. */
+    * shuffle nor broadcast) — the co-location property bucketing buys.
+    *
+    * The action runs on `df` ITSELF (a noop `DataFrameWriter.save` would
+    * build a *separate* QueryExecution and leave this one un-finalized, so
+    * the inspection would see the pre-AQE plan). After the run, the
+    * AdaptiveSparkPlanExec carries the final plan, where exchanges surface
+    * either as raw `Exchange` nodes or as materialized `QueryStageExec`
+    * boundaries (shuffle/broadcast stages) — matched as plan nodes, not by
+    * string. */
   def isShuffleFree(df: DataFrame): Boolean = {
-    // finalize AQE without materializing rows on the driver
-    df.write.format("noop").mode(SaveMode.Overwrite).save()
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    df.foreach(_ => ()) // finalize AQE on this exact QueryExecution
+    def hasExchange(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasExchange(a.executedPlan)
+      case _: ShuffleQueryStageExec | _: BroadcastQueryStageExec => true
+      case _: Exchange | _: ReusedExchangeExec => true
+      // other stages (e.g. the final ResultQueryStage) are plain leaf
+      // wrappers — descend into their plans, they may hide exchanges
+      case q: QueryStageExec => hasExchange(q.plan)
+      case other => other.children.exists(hasExchange)
+    }
+    !hasExchange(df.queryExecution.executedPlan)
   }
 }

@@ -54,14 +54,37 @@ final class EveStore(val spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
+  /** Current committed version of a table (None before first write) —
+    * lets callers detect whether a snapshot they derived is still fresh. */
+  def version(table: String): Option[Long] = currentVersion(table)
+
   def systems: Dataset[System] = read("systems").as[System]
   def stargates: Dataset[Stargate] = read("stargates").as[Stargate]
-  def jumps: Dataset[Jump] = read("jumps").as[Jump]
+
+  /** The jumps edge table is stored as independently-versioned partitions
+    * keyed by edge `kind`: gate re-derivation and wormhole snapshot-replace
+    * each rewrite ONLY their own partition. That is the mutation-cost story
+    * at 100 TB — the ephemeral wormhole refresh (every few minutes) must
+    * not rewrite the massive stable gate partition it shares a logical
+    * table with. Readers see the union. */
+  private val JumpKinds = Seq("gate", "wormhole")
+  private def jumpTable(kind: String) = s"jumps_$kind"
+
+  def jumps: Dataset[Jump] =
+    JumpKinds.map(k => read(jumpTable(k))).reduce(_ unionByName _).as[Jump]
+
+  /** Combined version of the jump partitions: strictly increases whenever
+    * either partition is rewritten (projection-staleness detection). */
+  def jumpsVersion: Long =
+    version(jumpTable("gate")).getOrElse(0L) * 1000003L +
+      version(jumpTable("wormhole")).getOrElse(0L)
 
   def initEmpty(): Unit = {
     if (!exists("systems")) write("systems", spark.emptyDataset[System].toDF())
     if (!exists("stargates")) write("stargates", spark.emptyDataset[Stargate].toDF())
-    if (!exists("jumps")) write("jumps", spark.emptyDataset[Jump].toDF())
+    JumpKinds.foreach { k =>
+      if (!exists(jumpTable(k))) write(jumpTable(k), spark.emptyDataset[Jump].toDF())
+    }
   }
 
   // ---- node sinks (S9/S10) ----
@@ -90,10 +113,16 @@ final class EveStore(val spark: SparkSession, root: String) {
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"))
   }
 
+  /** Repair pass — dedups on (src,dst) ACROSS kinds (same survivor choice
+    * as before the partition split), so it rewrites every partition; the
+    * hot mutation paths below stay partition-local. */
   def dedupJumps(): Unit = {
     val w = Window.partitionBy($"src_system_id", $"dst_system_id").orderBy($"cost", $"risk")
-    write("jumps", jumps.toDF()
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn"))
+    val deduped = jumps.toDF()
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      .cache()
+    JumpKinds.foreach(k => write(jumpTable(k), deduped.filter($"kind" === k)))
+    deduped.unpersist()
   }
 
   // ---- deletes (J4 + G6 DETACH, `database.rs:557-607`) ----
@@ -104,9 +133,11 @@ final class EveStore(val spark: SparkSession, root: String) {
     // id set scales with the diff, not the table: let AQE pick the strategy
     val idDf = ids.toDF("rid")
     write("systems", systems.toDF().join(idDf, $"system_id" === $"rid", "left_anti"))
-    write("jumps", jumps.toDF()
-      .join(idDf, $"src_system_id" === $"rid", "left_anti")
-      .join(idDf, $"dst_system_id" === $"rid", "left_anti"))
+    JumpKinds.foreach { k =>
+      write(jumpTable(k), read(jumpTable(k))
+        .join(idDf, $"src_system_id" === $"rid", "left_anti")
+        .join(idDf, $"dst_system_id" === $"rid", "left_anti"))
+    }
   }
 
   def removeStargates(ids: Dataset[Long]): Unit =
@@ -114,11 +145,18 @@ final class EveStore(val spark: SparkSession, root: String) {
       .join(ids.toDF("rid"), $"stargate_id" === $"rid", "left_anti"))
 
   /** G7 — drop every edge touching the named system, both directions
-    * (undirected match, `database.rs:458-466`; wormhole expiry). */
+    * (undirected match, `database.rs:458-466`; wormhole expiry). Each kind
+    * partition is probed read-only first and rewritten only when it
+    * actually references the system — the Thera/Turnur expiry touches just
+    * the wormhole partition, never the gate one. */
   def dropConnectionsOf(systemName: String): Unit = {
     val ids = systems.filter($"name" === systemName).select($"system_id".as("rid"))
-    write("jumps", jumps.toDF()
-      .join(broadcast(ids), $"src_system_id" === $"rid" || $"dst_system_id" === $"rid", "left_anti"))
+    JumpKinds.foreach { k =>
+      val part = read(jumpTable(k))
+      val touches = $"src_system_id" === $"rid" || $"dst_system_id" === $"rid"
+      if (!part.join(broadcast(ids), touches, "left_semi").isEmpty)
+        write(jumpTable(k), part.join(broadcast(ids), touches, "left_anti"))
+    }
   }
 
   // ---- edge derivation (S11/J3, `database.rs:367-385`) ----
@@ -137,16 +175,15 @@ final class EveStore(val spark: SparkSession, root: String) {
       .select($"src_system_id", $"dst_system_id",
         lit(1.0).as("cost"), lit(0.0).as("risk"), lit("gate").as("kind"))
     // preserve risk already set on surviving gate edges
-    val existing = jumps.toDF().filter($"kind" === "gate")
+    val existing = read(jumpTable("gate"))
       .select($"src_system_id", $"dst_system_id", $"risk".as("old_risk"))
     val gates = validated.join(existing, Seq("src_system_id", "dst_system_id"), "left")
       .select($"src_system_id", $"dst_system_id", $"cost",
         coalesce($"old_risk", lit(0.0)).as("risk"), $"kind")
       .dropDuplicates("src_system_id", "dst_system_id")
-    // wormhole edges have their own lifecycle (refreshWormholes); gate
-    // re-derivation must not delete them
-    val wormholes = jumps.toDF().filter($"kind" === "wormhole")
-    write("jumps", gates.unionByName(wormholes))
+    // wormhole edges have their own lifecycle (refreshWormholes) and their
+    // own partition: gate re-derivation doesn't even read it
+    write(jumpTable("gate"), gates)
   }
 
   /** S12 — wormhole edges are inserted in both directions, *without* an
@@ -158,7 +195,8 @@ final class EveStore(val spark: SparkSession, root: String) {
       .union(p.select($"out_id", $"in_id"))
       .withColumn("cost", lit(1.0)).withColumn("risk", lit(0.0))
       .withColumn("kind", lit("wormhole"))
-    write("jumps", jumps.toDF().unionByName(both))
+    // partition-local: the (huge, stable) gate partition is untouched
+    write(jumpTable("wormhole"), read(jumpTable("wormhole")).unionByName(both))
   }
 
   // ---- snapshot upsert (J7, `database.rs:256-292`) ----
@@ -178,22 +216,35 @@ final class EveStore(val spark: SparkSession, root: String) {
 
   // ---- risk update (J5 + E1/E2, `database.rs:294-332`, `sync.rs:296-321`) ----
 
-  /** One edge-table join replaces the reference's ~8.5k per-system
-    * statements: every edge's risk becomes its *destination* system's
-    * kills²/jumps + baseline (baseline = Σkills/Σjumps, fallback 0.01). */
-  def refreshJumpRisks(): Unit = {
+  /** Per-system E1 risk over the current systems snapshot with the E2
+    * baseline — (system_id, risk). The single source of truth for risk:
+    * both the edge-table refresh and the incremental projection rebuild
+    * derive from it (never from previously-written edge rows, which could
+    * carry stale or not-yet-refreshed values). */
+  def riskBySystem(): DataFrame = {
     val sys = systems.toDF()
     val totals = sys.agg(
       sum($"kills".cast("long")).as("tk"),
       sum($"jumps".cast("long")).as("tj"))
     val baseline = when($"tj" > 0L, $"tk".cast("double") / $"tj".cast("double"))
       .otherwise(lit(0.01))
-    val riskBySystem = sys.crossJoin(broadcast(totals))
-      .select($"system_id".as("risk_id"),
-        graft.risk.Risk.totalRisk($"kills", $"jumps", baseline).as("new_risk"))
-    write("jumps", jumps.toDF()
-      .join(riskBySystem, $"dst_system_id" === $"risk_id", "left")
-      .withColumn("risk", coalesce($"new_risk", $"risk"))
-      .drop("risk_id", "new_risk"))
+    sys.crossJoin(broadcast(totals))
+      .select($"system_id",
+        graft.risk.Risk.totalRisk($"kills", $"jumps", baseline).as("risk"))
+  }
+
+  /** One edge-table join replaces the reference's ~8.5k per-system
+    * statements: every edge's risk becomes its *destination* system's
+    * kills²/jumps + baseline (baseline = Σkills/Σjumps, fallback 0.01). */
+  def refreshJumpRisks(): Unit = {
+    val rbs = riskBySystem()
+      .select($"system_id".as("risk_id"), $"risk".as("new_risk"))
+    // risk applies to every edge kind; each partition joins independently
+    JumpKinds.foreach { k =>
+      write(jumpTable(k), read(jumpTable(k))
+        .join(rbs, $"dst_system_id" === $"risk_id", "left")
+        .withColumn("risk", coalesce($"new_risk", $"risk"))
+        .drop("risk_id", "new_risk"))
+    }
   }
 }

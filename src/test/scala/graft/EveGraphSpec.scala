@@ -90,6 +90,21 @@ class EveGraphSpec extends AnyFunSuite {
     assert(theraEdges.count() === 4L) // Jita↔Thera, Thera↔Amarr
   }
 
+  test("wormhole refresh rewrites only the wormhole partition") {
+    val eng = engine(withWormholes = true)
+    val gateV = eng.store.version("jumps_gate")
+    val whV = eng.store.version("jumps_wormhole")
+    // wormhole snapshot-replace: drops Thera/Turnur edges + re-adds sigs —
+    // the (at scale, huge) gate partition must not be rewritten
+    eng.refreshWormholes(StarMap.source(withWormholes = true))
+    assert(eng.store.version("jumps_gate") === gateV, "gate partition was rewritten")
+    assert(eng.store.version("jumps_wormhole") !== whV)
+    // and the reverse: gate re-derivation leaves the wormhole partition alone
+    val whV2 = eng.store.version("jumps_wormhole")
+    eng.store.deriveJumps()
+    assert(eng.store.version("jumps_wormhole") === whV2, "wormhole partition was rewritten")
+  }
+
   test("stargate refresh preserves active wormhole edges (provenance)") {
     import spark.implicits._
     val eng = engine(withWormholes = true)
@@ -196,6 +211,15 @@ class EveGraphSpec extends AnyFunSuite {
     // and the dangerous SafeB reroutes the safest path
     assert(eng.safestRoute("Jita", "Amarr") ===
       Some(Seq("Jita", "Perimeter", "Urlen", "Amarr")))
+    // topology change after the projection was built: the incremental path
+    // must detect the stale edge set and fall back to a full rebuild that
+    // includes the new edge
+    eng.store.addWormholes(Seq((StarMap.Jita, StarMap.Amarr)).toDS())
+    eng.refreshJumpRiskIncremental()
+    val rebuilt = eng.catalog.getOrCreate("jump-risk", () => fail("must exist"))
+      .triplets.map(t => (t.srcId, t.dstId)).collect().toSet
+    assert(rebuilt.contains((StarMap.Jita, StarMap.Amarr)))
+    assert(rebuilt.contains((StarMap.Amarr, StarMap.Jita)))
   }
 
   test("streaming risk refresh equals the batch refresh (foreachBatch cadence)") {
