@@ -175,7 +175,7 @@ object GraphQueries {
       e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
     val cc = g.connectedComponents().vertices
       .map { case (id, comp) => (id.toInt, comp) }
-      .collect().toSeq
+    // stays distributed (q43 idiom): no driver collect of the label table
     s.createDataFrame(cc).toDF("n_nationkey", "component").orderBy($"n_nationkey")
   }
 
@@ -183,17 +183,24 @@ object GraphQueries {
     """SELECT n_nationkey, CAST((n_nationkey // 5) * 5 AS BIGINT) AS component
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
-  /** q22 — PageRank (10 iterations) on the ring+chord graph. Float iteration
-    * order is engine-specific, so no SQL oracle (rows-only check); the
-    * ScalaTest suite asserts rank-sum ≈ N and symmetry instead. */
+  /** q22 — PageRank (10 iterations) on the ring+chord graph. The graph is
+    * a 4-regular vertex-transitive circulant, so the rank vector is exactly
+    * uniform (every vertex runs the identical computation each iteration) —
+    * which makes the result oracle-checkable at 6 dp despite float
+    * iteration order being engine-specific in general: any wiring asymmetry
+    * (wrong edge set, degree mismatch, dropped vertex) breaks uniformity. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val g = graphOf(ringChordEdges(s, dir).withColumn("w", lit(1L)))
     val pr = g.staticPageRank(10).vertices
       .map { case (id, r) => (id.toInt, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      .collect().toSeq
+    // stays distributed: no driver collect of the rank table
     s.createDataFrame(pr).toDF("n_nationkey", "rank").orderBy($"n_nationkey")
   }
+
+  private val q22Sql =
+    """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
+      |FROM nation ORDER BY n_nationkey""".stripMargin
 
   /** q43 — strongly connected components (GraphX `stronglyConnected
     * Components`) on directed 5-cycles over nations; label = min member. */
@@ -251,7 +258,7 @@ object GraphQueries {
     GQuery("q19_graph_sssp_risk", q19, Some(q19Sql), bench = true),
     GQuery("q20_graph_degrees", q20, Some(q20Sql)),
     GQuery("q21_graph_components", q21, Some(q21Sql)),
-    GQuery("q22_graph_pagerank", q22, None),
+    GQuery("q22_graph_pagerank", q22, Some(q22Sql)),
     GQuery("q43_graph_scc", q43, Some(q43Sql)),
     GQuery("q44_graph_triangles", q44, Some(q44Sql)),
   )

@@ -22,7 +22,15 @@ object EventsStream {
 
   private val nameCounter = new AtomicLong(0)
 
-  /** Tumbling 1-hour windows per event type: count + exact-decimal sum. */
+  /** Tumbling 1-hour windows per event type: count + exact-decimal sum.
+    *
+    * CAVEAT — verification harness shape, not the live deployment shape:
+    * `complete` output + memory sink keeps every window in state/driver
+    * memory, which is what makes a finite AvailableNow run comparable to
+    * the batch oracle (append mode would withhold the trailing windows the
+    * watermark never closes). A live unbounded deployment of this exact
+    * aggregation would use `append` + watermark with a real sink, where
+    * state is bounded by the watermark horizon. */
   def windowedCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
