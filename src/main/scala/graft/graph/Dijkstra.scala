@@ -66,6 +66,121 @@ object Dijkstra {
       .collect()
       .toSeq
 
+  // ---- delta-stepping (Meyer & Sanders) ----
+  //
+  // The plain Pregel program is label-correcting: every improved vertex
+  // relaxes ALL its out-edges next superstep, so early over-estimates
+  // propagate wavefronts that later get corrected — wasted messages and
+  // supersteps on weighted graphs. Delta-stepping settles distance buckets
+  // [bΔ, (b+1)Δ) in order: inside a bucket only LIGHT edges (w < Δ) need
+  // the fixpoint loop; HEAVY edges (w ≥ Δ) always leave the bucket, so one
+  // relaxation pass when the bucket settles suffices. Result: relaxations
+  // from settled-or-nearly-settled distances only, with Δ trading
+  // parallelism (big Δ → Bellman-Ford) against work (small Δ → Dijkstra).
+
+  /** Per-vertex state during delta-stepping: `active` marks membership in
+    * the relaxation frontier of the current phase. */
+  private final case class DVert(dist: Double, pred: VertexId, active: Boolean)
+
+  /** Δ heuristic: mean edge weight — splits edges roughly half light /
+    * half heavy on common weight distributions. */
+  def chooseDelta[V: ClassTag](g: Graph[V, Double]): Double = {
+    val (sum, n) = g.edges.map(e => (e.attr, 1L))
+      .fold((0.0, 0L)) { case ((s, c), (w, k)) => (s + w, c + k) }
+    if (n == 0L || sum <= 0.0) 1.0 else sum / n
+  }
+
+  /** Bucketed SSSP with the exact (dist, pred) semantics of [[sssp]],
+    * including the min-pred tie-break (the equality is provable: an
+    * equal-dist predecessor of v is never in a later bucket than v, heavy
+    * equal-dist preds of same-bucket vertices are impossible since
+    * w ≥ Δ > dist(v) − dist(u), so the in-bucket light fixpoint plus one
+    * heavy pass per settled bucket delivers every message the
+    * label-correcting program would). `delta ≤ 0` auto-selects via
+    * [[chooseDelta]]. Each phase is one aggregateMessages job over the
+    * active frontier — on a cluster the win over plain Pregel is fewer
+    * wasted long-distance corrections. */
+  def deltaSssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
+      delta: Double = 0.0): Graph[State, Double] = {
+    val dlt = if (delta > 0.0) delta else chooseDelta(g)
+
+    def mergeMsg(a: State, b: State): State =
+      if (a._1 < b._1) a
+      else if (b._1 < a._1) b
+      else if (a._2 <= b._2) a else b
+
+    def improved(old: DVert, m: State): Boolean =
+      m._1 < old.dist || (m._1 == old.dist && m._2 < old.pred)
+
+    def relax(cur: Graph[DVert, Double], lightPhase: Boolean): VertexRDD[State] =
+      cur.aggregateMessages[State](ctx => {
+        if (ctx.srcAttr.active && (if (lightPhase) ctx.attr < dlt else ctx.attr >= dlt)) {
+          val cand = ctx.srcAttr.dist + ctx.attr
+          if (cand < ctx.dstAttr.dist ||
+            (cand == ctx.dstAttr.dist && ctx.srcId < ctx.dstAttr.pred))
+            ctx.sendToDst((cand, ctx.srcId))
+        }
+      }, mergeMsg)
+
+    var cur: Graph[DVert, Double] = g.mapVertices((id, _) =>
+      if (id == source) DVert(0.0, id, active = true)
+      else DVert(Double.PositiveInfinity, -1L, active = false)).cache()
+
+    var bucket = 0L
+    var done = false
+    while (!done) {
+      val lo = bucket * dlt
+      val hi = lo + dlt
+      def inBucket(d: Double): Boolean = d >= lo && d < hi
+
+      // activate the current bucket, then run the light-edge fixpoint;
+      // improvements landing in later buckets are recorded but deferred
+      var next = cur.mapVertices((_, v) => v.copy(active = inBucket(v.dist))).cache()
+      next.vertices.count(); cur.unpersist(blocking = false); cur = next
+      var go = true
+      while (go) {
+        val msgs = relax(cur, lightPhase = true).cache()
+        if (msgs.isEmpty()) go = false
+        else {
+          val n2 = cur.outerJoinVertices(msgs) { (_, old, m) =>
+            m match {
+              case Some(msg) if improved(old, msg) =>
+                DVert(msg._1, msg._2, active = inBucket(msg._1))
+              case _ => old.copy(active = false)
+            }
+          }.cache()
+          n2.vertices.count(); cur.unpersist(blocking = false); cur = n2
+        }
+        msgs.unpersist(blocking = false)
+      }
+
+      // one heavy-edge pass from every settled member of this bucket
+      next = cur.mapVertices((_, v) => v.copy(active = inBucket(v.dist))).cache()
+      next.vertices.count(); cur.unpersist(blocking = false); cur = next
+      val heavy = relax(cur, lightPhase = false).cache()
+      if (!heavy.isEmpty()) {
+        val n2 = cur.outerJoinVertices(heavy) { (_, old, m) =>
+          m match {
+            case Some(msg) if improved(old, msg) => DVert(msg._1, msg._2, active = false)
+            case _ => old.copy(active = false)
+          }
+        }.cache()
+        n2.vertices.count(); cur.unpersist(blocking = false); cur = n2
+      }
+      heavy.unpersist(blocking = false)
+
+      // jump to the next non-empty bucket (loop count ≤ distinct buckets)
+      val pending = cur.vertices
+        .filter { case (_, v) => !v.dist.isInfinite && v.dist >= hi }
+        .map { case (_, v) => math.floor(v.dist / dlt).toLong }
+      // max(…, bucket+1) guards the float boundary: dist == hi can make
+      // floor(dist/Δ) round back to the current bucket and stall the loop
+      if (pending.isEmpty()) done = true
+      else bucket = math.max(pending.min(), bucket + 1L)
+    }
+    cur.mapVertices((_, v) => (v.dist, v.pred))
+  }
+
   /** Single-pair path as an ordered vertex-id list (source..target), or None
     * if unreachable — mirrors GDS stream yielding no row. Driver-side
     * predecessor walk; fine up to millions of reachable vertices. */
@@ -150,18 +265,28 @@ object Dijkstra {
       val g = Graph.fromEdges(
         norm.rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getDouble(2))),
         0L)
-      distances(g, source)
+      deltaDistances(g, source)
     }
   }
 
-  /** Distances with local-vs-Pregel dispatch. */
+  /** Distances via the delta-stepping engine (the default distributed
+    * path; [[distances]]/[[sssp]] remain as the label-correcting reference
+    * the equality specs compare against). */
+  def deltaDistances[V: ClassTag](g: Graph[V, Double], source: VertexId): Seq[(VertexId, Double)] =
+    deltaSssp(g, source).vertices
+      .filter { case (_, (d, _)) => !d.isInfinite }
+      .map { case (id, (d, _)) => (id, d) }
+      .collect()
+      .toSeq
+
+  /** Distances with local-vs-distributed dispatch. */
   def autoDistances[V: ClassTag](
       g: Graph[V, Double], source: VertexId,
       threshold: Long = DefaultLocalThreshold): Seq[(VertexId, Double)] =
     if (smallEnough(g, threshold))
       localSssp(g.edges.collect().map(e => (e.srcId, e.dstId, e.attr)), source)
         .map { case (id, (d, _)) => (id, d) }.toSeq
-    else distances(g, source)
+    else deltaDistances(g, source)
 
   /** Single-pair path with local-vs-Pregel dispatch. */
   def autoPath[V: ClassTag](
@@ -184,7 +309,7 @@ object Dijkstra {
   def reconstructDistributed[V: ClassTag](
       g: Graph[V, Double], source: VertexId, target: VertexId,
       maxHops: Int = 10000): Option[(Double, Seq[VertexId])] = {
-    val verts = sssp(g, source).vertices.cache()
+    val verts = deltaSssp(g, source).vertices.cache()
     def lookup(id: VertexId): Option[State] =
       verts.filter(_._1 == id).map(_._2).collect().headOption
     try {

@@ -101,6 +101,39 @@ class DijkstraSpec extends AnyFunSuite {
       0L, 3L, threshold = 0L).isEmpty)
   }
 
+  test("delta-stepping ≡ label-correcting Pregel on (dist, pred), across Δ") {
+    val rng = new scala.util.Random(7)
+    for (i <- 0 until 8) {
+      val edges = randomEdges(rng)
+      val src = edges.head._1
+      val g = graphOf(edges)
+      val ref = Dijkstra.sssp(g, src).vertices
+        .filter(v => !v._2._1.isInfinite).collect().toMap
+      // Δ sweep: tiny (near-Dijkstra, many buckets), mean (default),
+      // huge (single bucket ≡ Bellman-Ford) — all must be bit-identical
+      for (delta <- Seq(0.5, 0.0, 1000.0)) {
+        val got = Dijkstra.deltaSssp(g, src, delta).vertices
+          .filter(v => !v._2._1.isInfinite).collect().toMap
+        assert(got === ref, s"i=$i delta=$delta edges=$edges src=$src")
+      }
+    }
+  }
+
+  test("delta-stepping handles zero-weight edges and bucket-boundary distances") {
+    // dist 2.0 sits exactly on the bucket boundary for Δ=1.0 (floor-rounding
+    // guard), and the zero-weight edge needs the in-bucket tie-break fixpoint
+    val edges = Seq(
+      (0L, 3L, 1.0), (3L, 2L, 0.0), (0L, 1L, 1.0), (1L, 2L, 0.0),
+      (2L, 4L, 1.0), (4L, 5L, 1.0))
+    val g = graphOf(edges)
+    val ref = Dijkstra.sssp(g, 0L).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    val got = Dijkstra.deltaSssp(g, 0L, delta = 1.0).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    assert(got === ref)
+    assert(got(2L) === ((1.0, 1L))) // min-pred tie-break preserved
+  }
+
   test("zero-weight edges: local and Pregel agree on (dist, pred)") {
     // 0→2 settles dist 1 via pred 2's candidates; the zero-weight edge 1→2
     // delivers an equal-dist candidate from a smaller pred id AFTER 2 may
