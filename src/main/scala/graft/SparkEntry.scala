@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.TextOps.all ++
       operators.Multimodal.all ++
+      operators.Sampling.all ++
       streaming.EventsStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

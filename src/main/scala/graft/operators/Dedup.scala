@@ -38,9 +38,10 @@ object Dedup {
     (conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 2147483648L) * 4294967296L +
       conv(substring(md5(c), 9, 8), 16, 10).cast("long")
 
-  /** DuckDB rendering of [[hash63]] over SQL fragment `x`. */
-  private def hash63Sql(x: String): String =
-    s"(('0x' || substr(md5($x),1,8))::BIGINT % 2147483648) * 4294967296 + ('0x' || substr(md5($x),9,8))::BIGINT"
+  /** DuckDB rendering of [[hash63]] over SQL fragment `x` (parenthesized —
+    * callers may apply operators like `%` that bind tighter than `+`). */
+  def hash63Sql(x: String): String =
+    s"((('0x' || substr(md5($x),1,8))::BIGINT % 2147483648) * 4294967296 + ('0x' || substr(md5($x),9,8))::BIGINT)"
 
   /** (doc_id, shingles array<string>) — distinct word 3-grams, lowercase. */
   def docShingles(s: SparkSession, dir: String): DataFrame = {

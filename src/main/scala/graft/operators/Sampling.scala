@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.GQuery
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling / splitting operators for a training-data
+  * pipeline over `documents` — the ops a 100 TB corpus needs between dedup
+  * and training:
+  *
+  *  - q50: hash-based train/valid/test split. Random sampling is
+  *    nondeterministic across engines and re-runs; hashing the stable key
+  *    gives a split that is reproducible, stable under corpus growth (a
+  *    document never changes split when others are added), and pure
+  *    per-row projection — no shuffle, no state, embarrassingly parallel.
+  *  - q51: stratified quota sampling — top-N per stratum in deterministic
+  *    hash order, the class-balancing primitive. One shuffle on the
+  *    stratum key; at scale a skewed stratum is bounded by the same
+  *    window-rank plan TakeOrdered uses per partition (rank is computed
+  *    within each stratum only).
+  *  - q52: TPC-H Q20-shaped correlated-aggregate semi-join on the
+  *    relational side — "suppliers that dominate a part's shipments" —
+  *    two partial aggregations joined on the group key, never a
+  *    row-per-row correlated probe.
+  *
+  * All three are exact and deterministic, so each carries a full DuckDB
+  * oracle (the hash is the md5-derived [[Dedup.hash63]]).
+  */
+object Sampling {
+
+  private def h(c: org.apache.spark.sql.Column) = Dedup.hash63(c.cast("string"))
+  private def hSql(x: String) = Dedup.hash63Sql(s"CAST($x AS VARCHAR)")
+
+  /** q50 — deterministic 80/10/10 split keyed on doc_id. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", (h($"doc_id") % 100L).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 80L, lit("train"))
+          .when($"bucket" < 90L, lit("valid"))
+          .otherwise(lit("test")))
+      .orderBy($"doc_id")
+  }
+
+  private val q50Sql =
+    s"""SELECT doc_id, ${hSql("doc_id")} % 100 AS bucket,
+       |  CASE WHEN ${hSql("doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${hSql("doc_id")} % 100 < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val QuotaPerStratum = 20
+
+  /** q51 — per-language quota sample: first [[QuotaPerStratum]] docs per
+    * lang in (hash, doc_id) order. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy(h($"doc_id"), $"doc_id")
+    t(s, dir, "documents")
+      .select($"lang", $"doc_id", h($"doc_id").as("hkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= QuotaPerStratum)
+      .select($"lang", $"doc_id", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
+  private val q51Sql =
+    s"""SELECT lang, doc_id, rk FROM (
+       |  SELECT lang, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ${hSql("doc_id")}, doc_id) AS INTEGER) AS rk
+       |  FROM documents)
+       |WHERE rk <= $QuotaPerStratum ORDER BY lang, rk""".stripMargin
+
+  /** q52 — suppliers shipping an outsized share (>20%) of some part's
+    * total volume (TPC-H Q20 shape adapted to the available tables: the
+    * correlated "share of this part's shipments" aggregate becomes two
+    * partial aggregations joined on l_partkey — never a row-per-row
+    * correlated probe; decimal compare keeps the share test exact). The
+    * 20% bar is what the synthetic data exercises — no supplier reaches
+    * 50% at sf≥0.001, and a vacuous result set proves nothing. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPair = t(s, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("decimal(38,6)")).as("pair_qty"))
+    val perPart = t(s, dir, "lineitem")
+      .groupBy($"l_partkey".as("p_key"))
+      .agg(sum($"l_quantity".cast("decimal(38,6)")).as("part_qty"))
+    val dominant = perPair
+      .join(perPart, $"l_partkey" === $"p_key")
+      .filter($"pair_qty" * 5 > $"part_qty")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_dominated"))
+    dominant
+      .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .select($"l_suppkey".as("s_suppkey"), $"n_dominated")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q52Sql =
+    """WITH pair AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS pair_qty
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |part_tot AS (
+      |  SELECT l_partkey AS p_key, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS part_qty
+      |  FROM lineitem GROUP BY l_partkey),
+      |dom AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_dominated
+      |  FROM pair JOIN part_tot ON l_partkey = p_key
+      |  WHERE pair_qty * 5 > part_qty
+      |  GROUP BY l_suppkey)
+      |SELECT l_suppkey AS s_suppkey, n_dominated
+      |FROM dom WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)
+      |ORDER BY s_suppkey""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q50_hash_split", q50, Some(q50Sql)),
+    GQuery("q51_stratified_sample", q51, Some(q51Sql)),
+    GQuery("q52_supplier_share", q52, Some(q52Sql)),
+  )
+}

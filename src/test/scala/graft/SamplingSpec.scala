@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling-operator invariants: split determinism + proportion sanity,
+  * exact per-stratum quotas, non-vacuous correlated-share output. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("hash split: deterministic, total, and near the 80/10/10 design") {
+    val a = run("q50_hash_split").collect()
+    val b = run("q50_hash_split").collect()
+    assert(a.toSeq === b.toSeq) // re-run stability (no rand() anywhere)
+    val byName = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(byName.keySet === Set("train", "valid", "test"))
+    // hash buckets approximate the design proportions; wide tolerance
+    // because sf0.001 has few documents
+    assert(byName("train") / n > 0.6 && byName("train") / n < 0.95)
+    assert(byName("valid") + byName("test") > 0)
+  }
+
+  test("stratified sample: exact quota per stratum, ranks contiguous") {
+    val rows = run("q51_stratified_sample").collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= graft.operators.Sampling.QuotaPerStratum, lang)
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length).toSeq, lang)
+    }
+  }
+
+  test("supplier share: non-vacuous and share bound holds") {
+    import spark.implicits._
+    val out = run("q52_supplier_share").collect()
+    assert(out.nonEmpty)
+    // every reported supplier genuinely exceeds the 20% share on some part
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pair = li.groupBy($"l_partkey", $"l_suppkey")
+      .agg(org.apache.spark.sql.functions.sum($"l_quantity").as("q"))
+    val tot = li.groupBy($"l_partkey".as("p"))
+      .agg(org.apache.spark.sql.functions.sum($"l_quantity").as("t"))
+    val suppliers = pair.join(tot, $"l_partkey" === $"p")
+      .filter($"q" * 5 > $"t")
+      .select($"l_suppkey").distinct().as[Long].collect().toSet
+    assert(out.map(_.getLong(0)).toSet === suppliers)
+  }
+}
