@@ -135,11 +135,47 @@ object TextOps {
       |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
       |GROUP BY word ORDER BY freq DESC, word LIMIT 20""".stripMargin
 
+  val SketchCapacity = 4096
+  val HeavyPerMille = 2 // heavy = frequency ≥ 0.2% of all tokens
+
+  /** q53 — exact heavy tokens via a two-pass sketch plan: pass 1 aggregates
+    * the corpus into a Misra-Gries summary (`TypedImperativeAggregate`,
+    * map-side partials + one tiny merged state — never a full token
+    * group-by), pass 2 recounts ONLY the ≤ [[SketchCapacity]] candidates
+    * exactly and keeps those ≥ 0.2% of total tokens. Recall is guaranteed
+    * (0.2% > 1/4096 of the stream), so the output is exact and
+    * deterministic — the oracle is the plain GROUP BY/HAVING it avoids
+    * running over the full corpus. At 100 TB pass 1 is a shuffle-free scan
+    * and pass 2 touches a broadcast-filtered sliver. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val cands = toks
+      .agg(graft.functions.HeavyHitters.candidates($"tok", SketchCapacity).as("cand"))
+      .select(explode($"cand").as("tok"))
+    val totals = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter($"cnt" * 1000L >= $"total" * HeavyPerMille)
+      .select($"tok", $"cnt")
+      .orderBy($"tok")
+  }
+
+  private val q53Sql =
+    s"""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+       |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+       |SELECT tok, cnt FROM c, tot WHERE cnt * 1000 >= tot.n * $HeavyPerMille
+       |ORDER BY tok""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
     GQuery("q32_quality_scores", q32, Some(q32Sql)),
     GQuery("q33_fingerprints", q33, Some(q33Sql)),
     GQuery("q34_word_frequency", q34, Some(q34Sql), bench = true),
+    GQuery("q53_heavy_tokens", q53, Some(q53Sql)),
   )
 }

@@ -32,6 +32,36 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries sketch: frequent values survive partial aggregation") {
+    import spark.implicits._
+    // N = 2000, k = 16 → every value with freq > N/k = 125 is guaranteed
+    val data = Seq.fill(1000)("alpha") ++ Seq.fill(500)("beta") ++
+      (1 to 100).flatMap(i => Seq.fill(5)(s"noise$i"))
+    val df = new scala.util.Random(11).shuffle(data).toDF("tok").repartition(8)
+    val cands = df
+      .agg(graft.functions.HeavyHitters.candidates($"tok", 16).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.size <= 16)
+    assert(cands.contains("alpha") && cands.contains("beta"))
+  }
+
+  test("heavy tokens: two-pass sketch plan equals exact group-by") {
+    import spark.implicits._
+    val got = run("q53_heavy_tokens").collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim($"text")), "\\s+")).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy($"tok").count()
+      .filter($"count" * 1000L >= n * graft.operators.TextOps.HeavyPerMille)
+      .orderBy($"tok")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === exact.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("supplier share: non-vacuous and share bound holds") {
     import spark.implicits._
     val out = run("q52_supplier_share").collect()
