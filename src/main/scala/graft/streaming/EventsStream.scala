@@ -118,6 +118,57 @@ object EventsStream {
       .orderBy($"user_id")
   }
 
+  /** q54 — watermarked stream-stream interval join: views matched to
+    * purchases by the same user within the following 30 minutes. Both
+    * sides carry event-time watermarks and the join condition bounds the
+    * time range in BOTH directions, so Spark can expire buffered state —
+    * the property that makes the join runnable on unbounded streams
+    * (unbounded-state joins are rejected by the planner). On the finite
+    * AvailableNow input the result equals the batch theta join, which is
+    * the DuckDB oracle. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(): DataFrame = {
+      val st = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      batchSchema("ts").dataType match {
+        case LongType => st.withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        case _ => st.withColumn("ts_t", $"ts".cast("timestamp"))
+      }
+    }
+    val views = side().filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("v_event"), $"ts_t".as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = side().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_event"), $"ts_t".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = views.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"p_ts" >= $"v_ts" &&
+        $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES"))
+    val sinkName = s"events_ssj_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .select($"user_id", $"v_event", $"p_event")
+      .orderBy($"user_id", $"v_event", $"p_event")
+  }
+
+  private val q54Sql =
+    """WITH v AS (SELECT user_id, event_id AS v_event, epoch_us(ts) AS vt
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, event_id AS p_event, epoch_us(ts) AS pt
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v_event, p_event
+      |FROM v JOIN p ON v.user_id = pu AND pt >= vt AND pt - vt <= 1800000000
+      |ORDER BY user_id, v_event, p_event""".stripMargin
+
   private val q37Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -137,5 +188,6 @@ object EventsStream {
   val all: Seq[GQuery] = Seq(
     GQuery("q36_stream_window", windowedCounts, Some(q36Sql)),
     GQuery("q37_stream_sessionize", sessionize, Some(q37Sql)),
+    GQuery("q54_stream_stream_join", streamStreamJoin, Some(q54Sql)),
   )
 }
