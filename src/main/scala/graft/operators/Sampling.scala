@@ -4,7 +4,6 @@ import graft.GQuery
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling / splitting operators for a training-data
   * pipeline over `documents` — the ops a 100 TB corpus needs between dedup
@@ -55,15 +54,25 @@ object Sampling {
   val QuotaPerStratum = 20
 
   /** q51 — per-language quota sample: first [[QuotaPerStratum]] docs per
-    * lang in (hash, doc_id) order. */
+    * lang in (hash, doc_id) order. Implemented as a bounded typed
+    * [[graft.functions.BottomK]] aggregate, NOT a window: partial
+    * aggregation ships O(quota) per partition per stratum, where a
+    * row_number window would shuffle and sort every row of every stratum
+    * — the difference between a sliver and a full corpus sort at 100 TB.
+    * Exact 64-bit ordering keeps the output identical to the window
+    * formulation (and the SQL oracle). */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"lang").orderBy(h($"doc_id"), $"doc_id")
     t(s, dir, "documents")
       .select($"lang", $"doc_id", h($"doc_id").as("hkey"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= QuotaPerStratum)
-      .select($"lang", $"doc_id", $"rk")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2)) // (hash, doc_id) ascending
+      .agg(graft.functions.BottomK(QuotaPerStratum).toColumn)
+      .flatMap { case (lang, picks) =>
+        picks.zipWithIndex.map { case ((_, id), i) => (lang, id, i + 1) }
+      }
+      .toDF("lang", "doc_id", "rk")
       .orderBy($"lang", $"rk")
   }
 
