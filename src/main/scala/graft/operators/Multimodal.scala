@@ -100,6 +100,49 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** A stride-resized payload: the codec-free shape of nearest-neighbor
+    * image resize (index arithmetic + gather). */
+  final case class ResizedMedia(doc_id: Long, orig_len: Long, stride: Long,
+      resized_len: Long, resized: Array[Byte])
+
+  val ResizeTarget = 48
+
+  /** Resize: stride-sample the payload down to ≤ `targetBytes`. A real
+    * image resize replaces the byte gather with pixel interpolation; the
+    * distributed shape — pure typed map, no shuffle, output size bounded
+    * by the target — is identical. */
+  def resizePayload(rows: Iterator[MediaRow], targetBytes: Int): Iterator[ResizedMedia] =
+    rows.map { r =>
+      val n = r.payload.length
+      if (n == 0) ResizedMedia(r.doc_id, 0L, 0L, 0L, Array.empty)
+      else {
+        val stride = math.max(1, (n + targetBytes - 1) / targetBytes)
+        val out = (0 until n by stride).map(r.payload(_)).toArray
+        ResizedMedia(r.doc_id, n.toLong, stride.toLong, out.length.toLong, out)
+      }
+    }
+
+  /** q55 — the resize pipeline: binary column → stride resize → bounded
+    * payload. The oracle verifies the index arithmetic (stride and
+    * resized length are exact functions of the byte length); the byte
+    * gather itself is spec-verified. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(rows => resizePayload(rows, ResizeTarget))
+      .select($"doc_id", $"orig_len", $"stride", $"resized_len")
+      .orderBy($"doc_id")
+  }
+
+  private val q55Sql =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       |r AS (SELECT doc_id, n,
+       |  CASE WHEN n = 0 THEN 0 ELSE GREATEST(1, (n + ${ResizeTarget - 1}) // $ResizeTarget) END AS stride
+       |  FROM m)
+       |SELECT doc_id, CAST(n AS BIGINT) AS orig_len, CAST(stride AS BIGINT) AS stride,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE (n + stride - 1) // stride END AS BIGINT) AS resized_len
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** q35 — the decode pipeline end-to-end: binary column → partition-batched
     * stub decode → typed features. Scalar outputs are byte-derivable so the
     * DuckDB oracle can verify the plumbing exactly. */
@@ -121,5 +164,6 @@ object Multimodal {
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
+    GQuery("q55_multimodal_resize", q55, Some(q55Sql)),
   )
 }

@@ -223,6 +223,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: stride gather keeps first byte, bounds length, empty-safe") {
+    val row = Multimodal.MediaRow(3L, (0 until 200).map(_.toByte).toArray, "image/fake", 0, 0)
+    val out = Multimodal.resizePayload(Iterator(row), targetBytes = 48).next()
+    assert(out.orig_len === 200L)
+    assert(out.stride === 5L) // ceil(200/48)
+    assert(out.resized_len === 40L && out.resized.length === 40)
+    assert(out.resized(0) === 0.toByte && out.resized(1) === 5.toByte)
+    assert(out.resized.last === 195.toByte)
+    val empty = Multimodal.resizePayload(
+      Iterator(row.copy(payload = Array.empty)), 48).next()
+    assert(empty.resized_len === 0L && empty.resized.isEmpty)
+    // payload already under target → identity
+    val small = Multimodal.resizePayload(
+      Iterator(row.copy(payload = Array[Byte](1, 2, 3))), 48).next()
+    assert(small.stride === 1L && small.resized.toSeq === Seq[Byte](1, 2, 3))
+  }
+
   test("frame sampling: slicing, stride, and remainder frame") {
     val row = Multimodal.MediaRow(7L, (0 until 150).map(_.toByte).toArray, "video/fake", 0, 0)
     val frames = Multimodal.sampleFrames(Iterator(row), frameBytes = 64, everyN = 2).toSeq
