@@ -78,10 +78,6 @@ object Dijkstra {
   // from settled-or-nearly-settled distances only, with Δ trading
   // parallelism (big Δ → Bellman-Ford) against work (small Δ → Dijkstra).
 
-  /** Per-vertex state during delta-stepping: `active` marks membership in
-    * the relaxation frontier of the current phase. */
-  private final case class DVert(dist: Double, pred: VertexId, active: Boolean)
-
   /** Δ heuristic: mean edge weight — splits edges roughly half light /
     * half heavy on common weight distributions. */
   def chooseDelta[V: ClassTag](g: Graph[V, Double]): Double = {
@@ -97,9 +93,14 @@ object Dijkstra {
     * w ≥ Δ > dist(v) − dist(u), so the in-bucket light fixpoint plus one
     * heavy pass per settled bucket delivers every message the
     * label-correcting program would). `delta ≤ 0` auto-selects via
-    * [[chooseDelta]]. Each phase is one aggregateMessages job over the
-    * active frontier — on a cluster the win over plain Pregel is fewer
-    * wasted long-distance corrections. */
+    * [[chooseDelta]].
+    *
+    * Iteration discipline (the part that makes GraphX loops not
+    * accidentally quadratic): bucket membership is read from the vertex
+    * state inside sendMsg — no per-phase activation rewrite of the graph —
+    * and each new graph materializes BOTH its vertex and edge views before
+    * the parent is unpersisted, so later jobs never re-walk the lineage
+    * chain (Pregel's own caching discipline). */
   def deltaSssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
       delta: Double = 0.0): Graph[State, Double] = {
     val dlt = if (delta > 0.0) delta else chooseDelta(g)
@@ -109,76 +110,76 @@ object Dijkstra {
       else if (b._1 < a._1) b
       else if (a._2 <= b._2) a else b
 
-    def improved(old: DVert, m: State): Boolean =
-      m._1 < old.dist || (m._1 == old.dist && m._2 < old.pred)
+    def improved(old: State, m: State): Boolean =
+      m._1 < old._1 || (m._1 == old._1 && m._2 < old._2)
 
-    def relax(cur: Graph[DVert, Double], lightPhase: Boolean): VertexRDD[State] =
+    var cur: Graph[State, Double] = g.mapVertices((id, _) =>
+      if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache()
+    cur.vertices.count(); cur.edges.count()
+
+    // relax out-edges of vertices whose dist lies in [lo, hi), restricted
+    // to the light or heavy edge class; messages only when they would
+    // improve the destination (dist, pred) as currently materialized
+    def relax(lo: Double, hi: Double, lightPhase: Boolean): VertexRDD[State] =
       cur.aggregateMessages[State](ctx => {
-        if (ctx.srcAttr.active && (if (lightPhase) ctx.attr < dlt else ctx.attr >= dlt)) {
-          val cand = ctx.srcAttr.dist + ctx.attr
-          if (cand < ctx.dstAttr.dist ||
-            (cand == ctx.dstAttr.dist && ctx.srcId < ctx.dstAttr.pred))
+        val sd = ctx.srcAttr._1
+        if (sd >= lo && sd < hi &&
+          (if (lightPhase) ctx.attr < dlt else ctx.attr >= dlt)) {
+          val cand = sd + ctx.attr
+          if (cand < ctx.dstAttr._1 ||
+            (cand == ctx.dstAttr._1 && ctx.srcId < ctx.dstAttr._2))
             ctx.sendToDst((cand, ctx.srcId))
         }
       }, mergeMsg)
 
-    var cur: Graph[DVert, Double] = g.mapVertices((id, _) =>
-      if (id == source) DVert(0.0, id, active = true)
-      else DVert(Double.PositiveInfinity, -1L, active = false)).cache()
+    def applyMsgs(msgs: VertexRDD[State]): Unit = {
+      val prev = cur
+      cur = prev.outerJoinVertices(msgs) { (_, old, m) =>
+        m match {
+          case Some(msg) if improved(old, msg) => msg
+          case _ => old
+        }
+      }.cache()
+      cur.vertices.count(); cur.edges.count()
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
 
+    val debug = sys.env.contains("GRAFT_DELTA_DEBUG")
     var bucket = 0L
     var done = false
     while (!done) {
       val lo = bucket * dlt
       val hi = lo + dlt
-      def inBucket(d: Double): Boolean = d >= lo && d < hi
+      val t0 = if (debug) System.nanoTime() else 0L
 
-      // activate the current bucket, then run the light-edge fixpoint;
-      // improvements landing in later buckets are recorded but deferred
-      var next = cur.mapVertices((_, v) => v.copy(active = inBucket(v.dist))).cache()
-      next.vertices.count(); cur.unpersist(blocking = false); cur = next
+      // light-edge fixpoint inside the current bucket; improvements
+      // landing in later buckets are recorded but deferred
       var go = true
+      var iters = 0
       while (go) {
-        val msgs = relax(cur, lightPhase = true).cache()
-        if (msgs.isEmpty()) go = false
-        else {
-          val n2 = cur.outerJoinVertices(msgs) { (_, old, m) =>
-            m match {
-              case Some(msg) if improved(old, msg) =>
-                DVert(msg._1, msg._2, active = inBucket(msg._1))
-              case _ => old.copy(active = false)
-            }
-          }.cache()
-          n2.vertices.count(); cur.unpersist(blocking = false); cur = n2
-        }
+        iters += 1
+        val msgs = relax(lo, hi, lightPhase = true).cache()
+        if (msgs.isEmpty()) go = false else applyMsgs(msgs)
         msgs.unpersist(blocking = false)
       }
 
       // one heavy-edge pass from every settled member of this bucket
-      next = cur.mapVertices((_, v) => v.copy(active = inBucket(v.dist))).cache()
-      next.vertices.count(); cur.unpersist(blocking = false); cur = next
-      val heavy = relax(cur, lightPhase = false).cache()
-      if (!heavy.isEmpty()) {
-        val n2 = cur.outerJoinVertices(heavy) { (_, old, m) =>
-          m match {
-            case Some(msg) if improved(old, msg) => DVert(msg._1, msg._2, active = false)
-            case _ => old.copy(active = false)
-          }
-        }.cache()
-        n2.vertices.count(); cur.unpersist(blocking = false); cur = n2
-      }
+      val heavy = relax(lo, hi, lightPhase = false).cache()
+      if (!heavy.isEmpty()) applyMsgs(heavy)
       heavy.unpersist(blocking = false)
 
       // jump to the next non-empty bucket (loop count ≤ distinct buckets)
       val pending = cur.vertices
-        .filter { case (_, v) => !v.dist.isInfinite && v.dist >= hi }
-        .map { case (_, v) => math.floor(v.dist / dlt).toLong }
+        .filter { case (_, (d, _)) => !d.isInfinite && d >= hi }
+        .map { case (_, (d, _)) => math.floor(d / dlt).toLong }
+      if (debug) println(f"[delta] bucket=$bucket inner=$iters ${(System.nanoTime() - t0) / 1e9}%.1f s")
       // max(…, bucket+1) guards the float boundary: dist == hi can make
       // floor(dist/Δ) round back to the current bucket and stall the loop
       if (pending.isEmpty()) done = true
       else bucket = math.max(pending.min(), bucket + 1L)
     }
-    cur.mapVertices((_, v) => (v.dist, v.pred))
+    cur
   }
 
   /** Single-pair path as an ordered vertex-id list (source..target), or None
@@ -266,6 +267,33 @@ object Dijkstra {
         norm.rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getDouble(2))),
         0L)
       deltaDistances(g, source)
+    }
+  }
+
+  /** DataFrame-returning adaptive SSSP — the result STAYS distributed on
+    * the large branch: the distance table is a DataFrame over the SSSP
+    * vertex RDD, never a driver-side Seq (at full scale the reachable set
+    * is itself a big table; callers sort/limit/join it like any other).
+    * Columns: (id long, dist double). */
+  def ssspFrameFromEdges(edges: org.apache.spark.sql.DataFrame, source: VertexId,
+      threshold: Long = DefaultLocalThreshold): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = edges.sparkSession
+    val norm = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("double"))
+    val probe = norm.limit((threshold + 1).toInt).collect()
+    if (probe.length <= threshold) {
+      val rows = localSssp(probe.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), source)
+        .map { case (id, (d, _)) => (id, d) }.toSeq
+      spark.createDataFrame(rows).toDF("id", "dist")
+    } else {
+      val g = Graph.fromEdges(
+        norm.rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getDouble(2))),
+        0L)
+      val verts = deltaSssp(g, source).vertices
+        .filter { case (_, (d, _)) => !d.isInfinite }
+        .map { case (id, (d, _)) => (id, d) }
+      spark.createDataFrame(verts).toDF("id", "dist")
     }
   }
 

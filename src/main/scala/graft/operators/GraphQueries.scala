@@ -47,8 +47,12 @@ object GraphQueries {
 
   private def ssspFrame(s: SparkSession, edges: DataFrame, source: VertexId): DataFrame = {
     import s.implicits._
-    val rows = Dijkstra.ssspFromEdges(edges, source).map { case (id, d) => (id.toInt, d.toLong) }
-    s.createDataFrame(rows).toDF("n_nationkey", "dist").orderBy($"n_nationkey")
+    // DataFrame-returning SSSP: the distance table stays distributed on
+    // the large-graph branch (dist values are exact integers here, so the
+    // long cast is lossless and matches the BIGINT oracle)
+    Dijkstra.ssspFrameFromEdges(edges, source)
+      .select($"id".cast("int").as("n_nationkey"), $"dist".cast("long").as("dist"))
+      .orderBy($"n_nationkey")
   }
 
   /** Oracle scaffold: bounded-depth recursive CTE SSSP — enumerates (node,
