@@ -169,15 +169,18 @@ object Dijkstra {
       if (!heavy.isEmpty()) applyMsgs(heavy)
       heavy.unpersist(blocking = false)
 
-      // jump to the next non-empty bucket (loop count ≤ distinct buckets)
-      val pending = cur.vertices
+      // jump to the next non-empty bucket — ONE pass: fold to the minimum
+      // pending bucket index with MaxValue as the empty sentinel (isEmpty
+      // followed by min would evaluate the derived RDD twice per bucket)
+      val nextBucket = cur.vertices
         .filter { case (_, (d, _)) => !d.isInfinite && d >= hi }
         .map { case (_, (d, _)) => math.floor(d / dlt).toLong }
+        .fold(Long.MaxValue)(math.min)
       if (debug) println(f"[delta] bucket=$bucket inner=$iters ${(System.nanoTime() - t0) / 1e9}%.1f s")
       // max(…, bucket+1) guards the float boundary: dist == hi can make
       // floor(dist/Δ) round back to the current bucket and stall the loop
-      if (pending.isEmpty()) done = true
-      else bucket = math.max(pending.min(), bucket + 1L)
+      if (nextBucket == Long.MaxValue) done = true
+      else bucket = math.max(nextBucket, bucket + 1L)
     }
     cur
   }
@@ -251,24 +254,13 @@ object Dijkstra {
   /** DataFrame-level adaptive SSSP: `edges` must have (src, dst, w) columns.
     * Small edge sets are collected and solved driver-local without ever
     * constructing a GraphX graph (saves the RDD conversion + partitioning
-    * jobs); large ones build the distributed graph and run Pregel. */
+    * jobs); large ones build the distributed graph and run delta-stepping.
+    * Seq-returning convenience over [[ssspFrameFromEdges]] — ONE dispatch
+    * implementation, not two to keep in sync. */
   def ssspFromEdges(edges: org.apache.spark.sql.DataFrame, source: VertexId,
-      threshold: Long = DefaultLocalThreshold): Seq[(VertexId, Double)] = {
-    import org.apache.spark.sql.functions.col
-    val norm = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("double"))
-    // limit-probe instead of full count: one cheap job decides the dispatch
-    val probe = norm.limit((threshold + 1).toInt).collect()
-    if (probe.length <= threshold) {
-      localSssp(probe.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), source)
-        .map { case (id, (d, _)) => (id, d) }.toSeq
-    } else {
-      val g = Graph.fromEdges(
-        norm.rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), r.getDouble(2))),
-        0L)
-      deltaDistances(g, source)
-    }
-  }
+      threshold: Long = DefaultLocalThreshold): Seq[(VertexId, Double)] =
+    ssspFrameFromEdges(edges, source, threshold).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   /** DataFrame-returning adaptive SSSP — the result STAYS distributed on
     * the large branch: the distance table is a DataFrame over the SSSP
@@ -281,6 +273,7 @@ object Dijkstra {
     val spark = edges.sparkSession
     val norm = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("double"))
+    // limit-probe instead of full count: one cheap job decides the dispatch
     val probe = norm.limit((threshold + 1).toInt).collect()
     if (probe.length <= threshold) {
       val rows = localSssp(probe.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), source)
@@ -338,8 +331,10 @@ object Dijkstra {
       g: Graph[V, Double], source: VertexId, target: VertexId,
       maxHops: Int = 10000): Option[(Double, Seq[VertexId])] = {
     val verts = deltaSssp(g, source).vertices.cache()
+    // VertexRDD is hash-partitioned: lookup() probes the single owning
+    // partition — O(V/p) per hop, not a full-RDD filter scan
     def lookup(id: VertexId): Option[State] =
-      verts.filter(_._1 == id).map(_._2).collect().headOption
+      verts.lookup(id).headOption
     try {
       lookup(target).filter(!_._1.isInfinite).map { case (dist, _) =>
         var ids = List(target)

@@ -217,7 +217,13 @@ object Dedup {
 
   /** (doc_id, simhash bigint) — sign-aggregated token hashes. Tokens are
     * pre-counted per (doc, token) so the 64-column bit aggregation runs
-    * over the much smaller distinct-token relation (weight = count). */
+    * over the much smaller distinct-token relation (weight = count).
+    *
+    * Note: [[hash63]] never sets bit 63, so the fingerprint is effectively
+    * 63 bits and the 4th pigeonhole block carries 15 discriminating bits —
+    * its buckets collide ~2× more often than the other blocks', which only
+    * inflates that block's candidate set; the exact Hamming verify keeps
+    * the output identical. The trade buys full DuckDB reproducibility. */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tokens = t(s, dir, "documents")

@@ -117,10 +117,13 @@ object Similarity {
     import emb.sparkSession.implicits._
     val centsRow = emb.filter($"vec_id" < Centroids)
       .agg(array_sort(collect_list(struct($"vec_id", $"vec"))).as("cs"))
-      .select(transform($"cs", c => c("vec")).as("cvecs"))
+    // cell = the centroid's actual vec_id (not its array position): keeps
+    // the cell labels meaningful — and identical to the SQL oracle's
+    // cent_id — even if the corpus is missing some id below Centroids
     emb.crossJoin(broadcast(centsRow))
-      .withColumn("sims", transform($"cvecs", c => cosine($"vec", c)))
-      .withColumn("cell", array_position($"sims", array_max($"sims")) - 1L)
+      .withColumn("sims", transform($"cs", c => cosine($"vec", c("vec"))))
+      .withColumn("pos", array_position($"sims", array_max($"sims")).cast("int"))
+      .withColumn("cell", element_at($"cs", $"pos")("vec_id"))
       .select($"vec_id", $"vec", $"cell")
   }
 
@@ -132,9 +135,17 @@ object Similarity {
 
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     indexes.getOrElseUpdate((s, dir), {
-      val d = java.nio.file.Files.createTempDirectory("ivfindex").toString
-      buildIvfIndex(embeddings(s, dir), d)
-      d
+      val d = java.nio.file.Files.createTempDirectory("ivfindex")
+      // temp indexes are process-scoped: reclaim them on JVM exit so a
+      // long-lived harness doesn't accumulate orphaned directories
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+      buildIvfIndex(embeddings(s, dir), d.toString)
+      d.toString
     })
 
   /** q28 — ANN top-k for vector 0 via the persisted IVF index: probe the
@@ -153,12 +164,14 @@ object Similarity {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val cents = emb.filter($"vec_id" < Centroids).orderBy($"vec_id").collect().map(vecOf)
+    val cents = emb.filter($"vec_id" < Centroids).orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), vecOf(r)))
     val qvec = vecOf(emb.filter($"vec_id" === QueryVecId).collect()(0))
-    val cells = cents.zipWithIndex
-      .map { case (c, i) => (cosLocal(c, qvec), i) }
-      .sortBy { case (sim, i) => (-sim, i) }
-      .take(NProbe).map(_._2.toLong).toSeq
+    // probe cells by actual centroid id, matching ivfAssign's cell labels
+    val cells = cents
+      .map { case (id, c) => (cosLocal(c, qvec), id) }
+      .sortBy { case (sim, id) => (-sim, id) }
+      .take(NProbe).map(_._2).toSeq
     val topk = queryIvfIndex(s, idxDir, qvec.toSeq, cells, K + 1)
       .filter($"vec_id" =!= QueryVecId)
       .orderBy($"sim".desc, $"vec_id")

@@ -151,10 +151,15 @@ object TextOps {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
-    val cands = toks
-      .agg(graft.functions.HeavyHitters.candidates($"tok", SketchCapacity).as("cand"))
-      .select(explode($"cand").as("tok"))
-    val totals = toks.agg(count(lit(1)).as("total"))
+    // sketch candidates AND the total token count in ONE corpus pass (a
+    // separate count(*) agg would be a third full tokenization scan);
+    // the 1-row result is cached so its two consumers don't recompute it
+    val sketch = toks
+      .agg(graft.functions.HeavyHitters.candidates($"tok", SketchCapacity).as("cand"),
+        count(lit(1)).as("total"))
+      .cache()
+    val cands = sketch.select(explode($"cand").as("tok"))
+    val totals = sketch.select($"total")
     toks.join(broadcast(cands), Seq("tok"), "left_semi")
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(totals))

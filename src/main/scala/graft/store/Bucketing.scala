@@ -39,7 +39,10 @@ object Bucketing {
     * boundaries (shuffle/broadcast stages) — matched as plan nodes, not by
     * string. */
   def isShuffleFree(df: DataFrame): Boolean = {
-    df.foreach(_ => ()) // finalize AQE on this exact QueryExecution
+    // collect() drives df.queryExecution itself (Dataset.withAction), which
+    // finalizes its AdaptiveSparkPlanExec; foreach/toLocalIterator would
+    // execute the separate rddQueryExecution and leave this plan un-run
+    df.collect()
     def hasExchange(p: SparkPlan): Boolean = p match {
       case a: AdaptiveSparkPlanExec => hasExchange(a.executedPlan)
       case _: ShuffleQueryStageExec | _: BroadcastQueryStageExec => true
