@@ -119,6 +119,31 @@ class DijkstraSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-stepping ≡ Pregel on larger random graphs with zero-weight edges") {
+    val rng = new scala.util.Random(99)
+    for (i <- 0 until 3) {
+      val n = 100
+      // ~600 edges, ~10% zero-weight (plateaus exercise the in-bucket
+      // tie-break fixpoint at a size where buckets genuinely interleave)
+      val edges = (0 until 600).map { _ =>
+        val a = rng.nextInt(n).toLong
+        var b = rng.nextInt(n).toLong
+        while (b == a) b = rng.nextInt(n).toLong
+        val w = if (rng.nextInt(10) == 0) 0.0 else (1 + rng.nextInt(9)).toDouble
+        (a, b, w)
+      }.distinct
+      val g = graphOf(edges)
+      val ref = Dijkstra.sssp(g, 0L).vertices
+        .filter(v => !v._2._1.isInfinite).collect().toMap
+      val got = Dijkstra.deltaSssp(g, 0L).vertices
+        .filter(v => !v._2._1.isInfinite).collect().toMap
+      assert(got === ref, s"graph $i")
+      // and the driver-local engine agrees too (three-way equality)
+      val local = Dijkstra.localSssp(edges, 0L)
+      assert(local === ref, s"graph $i local")
+    }
+  }
+
   test("delta-stepping handles zero-weight edges and bucket-boundary distances") {
     // dist 2.0 sits exactly on the bucket boundary for Δ=1.0 (floor-rounding
     // guard), and the zero-weight edge needs the in-bucket tie-break fixpoint
