@@ -282,10 +282,34 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q56 — per-source duplication report: for each ingest source, how many
+    * documents exist and how many share their exact content hash with at
+    * least one other document (cross-source duplicates count for both
+    * sources). The standard corpus-health metric a dedup pass is judged
+    * by; two hash-keyed aggregations, no all-pairs anything. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"source", md5($"text").as("h"))
+    val copies = d.groupBy($"h").agg(count(lit(1)).as("copies"))
+    d.join(copies, "h")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"copies" > 1L, 1L).otherwise(0L)).as("n_duplicated"))
+      .orderBy($"source")
+  }
+
+  private val q56Sql =
+    """WITH d AS (SELECT source, md5(text) AS h FROM documents),
+      |c AS (SELECT h, COUNT(*) AS copies FROM d GROUP BY h)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN c.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated
+      |FROM d JOIN c ON d.h = c.h GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q23_exact_dedup", q23, Some(q23Sql)),
     GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
     GQuery("q25_minhash_lsh_pairs", q25, Some(q25Sql), bench = true),
     GQuery("q26_simhash_pairs", q26, Some(q26Sql), bench = true),
+    GQuery("q56_source_dup_report", q56, Some(q56Sql)),
   )
 }
