@@ -29,10 +29,13 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    val names = SparkEntry.benchQueries
+    val benched = SparkEntry.registry.filter(_.bench)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+    val results = benched.map { q =>
+      val name = q.name
+      // production configuration where one exists (e.g. xxhash64 dedup
+      // hashing instead of the oracle-only md5 family)
+      val fn = q.benchRun.getOrElse(q.run)
       // min over repeated runs: filters ambient machine noise, reports the
       // plan's actual cost; a failed query is marked -1, never a fast time
       val timings = (1 to runs).map { _ =>

@@ -27,6 +27,13 @@ final case class GQuery(
     oracle: Option[String],
     /** include in the per-round benchmark headline set */
     bench: Boolean = false,
+    /** Production configuration of the same operator for the bench to
+      * time, where the oracled `run` deliberately pays an oracle-only cost
+      * (e.g. the md5 hash family whose only purpose is DuckDB parity).
+      * The correctness gate always checks `run`; a benchRun must be the
+      * same operator under a production knob, never a different query —
+      * and a spec must pin the two configurations to each other. */
+    benchRun: Option[(SparkSession, String) => DataFrame] = None,
 )
 
 object Tables {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.Tables.t
+import graft.functions.HashFamily
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,10 +34,12 @@ object Dedup {
     * digest prefix. Non-negative and built from pure arithmetic so DuckDB
     * reproduces it exactly (no engine-specific hash like xxhash64, no
     * signed-overflow edge cases under ANSI mode) — this is what makes the
-    * MinHash/SimHash pipelines fully oracle-checkable. */
-  def hash63(c: Column): Column =
-    (conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 2147483648L) * 4294967296L +
-      conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+    * MinHash/SimHash pipelines fully oracle-checkable. Production corpora
+    * should run the same operators under [[graft.functions.HashFamily.Fast]]
+    * (xxhash64, ~10× cheaper per shingle) — the registered oracle queries
+    * pin Oracle mode, the bench times Fast mode, and HashFamilySpec proves
+    * the *verified* MinHash output is identical across families. */
+  def hash63(c: Column): Column = HashFamily.Oracle.hash63(c)
 
   /** DuckDB rendering of [[hash63]] over SQL fragment `x` (parenthesized —
     * callers may apply operators like `%` that bind tighter than `+`). */
@@ -147,36 +150,39 @@ object Dedup {
   val MinHashPerms = 64
   val Bands = 16 // × 4 rows
 
-  /** (doc_id, sig array<bigint>[64]) — Carter-Wegman permutation family:
-    * h_k = h1 + k·h2 from ONE md5 per shingle (h1 < 2⁶², h2 < 2³¹, so
-    * h_k < 2⁶³ — no signed overflow under ANSI mode on either engine),
-    * instead of 64 independent hash evaluations per posting row. */
-  def minhashSignatures(shingles: DataFrame): DataFrame = {
+  /** (doc_id, sig array<bigint>[64]) — ONE base hash per shingle, then 64
+    * universal-family permutations `(a_k·x + b_k) mod p` in the 31-bit
+    * Mersenne field (see [[graft.functions.MinHashParams]] for why the
+    * field arithmetic — not an additive combination — is what makes the
+    * 64 permutations genuinely independent). Per posting row the cost is
+    * one digest + 64 multiply-add-mods, all codegen'd. */
+  def minhashSignatures(shingles: DataFrame,
+      family: HashFamily = HashFamily.Oracle): DataFrame = {
+    import graft.functions.MinHashParams
     val posting = shingles.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("m", md5(col("shingle")))
-      .withColumn("h1",
-        (conv(substring(col("m"), 1, 8), 16, 10).cast("long") % 1073741824L) * 4294967296L +
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("m"), 17, 8), 16, 10).cast("long") % 2147483648L)
+      .withColumn("x", family.hash63(col("shingle")) % MinHashParams.P)
     val mins: Seq[Column] =
-      (0 until MinHashPerms).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"h$k"))
+      (0 until MinHashPerms).map(k => min(MinHashParams.perm(k, col("x"))).as(s"h$k"))
     posting.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until MinHashPerms).map(k => col(s"h$k")): _*).as("sig"))
   }
 
-  /** q25 — MinHash + LSH banding: 16 bands × 4 rows, bucket join on
-    * (band index, band hash), exact-Jaccard verification. The whole
-    * pipeline (hash63 permutations → band buckets → verified Jaccard) is
-    * deterministic and SQL-expressible, so it carries a full DuckDB oracle. */
-  private def q25(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash + LSH banding near-dup pairs: 16 bands × 4 rows, bucket join
+    * on (band index, band hash), exact-Jaccard verification. The verify
+    * step recomputes true Jaccard on the raw shingle sets, so the output
+    * depends on the hash family ONLY through candidate recall — at these
+    * band parameters a true pair at jaccard ≥ 0.8 is missed with
+    * probability (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴, and HashFamilySpec asserts both
+    * families verify the identical pair set on the test corpora. */
+  def minhashLshPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(sh, family)
     val bands = sig.select($"doc_id", posexplode(
       array((0 until Bands).map(b =>
-        hash63(concat_ws(",", (0 until 4).map(r => $"sig"(b * 4 + r).cast("string")): _*))): _*)))
+        family.hash63(concat_ws(",", (0 until 4).map(r => $"sig"(b * 4 + r).cast("string")): _*))): _*)))
       .toDF("doc_id", "band", "bhash")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -186,18 +192,25 @@ object Dedup {
     verifyPairs(candidates, sh, JaccardThreshold)
   }
 
+  /** q25 — MinHash+LSH in Oracle mode: the whole pipeline (hash63
+    * permutations → band buckets → verified Jaccard) is deterministic and
+    * SQL-expressible, so it carries a full DuckDB oracle. The bench times
+    * the Fast (xxhash64) family on the same operator — the production
+    * configuration — while this oracle mode remains the correctness gate. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(s, dir, HashFamily.Oracle)
+
   private val q25Sql = {
+    import graft.functions.MinHashParams
     val bh = hash63Sql("string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)")
     s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) s
        |       FROM w WHERE len(ws) >= 3),
        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-       |hmap AS (SELECT doc_id,
-       |    (('0x' || substr(m,1,8))::BIGINT % 1073741824) * 4294967296 + ('0x' || substr(m,9,8))::BIGINT AS h1,
-       |    ('0x' || substr(m,17,8))::BIGINT % 2147483648 AS h2
-       |  FROM (SELECT doc_id, md5(shingle) AS m FROM post)),
-       |hmin AS (SELECT doc_id, k, MIN(h1 + k * h2) AS mh
-       |         FROM hmap, range($MinHashPerms) t(k) GROUP BY doc_id, k),
+       |coef AS (${MinHashParams.coefSql(MinHashPerms)}),
+       |hmap AS (SELECT doc_id, ${hash63Sql("shingle")} % ${MinHashParams.P} AS x FROM post),
+       |hmin AS (SELECT doc_id, k, MIN((a * x + b) % ${MinHashParams.P}) AS mh
+       |         FROM hmap CROSS JOIN coef GROUP BY doc_id, k),
        |bands AS (SELECT doc_id, k // 4 AS band, $bh AS bhash
        |          FROM hmin GROUP BY doc_id, k // 4),
        |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
@@ -223,13 +236,20 @@ object Dedup {
     * 63 bits and the 4th pigeonhole block carries 15 discriminating bits —
     * its buckets collide ~2× more often than the other blocks', which only
     * inflates that block's candidate set; the exact Hamming verify keeps
-    * the output identical. The trade buys full DuckDB reproducibility. */
-  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+    * the output identical. The trade buys full DuckDB reproducibility.
+    *
+    * Unlike MinHash, the SimHash *verify* metric (Hamming distance) is
+    * computed on the family-dependent fingerprint itself, so Oracle and
+    * Fast outputs are different-but-equally-valid sketch spaces; the
+    * HashFamilySpec gates the Fast family on planted-near-dup recall
+    * rather than output identity. */
+  def simhashFingerprints(s: SparkSession, dir: String,
+      family: HashFamily = HashFamily.Oracle): DataFrame = {
     import s.implicits._
     val tokens = t(s, dir, "documents")
       .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", hash63($"tok"))
+      .withColumn("h", family.hash63($"tok"))
     val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>
       sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, $"cnt").otherwise(-$"cnt")).as(s"b$j")
     }
@@ -241,11 +261,11 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** q26 — SimHash near-dup pairs at Hamming ≤ 3 via the 4-block pigeonhole
+  /** SimHash near-dup pairs at Hamming ≤ 3 via the 4-block pigeonhole
     * join (perfect recall at this radius, no all-pairs scan). */
-  private def q26(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame = {
     import s.implicits._
-    val fp = simhashFingerprints(s, dir).cache()
+    val fp = simhashFingerprints(s, dir, family).cache()
     val blocks = fp.select($"doc_id", $"simhash", posexplode(
       array((0 until 4).map(b =>
         shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -262,6 +282,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q26 — SimHash in Oracle mode (the DuckDB-checkable fingerprint). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, HashFamily.Oracle)
 
   private val q26Sql = {
     val h = hash63Sql("tok")
@@ -305,11 +329,25 @@ object Dedup {
       |  CAST(SUM(CASE WHEN c.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated
       |FROM d JOIN c ON d.h = c.h GROUP BY source ORDER BY source""".stripMargin
 
+  /** q57 — the Fast (xxhash64) MinHash+LSH production mode as its own
+    * oracled query. The oracle is the EXACT n-gram Jaccard pair set (the
+    * q24 SQL): because the verify step recomputes true Jaccard on raw
+    * shingles, the LSH output equals the exact pair set whenever candidate
+    * recall is 1.0 — which these band parameters give with per-pair miss
+    * probability ≤ 2·10⁻⁴ at the 0.8 threshold (far lower on the planted
+    * dups, whose jaccard ≥ 0.9). The gate is deliberately *stronger* than
+    * rows-only: a recall miss or a hash-family bug fails it. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(s, dir, HashFamily.Fast)
+
   val all: Seq[GQuery] = Seq(
     GQuery("q23_exact_dedup", q23, Some(q23Sql)),
     GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
-    GQuery("q25_minhash_lsh_pairs", q25, Some(q25Sql), bench = true),
-    GQuery("q26_simhash_pairs", q26, Some(q26Sql), bench = true),
+    GQuery("q25_minhash_lsh_pairs", q25, Some(q25Sql), bench = true,
+      benchRun = Some((s, d) => minhashLshPairs(s, d, HashFamily.Fast))),
+    GQuery("q26_simhash_pairs", q26, Some(q26Sql), bench = true,
+      benchRun = Some((s, d) => simhashPairs(s, d, HashFamily.Fast))),
     GQuery("q56_source_dup_report", q56, Some(q56Sql)),
+    GQuery("q57_minhash_lsh_fast", q57, Some(q24Sql)),
   )
 }

@@ -29,19 +29,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private def h(c: org.apache.spark.sql.Column) = Dedup.hash63(c.cast("string"))
+  import graft.functions.HashFamily
+
+  private def h(c: org.apache.spark.sql.Column,
+      family: HashFamily = HashFamily.Oracle) = family.hash63(c.cast("string"))
   private def hSql(x: String) = Dedup.hash63Sql(s"CAST($x AS VARCHAR)")
+
+  /** Deterministic hash split over any keyed DataFrame — the library
+    * surface behind q50. Production runs pass [[HashFamily.Fast]]; the
+    * registered query stays in Oracle mode for the DuckDB gate (the hash
+    * is per-row, so unlike the per-shingle dedup hashing the md5 cost is
+    * proportional to row count, not token count). */
+  def hashSplit(df: DataFrame, key: org.apache.spark.sql.Column,
+      family: HashFamily = HashFamily.Oracle): DataFrame =
+    df.select(key.as("doc_id"), (h(key, family) % 100L).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80L, lit("train"))
+          .when(col("bucket") < 90L, lit("valid"))
+          .otherwise(lit("test")))
 
   /** q50 — deterministic 80/10/10 split keyed on doc_id. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .select($"doc_id", (h($"doc_id") % 100L).as("bucket"))
-      .withColumn("split",
-        when($"bucket" < 80L, lit("train"))
-          .when($"bucket" < 90L, lit("valid"))
-          .otherwise(lit("test")))
-      .orderBy($"doc_id")
+    hashSplit(t(s, dir, "documents"), $"doc_id").orderBy($"doc_id")
   }
 
   private val q50Sql =
