@@ -27,9 +27,14 @@ object Verify {
     }
     // the eve_* oracles read the bootstrapped fixture store (systems +
     // jump topologies) from the dump dir; their SQL carries a
-    // {{EVE_FIXTURE}} placeholder resolved to the absolute path here
-    val fixtureDir = Paths.get(outDir).toAbsolutePath.toString + "/eve_fixture"
-    try operators.EveQueries.persistFixture(spark, Paths.get(outDir).toAbsolutePath.toString)
+    // {{EVE_FIXTURE}} placeholder resolved to the absolute path here.
+    // The store nests INSIDE the eve_jump_risks result dir with a "_"
+    // prefix: parquet readers skip hidden entries when reading that
+    // query's result, and the harness's top-level scan of outDir no
+    // longer sees a fixture dir it would report as an un-oracled query.
+    val fixtureDir =
+      Paths.get(outDir).toAbsolutePath.toString + "/eve_jump_risks/_fixture"
+    try operators.EveQueries.persistFixture(spark, fixtureDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixture persist failed: ${e.getMessage}")
     }

@@ -72,13 +72,21 @@ object EveQueries {
     * refreshed kills/jumps counters (risk intentionally excluded — the
     * oracle recomputes it), plus cost-only jump topologies for both
     * variants. Engines are cached, so this reuses the bootstrap the route
-    * queries already paid for. */
-  def persistFixture(s: SparkSession, outDir: String): Unit = {
+    * queries already paid for.
+    *
+    * `fixtureDir` must NOT be a sibling of the per-query result dirs: the
+    * harness treats every top-level entry of the dump directory as a query
+    * result, so a free-standing fixture dir shows up as a permanently
+    * un-oracled "query". Verify nests it inside an eve query's own result
+    * dir under an underscore-prefixed name, which every parquet reader
+    * (Spark, pyarrow, DuckDB globs) skips as hidden — the oracles address
+    * it by absolute path, so discovery rules never apply to them. */
+  def persistFixture(s: SparkSession, fixtureDir: String): Unit = {
     import org.apache.spark.sql.functions.col
     val gates = freshEngine(s, withWormholes = false)
     val wh = freshEngine(s, withWormholes = true)
     def dump(df: DataFrame, name: String): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/eve_fixture/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$fixtureDir/$name")
     dump(gates.store.systems.toDF()
       .select(col("system_id"), col("name"), col("kills"), col("jumps")), "systems")
     dump(gates.store.jumps.toDF()

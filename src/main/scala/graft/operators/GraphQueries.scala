@@ -187,24 +187,58 @@ object GraphQueries {
     """SELECT n_nationkey, CAST((n_nationkey // 5) * 5 AS BIGINT) AS component
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
-  /** q22 — PageRank (10 iterations) on the ring+chord graph. The graph is
-    * a 4-regular vertex-transitive circulant, so the rank vector is exactly
-    * uniform (every vertex runs the identical computation each iteration) —
-    * which makes the result oracle-checkable at 6 dp despite float
-    * iteration order being engine-specific in general: any wiring asymmetry
-    * (wrong edge set, degree mismatch, dropped vertex) breaks uniformity. */
+  /** q22 — PageRank (10 static iterations, damping 0.85) on an ASYMMETRIC
+    * directed graph: the full cycle i→(i+1) mod 25 (every vertex keeps an
+    * out-edge — no dangling mass) plus chords i→(2i+3) mod 25 for
+    * multiples of 5 (uneven in-degrees, no self-loops), plus a single
+    * chord 7→0 that kills the remaining rotation-by-5 automorphism so all
+    * 25 ranks are distinct orbit values, not 5. The oracle runs
+    * the same 10 power iterations (r' = 0.15 + 0.85·Σ r/outdeg, GraphX
+    * `staticPageRank` semantics: init 1.0, no final normalization)
+    * unrolled as chained CTEs, so a wrong damping factor, iteration
+    * count, or edge wiring all produce different ranks — unlike the
+    * previous vertex-transitive circulant whose uniform rank vector
+    * could not see symmetric bugs. Bit-exactness is by construction:
+    * out-degrees are 1 or 2 (1/d exactly representable) and in-degrees
+    * ≤ 2 (a two-term double sum is order-independent), so both engines
+    * compute identical doubles; 6-dp rounding stays as rendering margin. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = graphOf(ringChordEdges(s, dir).withColumn("w", lit(1L)))
+    val n = t(s, dir, "nation").select($"n_nationkey".cast("long").as("id"))
+    val cyc = n.select($"id".as("src"), (($"id" + 1) % N).as("dst"))
+    val chords = n.filter($"id" % 5 === 0)
+      .select($"id".as("src"), (($"id" * 2 + 3) % N).as("dst"))
+    val breaker = n.filter($"id" === 7).select($"id".as("src"), lit(0L).as("dst"))
+    val g = graphOf(cyc.union(chords).union(breaker).withColumn("w", lit(1L)))
     val pr = g.staticPageRank(10).vertices
       .map { case (id, r) => (id.toInt, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     // stays distributed: no driver collect of the rank table
     s.createDataFrame(pr).toDF("n_nationkey", "rank").orderBy($"n_nationkey")
   }
 
-  private val q22Sql =
-    """SELECT n_nationkey, CAST(1.0 AS DOUBLE) AS rank
-      |FROM nation ORDER BY n_nationkey""".stripMargin
+  private val q22Sql = {
+    val edgesSql =
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS src, CAST((n_nationkey + 1) % $N AS BIGINT) AS dst FROM nation
+         | UNION ALL SELECT n_nationkey, (n_nationkey * 2 + 3) % $N FROM nation WHERE n_nationkey % 5 = 0
+         | UNION ALL SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 7"""
+        .stripMargin.replace("\n", " ")
+    val steps = (1 to 10).map { i =>
+      s"""it$i AS (
+         |  SELECT n.node, 0.15 + 0.85 * COALESCE(SUM(p.rank / o.d), 0.0) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN it${i - 1} p ON p.node = e.src
+         |  LEFT JOIN outd o ON o.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |it0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$steps
+       |SELECT CAST(node AS INTEGER) AS n_nationkey, ROUND(rank, 6) AS rank
+       |FROM it10 ORDER BY n_nationkey""".stripMargin
+  }
 
   /** q43 — strongly connected components (GraphX `stronglyConnected
     * Components`) on directed 5-cycles over nations; label = min member. */
