@@ -102,8 +102,9 @@ object Dijkstra {
     * the parent is unpersisted, so later jobs never re-walk the lineage
     * chain (Pregel's own caching discipline). */
   def deltaSssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
-      delta: Double = 0.0): Graph[State, Double] = {
+      delta: Double = 0.0, stats: Option[DeltaStats] = None): Graph[State, Double] = {
     val dlt = if (delta > 0.0) delta else chooseDelta(g)
+    stats.foreach(_.delta = dlt)
 
     def mergeMsg(a: State, b: State): State =
       if (a._1 < b._1) a
@@ -168,6 +169,12 @@ object Dijkstra {
       val heavy = relax(lo, hi, lightPhase = false).cache()
       if (!heavy.isEmpty()) applyMsgs(heavy)
       heavy.unpersist(blocking = false)
+      stats.foreach { st =>
+        st.buckets += 1
+        // the final empty light probe is a real superstep too
+        st.lightSupersteps += iters
+        st.heavySupersteps += 1
+      }
 
       // jump to the next non-empty bucket — ONE pass: fold to the minimum
       // pending bucket index with MaxValue as the empty sentinel (isEmpty
@@ -185,9 +192,27 @@ object Dijkstra {
     cur
   }
 
+  /** Engine counters for one [[deltaSssp]] run — the per-phase "superstep"
+    * numbers a cluster operator watches (each light/heavy superstep is one
+    * Spark job over the edge partitions, so these bound job count). */
+  final class DeltaStats {
+    var delta: Double = 0.0
+    var buckets: Long = 0L
+    var lightSupersteps: Long = 0L
+    var heavySupersteps: Long = 0L
+    def json: String =
+      s"""{"delta":$delta,"buckets":$buckets,"light_supersteps":$lightSupersteps,"heavy_supersteps":$heavySupersteps}"""
+  }
+
   /** Single-pair path as an ordered vertex-id list (source..target), or None
-    * if unreachable — mirrors GDS stream yielding no row. Driver-side
-    * predecessor walk; fine up to millions of reachable vertices. */
+    * if unreachable — mirrors GDS stream yielding no row.
+    *
+    * @deprecated collects the FULL reachable (id → state) map to the
+    * driver, which is exactly the scale-killer `autoPath` exists to avoid:
+    * use [[autoPath]] (local heap below the edge threshold, distributed
+    * predecessor walk via [[reconstructDistributed]] above it). Kept only
+    * as the simplest reference implementation for equality tests. */
+  @deprecated("use autoPath: this collects the full reachable vertex map to the driver", "round3")
   def shortestPath[V: ClassTag](
       g: Graph[V, Double], source: VertexId, target: VertexId): Option[(Double, Seq[VertexId])] = {
     val state = sssp(g, source).vertices
