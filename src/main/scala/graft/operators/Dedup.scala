@@ -46,20 +46,23 @@ object Dedup {
   def hash63Sql(x: String): String =
     s"((('0x' || substr(md5($x),1,8))::BIGINT % 2147483648) * 4294967296 + ('0x' || substr(md5($x),9,8))::BIGINT)"
 
-  /** (doc_id, shingles array<string>) — distinct word 3-grams, lowercase. */
-  def docShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", array_distinct(
+  /** (doc_id, shingles array<string>) — distinct word 3-grams, lowercase —
+    * from any (doc_id, text) DataFrame (batch table or streaming batch). */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(
         expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("sh"))
-  }
+
+  /** (doc_id, shingles array<string>) over the sfDir documents table. */
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(t(s, dir, "documents"))
 
   /** Verify candidate pairs against full shingle sets; returns
     * (doc_a, doc_b, jaccard) with jaccard ≥ threshold. */
-  private def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def verifyPairs(candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val a = shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
@@ -176,14 +179,21 @@ object Dedup {
     * band parameters a true pair at jaccard ≥ 0.8 is missed with
     * probability (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴, and HashFamilySpec asserts both
     * families verify the identical pair set on the test corpora. */
+  /** (doc_id, band, bhash) LSH bucket keys for a shingle DataFrame — the
+    * unit both the batch pipeline and the incremental streaming index
+    * share, so their candidate spaces are definitionally identical. */
+  def bandsOf(shingles: DataFrame, family: HashFamily): DataFrame = {
+    val sig = minhashSignatures(shingles, family)
+    sig.select(col("doc_id"), posexplode(
+      array((0 until Bands).map(b =>
+        family.hash63(concat_ws(",", (0 until 4).map(r => col("sig")(b * 4 + r).cast("string")): _*))): _*)))
+      .toDF("doc_id", "band", "bhash")
+  }
+
   def minhashLshPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
-    val sig = minhashSignatures(sh, family)
-    val bands = sig.select($"doc_id", posexplode(
-      array((0 until Bands).map(b =>
-        family.hash63(concat_ws(",", (0 until 4).map(r => $"sig"(b * 4 + r).cast("string")): _*))): _*)))
-      .toDF("doc_id", "band", "bhash")
+    val bands = bandsOf(sh, family)
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
