@@ -202,6 +202,87 @@ object Similarity {
        |    FROM ranked)
        |SELECT rank, vec_id, sim FROM top WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  /** Assign every vector to its argmax-cosine centroid from an explicit
+    * centroid list (driver-provided, embedded as literals — k·dim doubles,
+    * broadcast-free). Same zero-shuffle single-projection plan as
+    * [[ivfAssign]]; ties to the smallest centroid id. */
+  def assignToCentroids(emb: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import emb.sparkSession.implicits._
+    val centArr = array(cents.sortBy(_._1).map { case (id, v) =>
+      struct(lit(id).as("vec_id"), array(v.map(lit): _*).cast("array<double>").as("vec"))
+    }: _*)
+    emb.withColumn("cs", centArr)
+      .withColumn("sims", transform($"cs", c => cosine($"vec", c("vec"))))
+      .withColumn("pos", array_position($"sims", array_max($"sims")).cast("int"))
+      .withColumn("cell", element_at($"cs", $"pos")("vec_id"))
+      .select($"vec_id", $"vec", $"cell")
+  }
+
+  /** Lloyd (spherical k-means) centroid training on a deterministic
+    * sample: seeds are the first k corpus vectors by id (exactly the q28
+    * seeding, so the trained index is a strict refinement of the
+    * registered one), then `iters` assign/re-mean rounds. The per-round
+    * mean is one elementwise aggregation (cell × dim rows — k·dim values
+    * collected per round, independent of corpus size) and the assignment
+    * is the zero-shuffle projection above, so a round costs one scan of
+    * the sample; `sampleMod` thins the training set (vec_id % mod == 0)
+    * the way a 100 TB run would train on ~10⁻⁴ of the corpus. Cosine is
+    * scale-invariant, so the unnormalized mean is a valid spherical
+    * centroid direction; means are rounded to 9 dp so double summation
+    * order can never flip a downstream argmax between runs. Empty cells
+    * keep their previous centroid. */
+  def trainCentroids(emb: DataFrame, k: Int = Centroids, iters: Int = 5,
+      sampleMod: Long = 1L): Seq[(Long, Seq[Double])] = {
+    import emb.sparkSession.implicits._
+    val sample =
+      (if (sampleMod > 1L) emb.filter($"vec_id" % sampleMod === 0L) else emb).cache()
+    var cents: Seq[(Long, Seq[Double])] = emb.filter($"vec_id" < k).orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 0 until iters) {
+      val means = assignToCentroids(sample, cents)
+        .select($"cell", posexplode($"vec"))
+        .toDF("cell", "pos", "x")
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getInt(1)) =
+              BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            (cid, arr.toSeq)
+          case None => (cid, old)
+        }
+      }
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** Mean best-centroid cosine over the corpus — the spherical k-means
+    * objective; the training spec asserts it does not degrade. */
+  def assignmentQuality(emb: DataFrame, cents: Seq[(Long, Seq[Double])]): Double = {
+    import emb.sparkSession.implicits._
+    val centArr = array(cents.sortBy(_._1).map { case (_, v) =>
+      array(v.map(lit): _*).cast("array<double>")
+    }: _*)
+    emb.select(array_max(transform(centArr, c => cosine($"vec", c))).as("best"))
+      .agg(avg($"best")).head().getDouble(0)
+  }
+
+  /** Build a persisted IVF index on TRAINED centroids and return them
+    * (the query side needs the centroids to pick probe cells). */
+  def buildTrainedIvfIndex(emb: DataFrame, indexDir: String, k: Int = Centroids,
+      iters: Int = 5, sampleMod: Long = 1L): Seq[(Long, Seq[Double])] = {
+    val cents = trainCentroids(emb, k, iters, sampleMod)
+    assignToCentroids(emb, cents).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(indexDir)
+    cents
+  }
+
   /** Persisted IVF index: cell assignments written as parquet partitioned
     * BY cell, so probing nprobe cells is a partition-pruned scan — at
     * 100 TB the query reads only probed directories, never the corpus.
