@@ -161,9 +161,123 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) % 10 AS BIGINT) AS fake_label
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Pure-JVM decoder for binary PPM (P6) — a REAL image format decode
+    * (header tokenizer with comment support, dimension/maxval validation,
+    * raster extraction), replacing the stub for one concrete format. Only
+    * 1-byte samples are supported (maxval ≤ 255); a 2-byte-sample or
+    * malformed payload decodes to None, the per-row skip policy (S8). */
+  object Ppm {
+    final case class Image(width: Int, height: Int, maxval: Int, pixels: Array[Byte])
+
+    /** P6 writer (used to synthesize oracle-checkable images and by the
+      * golden spec); `comment` exercises the parser's `#` handling. */
+    def encodeP6(width: Int, height: Int, maxval: Int, pixels: Array[Byte],
+        comment: Option[String] = None): Array[Byte] = {
+      val header = new StringBuilder("P6\n")
+      comment.foreach(c => header.append("# ").append(c).append('\n'))
+      header.append(width).append(' ').append(height).append('\n').append(maxval).append('\n')
+      header.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ pixels
+    }
+
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      var i = 0
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+      def token(): Option[String] = {
+        var scanning = true
+        while (scanning && i < bytes.length) {
+          if (isWs(bytes(i))) i += 1
+          else if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else scanning = false
+        }
+        val start = i
+        while (i < bytes.length && !isWs(bytes(i)) && bytes(i) != '#') i += 1
+        if (i > start)
+          Some(new String(bytes, start, i - start, java.nio.charset.StandardCharsets.US_ASCII))
+        else None
+      }
+      def posInt(t: Option[String]): Option[Int] = t.flatMap(_.toIntOption).filter(_ > 0)
+      if (!token().contains("P6")) return None
+      (posInt(token()), posInt(token()), posInt(token())) match {
+        case (Some(w), Some(h), Some(mv)) if mv <= 255 =>
+          // exactly ONE whitespace byte separates the header from the raster
+          if (i >= bytes.length || !isWs(bytes(i))) return None
+          val rasterStart = i + 1
+          val need = w.toLong * h * 3
+          if (bytes.length - rasterStart < need) None
+          else Some(Image(w, h, mv,
+            java.util.Arrays.copyOfRange(bytes, rasterStart, rasterStart + need.toInt)))
+        case _ => None
+      }
+    }
+  }
+
+  val PpmW = 8
+  val PpmH = 4
+
+  final case class PpmStats(doc_id: Long, width: Int, height: Int, maxval: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Wrap each document's UTF-8 bytes as the raster of a PpmW×PpmH P6
+    * image (zero-padded), with a `#` comment line in the header. */
+  def synthesizePpm(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, PpmW * PpmH * 3)
+      MediaRow(id, Ppm.encodeP6(PpmW, PpmH, 255, px, Some(s"doc $id")),
+        "image/x-portable-pixmap", PpmW, PpmH)
+    }
+
+  /** REAL decode → per-channel pixel means. Invalid payloads are skipped
+    * (S8 row policy). Channel sums divide by the pixel count (a power of
+    * two here), so the means are exact doubles the oracle reproduces. */
+  def decodePpmStats(rows: Iterator[MediaRow]): Iterator[PpmStats] =
+    rows.flatMap { r =>
+      Ppm.decode(r.payload).map { img =>
+        val n = img.width * img.height
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < n * 3) { sums(p % 3) += img.pixels(p) & 0xFF; p += 1 }
+        PpmStats(r.doc_id, img.width, img.height, img.maxval,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q58 — the decode pipeline on a REAL format: synthesize a P6 image per
+    * document (raster = the document's bytes — deterministic, so DuckDB
+    * can recompute the expected pixels), run the actual header-parsing
+    * decoder in a partition-batched map, emit decoded dimensions + pixel
+    * stats. Unlike q35's stub, a decoder bug (wrong raster offset, wrong
+    * channel interleave, off-by-one in the header scan) shifts every mean
+    * and fails the hash compare. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodePpmStats(synthesizePpm(rows)))
+      .select($"doc_id", $"width", $"height", $"maxval", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  private val q58Sql = {
+    val raster = PpmW * PpmH * 3
+    def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id, j,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j)),
+       |agg AS (SELECT doc_id, ${chSum(0)} AS sr, ${chSum(1)} AS sg, ${chSum(2)} AS sb
+       |  FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($PpmW AS INTEGER) AS width, CAST($PpmH AS INTEGER) AS height,
+       |  CAST(255 AS INTEGER) AS maxval,
+       |  sr / ${PpmW * PpmH}.0 AS mean_r, sg / ${PpmW * PpmH}.0 AS mean_g,
+       |  sb / ${PpmW * PpmH}.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
     GQuery("q55_multimodal_resize", q55, Some(q55Sql)),
+    GQuery("q58_ppm_decode", q58, Some(q58Sql)),
   )
 }

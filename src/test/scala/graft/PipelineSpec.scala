@@ -121,6 +121,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.feature === out.head.feature)
   }
 
+  test("PPM decoder: golden pixels, comment skipping, malformed-payload policy") {
+    import Multimodal.Ppm
+    // 2×1 image: red pixel then a known mixed pixel
+    val px = Array[Byte](255.toByte, 0, 0, 10, 20, 30)
+    val img = Ppm.decode(Ppm.encodeP6(2, 1, 255, px)).get
+    assert(img.width === 2 && img.height === 1 && img.maxval === 255)
+    assert(img.pixels.toSeq === px.toSeq)
+    // header comments (with '#' mid-header) are skipped
+    val commented = Ppm.decode(Ppm.encodeP6(2, 1, 255, px, Some("w=2 h=1 #nested"))).get
+    assert(commented.pixels.toSeq === px.toSeq)
+    // raster starts exactly one whitespace after maxval: a '#' comment
+    // byte is part of the raster, not the header, once dimensions are read
+    assert(Ppm.decode("P6\n2 1\n255\n".getBytes ++ px).isDefined)
+    // malformed payloads decode to None (per-row skip policy S8):
+    assert(Ppm.decode("P5\n2 1\n255\n".getBytes ++ px).isEmpty, "wrong magic")
+    assert(Ppm.decode("P6\n2 1\n65535\n".getBytes ++ px).isEmpty, "2-byte samples unsupported")
+    assert(Ppm.decode("P6\n2 1\n255\n".getBytes ++ px.take(5)).isEmpty, "truncated raster")
+    assert(Ppm.decode("P6\n-2 1\n255\n".getBytes ++ px).isEmpty, "negative width")
+    assert(Ppm.decode(Array.empty[Byte]).isEmpty, "empty payload")
+    // decoded stats: channel means over the golden image
+    val stats = Multimodal.decodePpmStats(Iterator(
+      Multimodal.MediaRow(5L, Ppm.encodeP6(2, 1, 255, px), "image/x-portable-pixmap", 2, 1))).next()
+    assert(stats.mean_r === (255.0 + 10.0) / 2)
+    assert(stats.mean_g === 10.0 && stats.mean_b === 15.0)
+    // invalid rows are skipped, not nulled
+    assert(Multimodal.decodePpmStats(Iterator(
+      Multimodal.MediaRow(6L, Array[Byte](1, 2, 3), "image/x-portable-pixmap", 0, 0))).isEmpty)
+  }
+
   test("as-of join ≡ naive per-row latest-match") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
