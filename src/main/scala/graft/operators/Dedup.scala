@@ -97,18 +97,20 @@ object Dedup {
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
-    val posting = sh.select($"doc_id", explode($"sh").as("shingle"))
+    // the doc's shingle count rides along through the explode — one narrow
+    // int column instead of a separate corpus-sized `sizes` relation and
+    // its join+shuffle (the join was by far the cheaper-to-delete half of
+    // the old plan: one shuffle of every posting row on doc_id)
+    val posting = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
     val dfreq = posting.groupBy($"shingle").agg(count(lit(1)).as("df"))
     // global order = rarest-first (df, shingle); rank within doc via window
-    // (one shuffle on doc_id). dfreq and sizes are corpus-sized — one row
-    // per distinct shingle / per document — so they must NOT be broadcast:
-    // shuffle joins on the natural keys, AQE localizes them when small
+    // (one shuffle on doc_id). dfreq is corpus-sized — one row per distinct
+    // shingle — so it must NOT be broadcast: shuffle join on the natural
+    // key, AQE localizes it when small
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df", $"shingle")
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
     val prefixes = posting.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .join(sizes, "doc_id")
       .filter($"rn" <= greatest(
         ($"n" - ceil(lit(JaccardThreshold) * $"n") + 1).cast("int"), lit(1)))
       .select($"doc_id", $"shingle", $"rn", $"n")
