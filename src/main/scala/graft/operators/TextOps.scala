@@ -175,6 +175,92 @@ object TextOps {
        |SELECT tok, cnt FROM c, tot WHERE cnt * 1000 >= tot.n * $HeavyPerMille
        |ORDER BY tok""".stripMargin
 
+  /** q59 — within-document repetition (the Gopher-class quality filter:
+    * heavily repeated n-grams inside ONE document signal boilerplate /
+    * degenerate text). Per document over word 2-grams: total, distinct,
+    * the highest single-gram repeat count, and the repeated fraction.
+    * One groupBy(doc, gram) + one groupBy(doc) — per-document work only,
+    * embarrassingly parallel, no cross-document state at any scale. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = t(s, dir, "documents")
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(
+        expr("transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("g"))
+    grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max($"cnt").as("max_repeat"))
+      // single division of exact integers — IEEE-exact on both engines
+      .withColumn("rep_fraction",
+        ($"n_grams" - $"n_distinct").cast("double") / $"n_grams".cast("double"))
+      .select($"doc_id", $"n_grams".cast("long").as("n_grams"),
+        $"n_distinct".cast("long").as("n_distinct"),
+        $"max_repeat".cast("long").as("max_repeat"), $"rep_fraction")
+      .orderBy($"doc_id")
+  }
+
+  private val q59Sql =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') ws FROM documents),
+      |g AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+      |      FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g),
+      |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_repeat
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_distinct, max_repeat,
+      |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS rep_fraction
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Deterministic eval-set membership for q60: doc_id ≡ 0 (mod 10) — a
+    * 10% held-out split that the synthetic corpus's planted near-dups
+    * actually contaminate at every scale factor (6–46 flagged docs at
+    * sf0.001–0.1; a modulus whose eval set missed the dup structure would
+    * make this gate vacuously green). */
+  val EvalMod = 10L
+  val ContaminationGram = 8
+
+  /** q60 — train/eval decontamination: flag every training document that
+    * shares at least one word 8-gram with any held-out eval document (the
+    * standard benchmark-leakage sweep run before LLM training). The probe
+    * is an inverted-index equi-join on the gram — never a doc×doc
+    * comparison; at production scale the eval side is a fixed benchmark
+    * suite, small enough that Catalyst broadcasts its gram set, making
+    * the whole sweep one map-side pass over the corpus. Here the eval
+    * set is a corpus fraction, so the shuffle join is the honest plan. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = (0 until ContaminationGram).map(i => s"ws[i+$i]").mkString(", ")
+    val grams = t(s, dir, "documents")
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+      .filter(size($"ws") >= ContaminationGram)
+      .select($"doc_id", explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws)-$ContaminationGram), i -> concat_ws(' ', $terms))"))).as("g"))
+    val eval = grams.filter($"doc_id" % EvalMod === 0L)
+      .select($"g", $"doc_id".as("eval_id"))
+    grams.filter($"doc_id" % EvalMod =!= 0L)
+      .join(eval, "g")
+      .groupBy($"doc_id")
+      .agg(count_distinct($"g").as("n_shared"), min($"eval_id").as("first_eval"))
+      .select($"doc_id", $"n_shared".cast("long").as("n_shared"), $"first_eval")
+      .orderBy($"doc_id")
+  }
+
+  private val q60Sql = {
+    val terms = (1 to ContaminationGram).map(i => s"ws[i+${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct([$terms
+       |        for i in range(1, len(ws) - ${ContaminationGram - 2})])) AS g
+       |      FROM w WHERE len(ws) >= $ContaminationGram),
+       |ev AS (SELECT g, doc_id AS eval_id FROM g WHERE doc_id % $EvalMod = 0),
+       |tr AS (SELECT doc_id, g FROM g WHERE doc_id % $EvalMod <> 0)
+       |SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_shared,
+       |  MIN(ev.eval_id) AS first_eval
+       |FROM tr JOIN ev ON tr.g = ev.g
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -182,5 +268,7 @@ object TextOps {
     GQuery("q33_fingerprints", q33, Some(q33Sql)),
     GQuery("q34_word_frequency", q34, Some(q34Sql), bench = true),
     GQuery("q53_heavy_tokens", q53, Some(q53Sql)),
+    GQuery("q59_doc_repetition", q59, Some(q59Sql)),
+    GQuery("q60_decontamination", q60, Some(q60Sql)),
   )
 }
