@@ -307,6 +307,105 @@ object Similarity {
       .select($"vec_id", $"sim")
   }
 
+  val BatchQueryMod = 50L
+
+  /** q61 — BATCH ANN: IVF top-k for every query in a query set at once —
+    * the retrieval workload shape (single-query q28 serves a point lookup
+    * via partition-pruned scan; a training-data pipeline runs millions of
+    * queries, where per-query pruning degenerates into millions of tiny
+    * jobs). The batch plan is pure joins: probe-cell selection is one
+    * projection per query against the broadcast centroid row (top-NProbe
+    * cells via an array sort over Centroids entries — no window over the
+    * corpus), candidates come from ONE equi-join on the cell id, and the
+    * per-query re-rank window only ever sorts a query's own candidates
+    * (the nprobe/k recall-cost dial, not a corpus sort). Scales as
+    * queries × probed-cell volume, the IVF contract. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val assigned = ivfAssign(emb)
+    val centsRow = emb.filter($"vec_id" < Centroids)
+      .agg(array_sort(collect_list(struct($"vec_id", $"vec"))).as("cs"))
+    val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
+      .crossJoin(broadcast(centsRow))
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"),
+        // sort by (−sim, cell): sim DESC with ties to the smaller cell id
+        slice(array_sort(transform($"cs",
+          c => struct((-cosine($"vec", c("vec"))).as("negsim"), c("vec_id").as("cell")))),
+          1, NProbe).as("cells"))
+      .select($"query_id", $"qvec", explode($"cells.cell").as("cell"))
+    val cand = probed.join(assigned, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", round(cosine($"vec", $"qvec"), 3).as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q61Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $Centroids),
+       |sims AS (SELECT e.vec_id, e.v, c.cent_id,
+       |    list_cosine_similarity(e.v, c.cv) AS cs FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $BatchQueryMod = 0),
+       |qcells AS (SELECT query_id, qv, cent_id AS cell FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
+       |cand AS (SELECT qc.query_id, a.vec_id,
+       |    ROUND(list_cosine_similarity(a.v, qc.qv), 3) AS sim
+       |  FROM qcells qc JOIN assign a ON a.cell = qc.cell
+       |  WHERE a.vec_id <> qc.query_id),
+       |top AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, vec_id, sim FROM top WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q62 — symmetric int8 quantization of the embedding column: per-vector
+    * scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋ (explicit floor-based
+    * round-half-up — `round()` half-even/half-away semantics differ across
+    * engines, floor does not). This is the storage format a 100 TB
+    * embedding corpus actually ships (4× smaller than float32, 8× smaller
+    * than the double working form); the emitted integer aggregates
+    * (Σq, Σq², saturation count) are exact on both engines and pin every
+    * quantized value, so a rounding or scale bug cannot hash-pass. Pure
+    * per-row projection — no shuffle, embarrassingly parallel. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val withScale = emb.withColumn("scale",
+      array_max(transform($"vec", x => abs(x))) / lit(127.0))
+    val q = withScale.withColumn("qs",
+      when($"scale" === 0.0, array_repeat(lit(0L), 64))
+        .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
+    q.select($"vec_id", $"scale",
+        aggregate($"qs", lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate($"qs", lit(0L), (a, x) => a + x * x).as("q_norm"),
+        aggregate($"qs", lit(0L),
+          (a, x) => a + when(abs(x) === 127L, 1L).otherwise(0L)).as("n_saturated"))
+      .orderBy($"vec_id")
+  }
+
+  private val q62Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      |x AS (SELECT vec_id, scale, unnest(v) AS x FROM s),
+      |q AS (SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN 0 ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END AS qi
+      |  FROM x)
+      |SELECT vec_id, MIN(scale) AS scale,
+      |  CAST(SUM(qi) AS BIGINT) AS q_sum,
+      |  CAST(SUM(qi * qi) AS BIGINT) AS q_norm,
+      |  CAST(SUM(CASE WHEN ABS(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Near-dup similarity floor for the registered q29: the driver's
     * synthetic embeddings are near-orthogonal random vectors (max pairwise
     * cosine ≈ 0.51 at sf0.01), so a production-style 0.98 floor returns the
@@ -362,5 +461,7 @@ object Similarity {
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
     GQuery("q29_embed_dup_pairs", q29, Some(q29Sql)),
+    GQuery("q61_ann_batch", q61, Some(q61Sql), bench = true),
+    GQuery("q62_embed_quantize", q62, Some(q62Sql)),
   )
 }
