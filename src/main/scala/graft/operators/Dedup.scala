@@ -93,7 +93,11 @@ object Dedup {
       |  CAST(COUNT(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
-  /** q24 — exact n-gram Jaccard near-dup pairs via prefix filtering. */
+  /** q24 — exact n-gram Jaccard near-dup pairs via prefix filtering.
+    * Public as [[ngramJaccardPairs]] so downstream operators (q63
+    * clustering) consume the same verified pair set. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = q24(s, dir)
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
@@ -352,6 +356,53 @@ object Dedup {
   private def q57(s: SparkSession, dir: String): DataFrame =
     minhashLshPairs(s, dir, HashFamily.Fast)
 
+  /** q63 — near-dup clustering + canonical selection: the *action* step of
+    * a dedup pass. The verified q24 pair set becomes an undirected graph;
+    * connected components assign every near-duplicated document a cluster
+    * (GraphX CC label = the component's minimum doc_id, which doubles as
+    * the canonical-survivor rule: keep ⇔ doc_id = cluster_id). Output is
+    * one row per document that has at least one near-dup.
+    *
+    * Scale: the edge set is the *verified* pair list (≪ corpus — dup
+    * volume, not data volume), CC supersteps are bounded by cluster
+    * diameter (near-dup clusters are shallow star/clique shapes), and the
+    * cluster-size join shuffles only the clustered slice. Nothing here
+    * touches unclustered documents after the q24 prefix-filter pass. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import s.implicits._
+    val pairs = ngramJaccardPairs(s, dir).select($"doc_a", $"doc_b")
+    val g = Graph.fromEdges(
+      pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
+    // stays distributed: CC label table is never collected to the driver
+    val lab = s.createDataFrame(
+        g.connectedComponents().vertices.map { case (id, c) => (id, c) })
+      .toDF("doc_id", "cluster_id")
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size".cast("long").as("cluster_size"),
+        ($"doc_id" === $"cluster_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure of the q24 pair set as a recursive CTE
+    * (UNION-dedup'd reachability), component label = min reachable id —
+    * the same min-label semantics GraphX CC converges to. */
+  private val q63Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q24Sql) q),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u FROM edges),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM nodes
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+       |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, sz.cluster_size, l.doc_id = l.cluster_id AS keep
+       |FROM lab l JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q23_exact_dedup", q23, Some(q23Sql)),
     GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
@@ -361,5 +412,6 @@ object Dedup {
       benchRun = Some((s, d) => simhashPairs(s, d, HashFamily.Fast))),
     GQuery("q56_source_dup_report", q56, Some(q56Sql)),
     GQuery("q57_minhash_lsh_fast", q57, Some(q24Sql)),
+    GQuery("q63_dedup_clusters", q63, Some(q63Sql)),
   )
 }

@@ -24,6 +24,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("dedup clusters: pairs co-clustered, label = min member, one keeper each") {
+    import spark.implicits._
+    val pairs = run("q24_ngram_jaccard_pairs").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = run("q63_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    // exactly the documents that occur in a verified pair are clustered
+    assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every verified pair land in the same cluster
+    assert(pairs.forall(p => cluster(p._1) === cluster(p._2)))
+    // label = min member id; keeper ⇔ doc == label, exactly one per cluster
+    val members = rows.groupBy(_._2)
+    assert(members.forall { case (lbl, m) => m.map(_._1).min === lbl })
+    assert(rows.forall(t => t._4 === (t._1 === t._2)))
+    assert(members.forall { case (_, m) => m.count(_._4) === 1 })
+    // cluster_size is the member count
+    assert(rows.forall(t => t._3 === members(t._2).length.toLong))
+    // and a reference union-find over the pairs agrees with GraphX CC
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = cluster.keySet.groupBy(find).flatMap { case (_, m) =>
+      val lbl = m.min; m.map(_ -> lbl)
+    }
+    assert(cluster === expect)
+  }
+
   test("simhash: identical-text pairs at hamming 0; radius bounded") {
     val pairs = run("q26_simhash_pairs").collect()
     assert(pairs.nonEmpty)
