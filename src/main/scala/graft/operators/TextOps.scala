@@ -261,6 +261,70 @@ object TextOps {
        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
   }
 
+  /** PII patterns shared by the Spark operator and the DuckDB oracle —
+    * restricted to the syntax intersection of Java regex and RE2 (no
+    * lookaround, no backreferences) so both engines match identically. */
+  val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** q64 — PII detection + redaction (the scrub pass every training corpus
+    * runs): count and mask emails, IPv4 addresses, and phone numbers.
+    * Pure per-row regexp projections — no shuffle, embarrassingly parallel
+    * at any corpus size; the only aggregate-free scan in the dedup family.
+    *
+    * The synthetic corpus contains no PII (verified: zero matches), so the
+    * gate would be vacuous on raw `text`; instead each document is
+    * augmented with PII derived deterministically from its doc_id — BOTH
+    * engines build the identical augmented text, and the md5 of the fully
+    * redacted output pins every replacement the scrubber makes (a wrong
+    * boundary, ordering, or replacement token shifts the hash). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"), lit("@mail.example.com from 10."),
+      ($"doc_id" % 200).cast("string"), lit("."), ($"doc_id" % 250).cast("string"),
+      lit("."), ($"doc_id" % 100).cast("string"),
+      lit(" call 555-"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    // email first (its local part can contain digits the other patterns
+    // could clip), then IP, then phone — the same fixed order both sides
+    val red = regexp_replace(regexp_replace(regexp_replace(aug,
+      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(regexp_extract_all(aug, lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(aug, lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+        length(red).cast("long").as("red_len"),
+        md5(red).as("red_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val q64Sql = {
+    // DuckDB single-quoted literals take backslashes verbatim, so the
+    // shared pattern constants drop straight in
+    val (email, ip, phone) = (EmailPat, Ipv4Pat, PhonePat)
+    s"""WITH a AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.' ||
+       |  CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' ||
+       |  CAST(doc_id % 100 AS VARCHAR) || ' call 555-' ||
+       |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+       |  FROM documents),
+       |r AS (SELECT doc_id, aug,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS red
+       |  FROM a)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(length(red) AS BIGINT) AS red_len,
+       |  md5(red) AS red_hash
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -270,5 +334,6 @@ object TextOps {
     GQuery("q53_heavy_tokens", q53, Some(q53Sql)),
     GQuery("q59_doc_repetition", q59, Some(q59Sql)),
     GQuery("q60_decontamination", q60, Some(q60Sql)),
+    GQuery("q64_pii_redaction", q64, Some(q64Sql)),
   )
 }

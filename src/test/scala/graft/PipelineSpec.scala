@@ -58,6 +58,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cluster === expect)
   }
 
+  test("PII redaction: golden cases and boundary non-matches") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org end"),
+      (2L, "ip 10.0.255.7 here"),
+      (3L, "tel 555-123-4567."),
+      // boundary guards: 4-digit last octet, 2-digit phone groups, and a
+      // TLD-less email must all survive unredacted
+      (4L, "no pii 1.2.3.4567 or 12-34-5678 or a@b"),
+    ).toDF("id", "s")
+    val red = df.select($"id", regexp_replace(regexp_replace(regexp_replace($"s",
+        TextOps.EmailPat, "<EMAIL>"), TextOps.Ipv4Pat, "<IP>"), TextOps.PhonePat, "<PHONE>").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "mail <EMAIL> end")
+    assert(red(2L) === "ip <IP> here")
+    assert(red(3L) === "tel <PHONE>.")
+    assert(red(4L) === "no pii 1.2.3.4567 or 12-34-5678 or a@b")
+  }
+
   test("simhash: identical-text pairs at hamming 0; radius bounded") {
     val pairs = run("q26_simhash_pairs").collect()
     assert(pairs.nonEmpty)
