@@ -103,21 +103,34 @@ object Dedup {
     val sh = docShingles(s, dir).cache()
     // the doc's shingle count rides along through the explode — one narrow
     // int column instead of a separate corpus-sized `sizes` relation and
-    // its join+shuffle (the join was by far the cheaper-to-delete half of
-    // the old plan: one shuffle of every posting row on doc_id)
+    // its join+shuffle. Shingle strings are immediately collapsed to a
+    // 128-bit hash pair (two independent xxhash64 draws): every downstream
+    // shuffle — the df aggregation, the df join, the doc_id window, the
+    // candidate self-join — moves two longs instead of a ~25-byte string,
+    // and the join comparisons are integer equality. 16 bytes buys an
+    // expected collision count of (#distinct shingles)²/2¹²⁹ ≈ 3·10⁻¹⁵
+    // even at 10¹² shingles, which matters for more than candidate noise:
+    // the positional filter's bound is only valid when both docs rank
+    // their tokens under the SAME total order, so the sort key (df,h1,h2)
+    // must be collision-free to stay a consistent global order. Raw
+    // xxhash64 (not HashFamily) is deliberate — unlike q25/q26 the hashes
+    // never reach the output (the verify recomputes true Jaccard on raw
+    // shingles), so there is no oracle mode to preserve.
     val posting = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
-    val dfreq = posting.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // global order = rarest-first (df, shingle); rank within doc via window
+      .select($"doc_id", $"n",
+        xxhash64($"shingle").as("h1"), xxhash64($"shingle", lit(2)).as("h2"))
+    val dfreq = posting.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
+    // global order = rarest-first (df, h1, h2); rank within doc via window
     // (one shuffle on doc_id). dfreq is corpus-sized — one row per distinct
     // shingle — so it must NOT be broadcast: shuffle join on the natural
     // key, AQE localizes it when small
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"shingle")
-    val prefixes = posting.join(dfreq, "shingle")
+      .partitionBy($"doc_id").orderBy($"df", $"h1", $"h2")
+    val prefixes = posting.join(dfreq, Seq("h1", "h2"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= greatest(
         ($"n" - ceil(lit(JaccardThreshold) * $"n") + 1).cast("int"), lit(1)))
-      .select($"doc_id", $"shingle", $"rn", $"n")
+      .select($"doc_id", $"h1", $"h2", $"rn", $"n")
     // length filter: jac ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
     // positional filter (PPJoin): a candidate generated at prefix positions
     // (i, j) can reach overlap at most min(i−1, j−1) + 1 + min(|A|−i, |B|−j)
@@ -132,7 +145,8 @@ object Dedup {
       least(col("x.rn"), col("y.rn")) - 1 +
         least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) + 1
     val candidates = prefixes.as("x").join(prefixes.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
+          col("x.doc_id") < col("y.doc_id") &&
           lit(JaccardThreshold) * greatest(col("x.n"), col("y.n")) <=
           least(col("x.n"), col("y.n")).cast("double") &&
           overlapBound.cast("double") >= requiredOverlap)
