@@ -88,13 +88,17 @@ final class EveGraph(val store: EveStore) {
 
   /** Shared route logic: name-resolve both endpoints (missing name → None →
     * the reference's 404), Dijkstra over the named projection, then the
-    * id→name mapping (J6). */
+    * id→name mapping (J6). The projection is *pinned* for the duration of
+    * the search ([[GraphCatalog.withGraph]]): a refresh landing mid-query
+    * retires the old graph from the catalog immediately but cannot
+    * unpersist it under the running Pregel loop, so the answer is computed
+    * against one consistent snapshot. */
   private def route(graphName: String, weightCol: String, from: String, to: String): Option[Seq[String]] =
     for {
       src <- systemIdByName(from)
       dst <- systemIdByName(to)
-      g = catalog.getOrCreate(graphName, () => buildProjection(graphName, weightCol))
-      res <- Dijkstra.autoPath(g, src, dst)
+      res <- catalog.withGraph(graphName, () => buildProjection(graphName, weightCol))(
+        Dijkstra.autoPath(_, src, dst))
     } yield {
       val names = namesByIds(res._2.distinct)
       res._2.map(id => names.getOrElse(id, "undefined"))

@@ -19,44 +19,88 @@ import scala.collection.concurrent.TrieMap
   *    the catalog pointer moves, so concurrent readers never observe a
   *    half-built graph (improves on the reference's drop-then-rebuild race,
   *    `database.rs:468-482`, without changing observable results).
+  *
+  * Snapshot pinning: a route query can span many Pregel supersteps; if a
+  * refresh unpersisted the old projection mid-query, the query's next
+  * superstep would silently *recompute* the graph from its lineage — which
+  * reads the store tables as they are NOW, not as they were when the query
+  * started (torn snapshot). [[withGraph]] therefore pins the projection
+  * instance for the duration of the callback; [[refresh]]/[[drop]] retire
+  * the old instance immediately from the catalog (new queries get the new
+  * graph) but defer its unpersist until the last pin is released. Pinning
+  * is a driver-side refcount — zero cost on the executors.
   */
 final class GraphCatalog[V, E] {
-  private val graphs = TrieMap.empty[String, Graph[V, E]]
+
+  /** A materialized projection plus its pin count. `retired` flips once the
+    * instance leaves the catalog; the last unpin (or retirement itself, if
+    * unpinned) unpersists. All transitions synchronized on the holder. */
+  private final class Holder(val graph: Graph[V, E]) {
+    private var pins = 0
+    private var retired = false
+
+    def pin(): Unit = synchronized { pins += 1 }
+
+    def unpin(): Unit = {
+      val free = synchronized { pins -= 1; retired && pins == 0 }
+      if (free) graph.unpersist(blocking = false)
+    }
+
+    def retire(): Unit = {
+      val free = synchronized { retired = true; pins == 0 }
+      if (free) graph.unpersist(blocking = false)
+    }
+  }
+
+  private val graphs = TrieMap.empty[String, Holder]
 
   def list: Seq[String] = graphs.keys.toSeq.sorted
 
   def exists(name: String): Boolean = graphs.contains(name)
 
   def getOrCreate(name: String, build: () => Graph[V, E]): Graph[V, E] =
-    graphs.getOrElseUpdate(name, materialize(build()))
+    graphs.getOrElseUpdate(name, new Holder(materialize(build()))).graph
 
-  /** Build-then-swap; old projection is unpersisted after the swap. */
+  /** Run `f` against the named projection with the instance pinned: a
+    * concurrent refresh/drop swaps the catalog entry immediately but the
+    * pinned instance stays cached until `f` returns. */
+  def withGraph[T](name: String, build: () => Graph[V, E])(f: Graph[V, E] => T): T = {
+    // getOrElseUpdate is atomic per key; a refresh between it and pin() is
+    // benign — retire() only unpersists at pins == 0, and pin() runs before
+    // any superstep touches the cached partitions
+    val h = graphs.getOrElseUpdate(name, new Holder(materialize(build())))
+    h.pin()
+    try f(h.graph)
+    finally h.unpin()
+  }
+
+  /** Build-then-swap; the old projection is retired after the swap and
+    * unpersisted once its last in-flight query releases it. */
   def refresh(name: String, build: () => Graph[V, E]): Graph[V, E] = {
-    val fresh = materialize(build())
-    val old = graphs.put(name, fresh)
-    old.foreach(_.unpersist(blocking = false))
-    fresh
+    val fresh = new Holder(materialize(build()))
+    graphs.put(name, fresh).foreach(_.retire())
+    fresh.graph
   }
 
   def drop(name: String): Boolean =
     graphs.remove(name) match {
-      case Some(g) => g.unpersist(blocking = false); true
+      case Some(h) => h.retire(); true
       case None => false
     }
 
   def dropAll(): Unit = list.foreach(drop)
 
   /** Cache and force materialization so queries never pay projection cost.
-    * Graph builders (e.g. `Graph.fromEdges`) usually pre-assign a storage
-    * level; only persist when none is set. */
+    * Each side is persisted independently: `Graph.fromEdges` pre-assigns a
+    * level to the edge RDD but can leave the derived vertex RDD unpersisted,
+    * and re-persisting an already-leveled RDD throws. */
   private def materialize(g: Graph[V, E]): Graph[V, E] = {
-    val cached =
-      if (g.vertices.getStorageLevel == StorageLevel.NONE &&
-        g.edges.getStorageLevel == StorageLevel.NONE)
-        g.persist(StorageLevel.MEMORY_AND_DISK)
-      else g
-    cached.vertices.count() // force materialization
-    cached.edges.count()
-    cached
+    if (g.vertices.getStorageLevel == StorageLevel.NONE)
+      g.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+    if (g.edges.getStorageLevel == StorageLevel.NONE)
+      g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    g.vertices.count() // force materialization
+    g.edges.count()
+    g
   }
 }

@@ -286,4 +286,32 @@ class EveGraphSpec extends AnyFunSuite {
     assert(!eng.catalog.exists("jump-risk"))
     assert(!eng.catalog.drop("jump-risk"))
   }
+
+  test("graph catalog: pinned projection survives a mid-query refresh") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.storage.StorageLevel
+    val cat = new graft.graph.GraphCatalog[Long, Double]
+    def build(w: Double): () => Graph[Long, Double] =
+      () => Graph.fromEdges(spark.sparkContext.parallelize(Seq(Edge(1L, 2L, w))), 0L)
+    val g0 = cat.getOrCreate("g", build(1.0))
+    val res = cat.withGraph("g", () => fail("projection must already exist")) { g =>
+      assert(g eq g0)
+      cat.refresh("g", build(2.0)) // swap lands while the query is in flight
+      // retired from the catalog, but the pin keeps the snapshot cached —
+      // the rest of the query computes on consistent data
+      assert(g0.vertices.getStorageLevel !== StorageLevel.NONE)
+      assert(g0.edges.getStorageLevel !== StorageLevel.NONE)
+      g.edges.map(_.attr).sum()
+    }
+    assert(res === 1.0) // the in-flight query answered from its snapshot
+    // last pin released → the retired instance is unpersisted
+    assert(g0.vertices.getStorageLevel === StorageLevel.NONE)
+    assert(g0.edges.getStorageLevel === StorageLevel.NONE)
+    // new queries see the refreshed projection, still cached
+    assert(cat.withGraph("g", () => fail("refreshed"))(_.edges.map(_.attr).sum()) === 2.0)
+    // drop retires an unpinned instance immediately
+    val g2 = cat.getOrCreate("g", () => fail("refreshed"))
+    assert(cat.drop("g"))
+    assert(g2.vertices.getStorageLevel === StorageLevel.NONE)
+  }
 }
