@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.Tables.t
+import graft.functions.HashFamily
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -325,6 +326,48 @@ object TextOps {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  val KmvK = 256
+
+  /** q65 — approximate distinct-token cardinality per source via the
+    * [[graft.functions.KmvSketch]] KMV sketch (k = 256, ~6% standard
+    * error). The per-source vocabulary size is the corpus-diversity metric
+    * behind dedup/quality dashboards, and exact count-distinct at 100 TB
+    * means shuffling every distinct token; the sketch ships 256 longs per
+    * source per partition instead. Hashing uses the Oracle family so the
+    * DuckDB oracle reproduces the *estimate itself* exactly — sort the
+    * distinct hashes, take the 256th smallest, apply the same
+    * (k−1)/(h/2⁶³) floor. Production corpora swap in HashFamily.Fast (the
+    * estimator only needs uniform hashes; PipelineSpec gates Fast-mode
+    * accuracy against the exact cardinality). */
+  def approxDistinctTokens(s: SparkSession, dir: String,
+      family: HashFamily = HashFamily.Oracle): DataFrame = {
+    import s.implicits._
+    val hashed = t(s, dir, "documents")
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .select($"source", family.hash63($"tok").as("x"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.KmvSketch(KmvK).toColumn.name("est_distinct"))
+      .toDF("source", "est_distinct")
+      .orderBy($"source")
+  }
+
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    approxDistinctTokens(s, dir, HashFamily.Oracle)
+
+  private val q65Sql = {
+    val h = graft.operators.Dedup.hash63Sql("tok")
+    s"""WITH toks AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents),
+       |h AS (SELECT DISTINCT source, $h AS x FROM toks),
+       |r AS (SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+       |             COUNT(*) OVER (PARTITION BY source) AS nd FROM h)
+       |SELECT source,
+       |  CAST(CASE WHEN nd < $KmvK THEN nd
+       |       ELSE floor(${KmvK - 1}.0 / (CAST(x AS DOUBLE) / 9223372036854775808.0)) END AS BIGINT) AS est_distinct
+       |FROM r WHERE rn = CASE WHEN nd < $KmvK THEN nd ELSE $KmvK END
+       |ORDER BY source""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -335,5 +378,6 @@ object TextOps {
     GQuery("q59_doc_repetition", q59, Some(q59Sql)),
     GQuery("q60_decontamination", q60, Some(q60Sql)),
     GQuery("q64_pii_redaction", q64, Some(q64Sql)),
+    GQuery("q65_approx_distinct", q65, Some(q65Sql)),
   )
 }

@@ -71,4 +71,19 @@ class AggregatorLawsSpec extends AnyFunSuite {
       assert(merged.size <= 8)
     }
   }
+
+  test("KmvSketch: any partitioning equals the global k-smallest-distinct sketch") {
+    val kmv = graft.functions.KmvSketch(16)
+    val rng = new scala.util.Random(6)
+    for (_ <- 0 until 100) {
+      // duplicates on purpose: KMV is over the distinct set
+      val xs = List.fill(rng.nextInt(80))(rng.nextLong(40).abs)
+      val cut = 1 + rng.nextInt(9)
+      val buf = viaPartitions(xs, cut, kmv.zero, kmv.reduce, kmv.merge)
+      assert(buf === xs.distinct.sorted.take(16), s"cut=$cut")
+      val want = graft.functions.KmvSketch.estimate(xs.distinct.sorted.take(16), 16)
+      assert(kmv.finish(buf) === want)
+      if (xs.distinct.size < 16) assert(kmv.finish(buf) === xs.distinct.size.toLong)
+    }
+  }
 }

@@ -78,6 +78,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(red(4L) === "no pii 1.2.3.4567 or 12-34-5678 or a@b")
   }
 
+  test("KMV approx-distinct: both hash families within 20% of exact cardinality") {
+    import graft.functions.HashFamily
+    import graft.operators.TextOps
+    import spark.implicits._
+    val exact = graft.Tables.t(spark, dir, "documents")
+      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"source").agg(countDistinct($"tok").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (family <- Seq(HashFamily.Oracle, HashFamily.Fast)) {
+      val est = TextOps.approxDistinctTokens(spark, dir, family)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.keySet === exact.keySet)
+      for ((src, nd) <- exact) {
+        val e = est(src)
+        // k = 256 → ~6% standard error; 20% is > 3σ
+        assert(math.abs(e - nd).toDouble / nd <= 0.20, s"$family $src est=$e exact=$nd")
+      }
+    }
+  }
+
   test("simhash: identical-text pairs at hamming 0; radius bounded") {
     val pairs = run("q26_simhash_pairs").collect()
     assert(pairs.nonEmpty)
