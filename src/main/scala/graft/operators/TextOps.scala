@@ -230,14 +230,21 @@ object TextOps {
     * suite, small enough that Catalyst broadcasts its gram set, making
     * the whole sweep one map-side pass over the corpus. Here the eval
     * set is a corpus fraction, so the shuffle join is the honest plan. */
-  private def q60(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, g) — distinct word 8-grams per document, the probe unit the
+    * exact (q60) and Bloom (q66) decontamination sweeps share. */
+  private def contaminationGrams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val terms = (0 until ContaminationGram).map(i => s"ws[i+$i]").mkString(", ")
-    val grams = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
       .filter(size($"ws") >= ContaminationGram)
       .select($"doc_id", explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$ContaminationGram), i -> concat_ws(' ', $terms))"))).as("g"))
+  }
+
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = contaminationGrams(s, dir)
     val eval = grams.filter($"doc_id" % EvalMod === 0L)
       .select($"g", $"doc_id".as("eval_id"))
     grams.filter($"doc_id" % EvalMod =!= 0L)
@@ -326,6 +333,73 @@ object TextOps {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  val BloomBits = 1 << 21 // m
+  val BloomHashes = 7 // j
+
+  /** q66 — Bloom-filter decontamination: the scale path of q60. q60's
+    * gram⋈gram shuffle join is the honest plan when the eval split is a
+    * corpus fraction, but the production scenario is a small fixed
+    * benchmark suite against a 100 TB corpus — there the right plan is a
+    * Bloom filter over the eval grams, broadcast to every executor, and a
+    * single map-side pass over the training grams (the corpus-sized
+    * relation is never shuffled).
+    *
+    * Zero-UDF, exactly-oracled construction: bit positions are
+    * `perm_k(hash63(g) mod p) mod m` for k < j — the same universal-family
+    * arithmetic DuckDB already replicates — and the filter itself is the
+    * distinct eval position set as a relation. Spark broadcasts it; a
+    * train gram passes iff all j of its position rows hit (count = j; a
+    * gram whose j perms collide on a bit still yields j matched rows, one
+    * per perm). Output includes Bloom false positives BY DESIGN — the
+    * oracle builds the identical filter, so rows+hash still match exactly,
+    * and the spec pins the no-false-negative guarantee against q60. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashParams
+    import s.implicits._
+    // gram identity = the full 63-bit hash (collisions ~2⁻⁶³·pairs); only
+    // the perm input reduces mod p. Positions are DISTINCT per gram — two
+    // perms colliding on one bit must not make a fully-present gram fail
+    // the all-positions-hit test — so the pass condition compares the hit
+    // count against the gram's own distinct-position count, not against j.
+    def positions(grams: DataFrame): DataFrame =
+      grams.withColumn("xid", HashFamily.Oracle.hash63($"g"))
+        .withColumn("x", $"xid" % MinHashParams.P)
+        .select($"doc_id", $"xid", explode(array(
+          (0 until BloomHashes).map(k => MinHashParams.perm(k, $"x") % BloomBits): _*)).as("p"))
+        .distinct()
+    val grams = contaminationGrams(s, dir)
+    val evalBits = positions(grams.filter($"doc_id" % EvalMod === 0L))
+      .select($"p").distinct().withColumn("hit", lit(1))
+    positions(grams.filter($"doc_id" % EvalMod =!= 0L))
+      .join(broadcast(evalBits), Seq("p"), "left")
+      .groupBy($"doc_id", $"xid")
+      .agg(count(lit(1)).as("npos"), count($"hit").as("hits"))
+      .filter($"hits" === $"npos")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_flagged"))
+      .select($"doc_id", $"n_flagged".cast("long").as("n_flagged"))
+      .orderBy($"doc_id")
+  }
+
+  private val q66Sql = {
+    import graft.functions.MinHashParams
+    val terms = (1 to ContaminationGram).map(i => s"ws[i+${i - 1}]").mkString(" || ' ' || ")
+    val h = graft.operators.Dedup.hash63Sql("g")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct([$terms
+       |        for i in range(1, len(ws) - ${ContaminationGram - 2})])) AS g
+       |      FROM w WHERE len(ws) >= $ContaminationGram),
+       |coef AS (${MinHashParams.coefSql(BloomHashes)}),
+       |pos AS (SELECT DISTINCT doc_id, xid, ((a * (xid % ${MinHashParams.P}) + b) % ${MinHashParams.P}) % $BloomBits AS p
+       |        FROM (SELECT doc_id, $h AS xid FROM g) CROSS JOIN coef),
+       |bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % $EvalMod = 0),
+       |hit AS (SELECT t.doc_id, t.xid, COUNT(*) AS npos, COUNT(bits.p) AS hits
+       |        FROM (SELECT * FROM pos WHERE doc_id % $EvalMod <> 0) t LEFT JOIN bits ON t.p = bits.p
+       |        GROUP BY t.doc_id, t.xid)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+       |FROM hit WHERE hits = npos
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val KmvK = 256
 
   /** q65 — approximate distinct-token cardinality per source via the
@@ -379,5 +453,6 @@ object TextOps {
     GQuery("q60_decontamination", q60, Some(q60Sql)),
     GQuery("q64_pii_redaction", q64, Some(q64Sql)),
     GQuery("q65_approx_distinct", q65, Some(q65Sql)),
+    GQuery("q66_bloom_decontaminate", q66, Some(q66Sql)),
   )
 }

@@ -98,6 +98,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom decontamination: superset of exact q60, bounded false-positive inflation") {
+    val exact = run("q60_decontamination").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = run("q66_bloom_decontaminate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // Bloom guarantee: every truly contaminated doc is flagged
+    assert(exact.subsetOf(bloom), s"missed: ${exact -- bloom}")
+    // and at these parameters (m=2^21, j=7) FPs should be rare at this SF
+    assert(bloom.size <= exact.size + math.max(2, exact.size / 5),
+      s"bloom=${bloom.size} exact=${exact.size}")
+  }
+
   test("simhash: identical-text pairs at hamming 0; radius bounded") {
     val pairs = run("q26_simhash_pairs").collect()
     assert(pairs.nonEmpty)
