@@ -320,13 +320,19 @@ object Similarity {
     * per-query re-rank window only ever sorts a query's own candidates
     * (the nprobe/k recall-cost dial, not a corpus sort). Scales as
     * queries × probed-cell volume, the IVF contract. */
-  private def q61(s: SparkSession, dir: String): DataFrame = {
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    batchAnnTopK(s, dir, BatchQueryMod)
+
+  /** Batch IVF top-k for every vector with `vec_id % queryMod == 0` —
+    * the shared retrieval core of q61 (retrieval output) and q67 (label
+    * consistency). Returns (query_id, rank, vec_id, sim). */
+  def batchAnnTopK(s: SparkSession, dir: String, queryMod: Long): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
     val assigned = ivfAssign(emb)
     val centsRow = emb.filter($"vec_id" < Centroids)
       .agg(array_sort(collect_list(struct($"vec_id", $"vec"))).as("cs"))
-    val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
+    val probed = emb.filter($"vec_id" % queryMod === 0L)
       .crossJoin(broadcast(centsRow))
       .select($"vec_id".as("query_id"), $"vec".as("qvec"),
         // sort by (−sim, cell): sim DESC with ties to the smaller cell id
@@ -344,15 +350,17 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  private val q61Sql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared CTE chain of the batch-ANN oracle (through `top`), mod-
+    * parameterized so q61 and q67 stay one pipeline in SQL too. */
+  private def batchAnnCtes(queryMod: Long): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $Centroids),
        |sims AS (SELECT e.vec_id, e.v, c.cent_id,
        |    list_cosine_similarity(e.v, c.cv) AS cs FROM e CROSS JOIN c),
        |assign AS (SELECT vec_id, v, cent_id AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
        |    FROM sims) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $BatchQueryMod = 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
        |qcells AS (SELECT query_id, qv, cent_id AS cell FROM (
        |    SELECT q.query_id, q.qv, c.cent_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -364,7 +372,10 @@ object Similarity {
        |  WHERE a.vec_id <> qc.query_id),
        |top AS (SELECT query_id, vec_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  private val q61Sql =
+    s"""${batchAnnCtes(BatchQueryMod)}
        |SELECT query_id, rank, vec_id, sim FROM top WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
@@ -457,11 +468,49 @@ object Similarity {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  val LabelKnnMod = 10L
+
+  /** q67 — kNN label-consistency audit (mislabeled-sample detection, the
+    * label-noise sweep a curation pipeline runs before training): for each
+    * audited vector, retrieve its K approximate neighbors through the same
+    * batch-IVF pipeline as q61 and count how many carry the same label; a
+    * vector whose neighborhood majority disagrees is flagged. Cost is the
+    * q61 retrieval plus one broadcast-sized label join — the label
+    * comparison adds nothing corpus-scale. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = t(s, dir, "embeddings").select($"vec_id", $"label")
+    val nn = batchAnnTopK(s, dir, LabelKnnMod)
+    nn.join(labels.withColumnRenamed("label", "n_label"), "vec_id")
+      .join(labels.select($"vec_id".as("query_id"), $"label".as("q_label")), "query_id")
+      .groupBy($"query_id", $"q_label")
+      .agg(sum(when($"n_label" === $"q_label", 1L).otherwise(0L)).as("n_same"),
+        count(lit(1)).as("n_nbrs"))
+      .select($"query_id", $"q_label",
+        $"n_same".cast("long").as("n_same"), $"n_nbrs".cast("long").as("n_nbrs"),
+        ($"n_same" * 2 < $"n_nbrs").as("flagged"))
+      .orderBy($"query_id")
+  }
+
+  private val q67Sql =
+    s"""${batchAnnCtes(LabelKnnMod)},
+       |nn AS (SELECT query_id, vec_id FROM top WHERE rank <= $K),
+       |j AS (SELECT nn.query_id, eq.label AS q_label,
+       |        CASE WHEN en.label = eq.label THEN 1 ELSE 0 END AS same
+       |      FROM nn JOIN e en ON en.vec_id = nn.vec_id
+       |              JOIN e eq ON eq.vec_id = nn.query_id)
+       |SELECT query_id, q_label,
+       |  CAST(SUM(same) AS BIGINT) AS n_same,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       |  SUM(same) * 2 < COUNT(*) AS flagged
+       |FROM j GROUP BY query_id, q_label ORDER BY query_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
     GQuery("q29_embed_dup_pairs", q29, Some(q29Sql)),
     GQuery("q61_ann_batch", q61, Some(q61Sql), bench = true),
     GQuery("q62_embed_quantize", q62, Some(q62Sql)),
+    GQuery("q67_label_knn_audit", q67, Some(q67Sql)),
   )
 }
