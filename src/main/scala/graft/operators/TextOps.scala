@@ -442,6 +442,53 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  val TfIdfTopK = 3
+
+  /** q68 — TF-IDF keyword extraction: the top-[[TfIdfTopK]] terms per
+    * document under inverse-document-frequency weighting, the canonical
+    * text-relevance statistic (keyword tagging, topic drift monitoring,
+    * quality heuristics). The idf factor is the RATIONAL form N/df rather
+    * than log(N/df): a logarithm is a transcendental whose last bits vary
+    * across libm implementations, while tf·N (exact integer) divided by df
+    * (one IEEE divide) is bit-identical on every engine — and the log is
+    * monotone in N/df, so per-document rankings are unchanged.
+    *
+    * Plan shape: two keyed aggregations (tf per (doc, term), df per term),
+    * one shuffle join on the term, and a per-document top-k window that
+    * sorts each document's own terms only — no corpus-wide sort. The
+    * document count joins in as a broadcast single-row aggregate. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df".cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TfIdfTopK)
+      .select($"doc_id", $"rank", $"term", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val q68Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= $TfIdfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -454,5 +501,6 @@ object TextOps {
     GQuery("q64_pii_redaction", q64, Some(q64Sql)),
     GQuery("q65_approx_distinct", q65, Some(q65Sql)),
     GQuery("q66_bloom_decontaminate", q66, Some(q66Sql)),
+    GQuery("q68_tfidf_topterms", q68, Some(q68Sql)),
   )
 }
