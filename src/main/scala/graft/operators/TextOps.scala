@@ -357,16 +357,18 @@ object TextOps {
     import graft.functions.MinHashParams
     import s.implicits._
     // gram identity = the full 63-bit hash (collisions ~2⁻⁶³·pairs); only
-    // the perm input reduces mod p. Positions are DISTINCT per gram — two
-    // perms colliding on one bit must not make a fully-present gram fail
-    // the all-positions-hit test — so the pass condition compares the hit
-    // count against the gram's own distinct-position count, not against j.
+    // the perm input reduces mod p. The pass condition compares the hit
+    // count against the gram's own position-row count (`npos`), not
+    // against j: two perms colliding on one bit produce duplicate rows on
+    // BOTH sides of the comparison (each duplicate matches iff the bit is
+    // set), so the multiplicities cancel and the corpus-sized position
+    // relation needs NO dedup shuffle — only the broadcast eval bit set
+    // must be distinct (join fan-out otherwise).
     def positions(grams: DataFrame): DataFrame =
       grams.withColumn("xid", HashFamily.Oracle.hash63($"g"))
         .withColumn("x", $"xid" % MinHashParams.P)
         .select($"doc_id", $"xid", explode(array(
           (0 until BloomHashes).map(k => MinHashParams.perm(k, $"x") % BloomBits): _*)).as("p"))
-        .distinct()
     val grams = contaminationGrams(s, dir)
     val evalBits = positions(grams.filter($"doc_id" % EvalMod === 0L))
       .select($"p").distinct().withColumn("hit", lit(1))
@@ -389,7 +391,7 @@ object TextOps {
        |        for i in range(1, len(ws) - ${ContaminationGram - 2})])) AS g
        |      FROM w WHERE len(ws) >= $ContaminationGram),
        |coef AS (${MinHashParams.coefSql(BloomHashes)}),
-       |pos AS (SELECT DISTINCT doc_id, xid, ((a * (xid % ${MinHashParams.P}) + b) % ${MinHashParams.P}) % $BloomBits AS p
+       |pos AS (SELECT doc_id, xid, ((a * (xid % ${MinHashParams.P}) + b) % ${MinHashParams.P}) % $BloomBits AS p
        |        FROM (SELECT doc_id, $h AS xid FROM g) CROSS JOIN coef),
        |bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % $EvalMod = 0),
        |hit AS (SELECT t.doc_id, t.xid, COUNT(*) AS npos, COUNT(bits.p) AS hits
