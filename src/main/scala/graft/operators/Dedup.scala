@@ -98,6 +98,17 @@ object Dedup {
     * clustering) consume the same verified pair set. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = q24(s, dir)
 
+  /** Prefix length |S| − ⌈t·|S|⌉ + 1 for the filter. The 1e-9 slack before
+    * the ceil matters: t·n in floating point can land a hair ABOVE an exact
+    * integer product (0.8 · 15 = 12.000000000000002), and ceiling that
+    * shortens the prefix by one — a silent recall hole exactly at the
+    * n ≡ 0 (mod 5) boundaries. Erring the other way only lengthens the
+    * prefix by one slot when frac(t·n) < 1e-9, which costs candidates,
+    * never pairs. PipelineSpec checks the column against exact integer
+    * arithmetic for every n up to 10⁴. */
+  private[graft] def prefixLen(n: Column): Column = greatest(
+    (n - ceil(lit(JaccardThreshold) * n - lit(1e-9)) + 1).cast("int"), lit(1))
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
@@ -128,8 +139,7 @@ object Dedup {
       .partitionBy($"doc_id").orderBy($"df", $"h1", $"h2")
     val prefixes = posting.join(dfreq, Seq("h1", "h2"))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= greatest(
-        ($"n" - ceil(lit(JaccardThreshold) * $"n") + 1).cast("int"), lit(1)))
+      .filter($"rn" <= prefixLen($"n"))
       .select($"doc_id", $"h1", $"h2", $"rn", $"n")
     // length filter: jac ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
     // positional filter (PPJoin): a candidate generated at prefix positions

@@ -78,6 +78,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(red(4L) === "no pii 1.2.3.4567 or 12-34-5678 or a@b")
   }
 
+  test("Jaccard prefix length is never below the exact integer bound") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // t = 0.8 = 4/5 exactly, so the true bound is n − ⌈4n/5⌉ + 1 with
+    // ⌈4n/5⌉ = (4n + 4) / 5 in integer arithmetic
+    val rows = spark.range(3, 10001).toDF("n")
+      .select($"n".cast("int").as("n"), Dedup.prefixLen($"n".cast("int")).as("len"))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getInt(0); val len = r.getInt(1)
+      val exact = math.max(n - (4 * n + 4) / 5 + 1, 1)
+      assert(len >= exact, s"n=$n len=$len exact=$exact — prefix too short, recall hole")
+      assert(len <= exact + 1, s"n=$n len=$len exact=$exact — prefix overlong")
+    }
+  }
+
   test("KMV approx-distinct: both hash families within 20% of exact cardinality") {
     import graft.functions.HashFamily
     import graft.operators.TextOps
