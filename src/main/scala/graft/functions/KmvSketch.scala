@@ -43,6 +43,21 @@ final case class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
   override def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
 }
 
+/** [[KmvSketch]] emitting the raw sketch buffer instead of the estimate —
+  * the unit a streaming accumulator persists between micro-batches (union
+  * of sketches = sketch of the union, so incremental maintenance is exact:
+  * `streaming.VocabStream`). */
+final case class KmvBuffer(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val inner = KmvSketch(k)
+  override def zero: Seq[Long] = inner.zero
+  override def reduce(b: Seq[Long], x: Long): Seq[Long] = inner.reduce(b, x)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = inner.merge(a, b)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 object KmvSketch {
   /** 2⁶³ — exactly representable as a double (power of two), so both
     * engines normalize hashes with the identical constant. */
