@@ -388,14 +388,22 @@ object Similarity {
     * (Σq, Σq², saturation count) are exact on both engines and pin every
     * quantized value, so a rounding or scale bug cannot hash-pass. Pure
     * per-row projection — no shuffle, embarrassingly parallel. */
+  /** (vec_id, label, scale, qs) — the shared int8 quantization (q62's
+    * projection, reused by the q69 centroid audit). */
+  def quantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("vec"))
+      .withColumn("scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
+      .withColumn("qs",
+        when($"scale" === 0.0, array_repeat(lit(0L), 64))
+          .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
+      .select($"vec_id", $"label", $"scale", $"qs")
+  }
+
   private def q62(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = embeddings(s, dir)
-    val withScale = emb.withColumn("scale",
-      array_max(transform($"vec", x => abs(x))) / lit(127.0))
-    val q = withScale.withColumn("qs",
-      when($"scale" === 0.0, array_repeat(lit(0L), 64))
-        .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
+    val q = quantized(s, dir)
     q.select($"vec_id", $"scale",
         aggregate($"qs", lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate($"qs", lit(0L), (a, x) => a + x * x).as("q_norm"),
@@ -505,6 +513,66 @@ object Similarity {
        |  SUM(same) * 2 < COUNT(*) AS flagged
        |FROM j GROUP BY query_id, q_label ORDER BY query_id""".stripMargin
 
+  val OutliersPerLabel = 3
+
+  /** q69 — label-centroid outlier audit over the int8-quantized corpus:
+    * for each label, the [[OutliersPerLabel]] vectors with the lowest
+    * cosine to their label's centroid (the "weird examples under this
+    * label" list a curation UI shows next to q67's neighborhood vote).
+    *
+    * Runs entirely on the q62 quantized form — the representation a
+    * 100 TB embedding corpus actually ships — and that choice is also
+    * what makes it exactly oracle-able: centroid components, dot
+    * products, and norms are INTEGER sums (order-independent, no FP
+    * accumulation drift), cosine is then three IEEE-exact ops on exact
+    * longs < 2⁵³. Cosine is scale-invariant, so the unnormalized integer
+    * component-sum serves as the centroid direction — no division, no
+    * decimal means. Plan: one posexplode + two keyed aggregations + a
+    * (label, pos) join — dimension count (64) bounds the fan-out, and
+    * the per-label top-k window sorts each label's own vectors only. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = quantized(s, dir)
+      .select($"vec_id", $"label", posexplode($"qs"))
+      .toDF("vec_id", "label", "pos", "qi")
+    val cent = comp.groupBy($"label", $"pos").agg(sum($"qi").as("ci"))
+    val cnorm = cent.groupBy($"label").agg(sum($"ci" * $"ci").as("cn2"))
+    val dots = comp.join(cent, Seq("label", "pos"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum($"qi" * $"ci").as("dot"), sum($"qi" * $"qi").as("vn2"))
+    val scored = dots.join(cnorm, "label")
+      .filter($"vn2" > 0L && $"cn2" > 0L) // zero vectors have no direction
+      .withColumn("cos_sim", $"dot".cast("double") /
+        (sqrt($"vn2".cast("double")) * sqrt($"cn2".cast("double"))))
+    val w = Window.partitionBy($"label").orderBy($"cos_sim", $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= OutliersPerLabel)
+      .select($"label", $"rank", $"vec_id", $"dot", $"cos_sim")
+      .orderBy($"label", $"rank")
+  }
+
+  private val q69Sql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, label, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       |comp AS (SELECT vec_id, label, i - 1 AS pos,
+       |    CASE WHEN scale = 0 THEN 0 ELSE CAST(FLOOR(v[i] / scale + 0.5) AS BIGINT) END AS qi
+       |  FROM sc, range(1, 65) t(i)),
+       |cent AS (SELECT label, pos, CAST(SUM(qi) AS BIGINT) AS ci FROM comp GROUP BY label, pos),
+       |cn AS (SELECT label, CAST(SUM(ci * ci) AS BIGINT) AS cn2 FROM cent GROUP BY label),
+       |d AS (SELECT c.vec_id, c.label, CAST(SUM(c.qi * ct.ci) AS BIGINT) AS dot,
+       |        CAST(SUM(c.qi * c.qi) AS BIGINT) AS vn2
+       |      FROM comp c JOIN cent ct ON ct.label = c.label AND ct.pos = c.pos
+       |      GROUP BY c.vec_id, c.label),
+       |scored AS (SELECT d.label, d.vec_id, d.dot,
+       |        CAST(d.dot AS DOUBLE) / (sqrt(CAST(d.vn2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos_sim
+       |      FROM d JOIN cn USING (label) WHERE d.vn2 > 0 AND cn.cn2 > 0),
+       |r AS (SELECT label, vec_id, dot, cos_sim,
+       |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim, vec_id) AS rank
+       |      FROM scored)
+       |SELECT label, rank, vec_id, dot, cos_sim FROM r WHERE rank <= $OutliersPerLabel
+       |ORDER BY label, rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
@@ -512,5 +580,6 @@ object Similarity {
     GQuery("q61_ann_batch", q61, Some(q61Sql), bench = true),
     GQuery("q62_embed_quantize", q62, Some(q62Sql)),
     GQuery("q67_label_knn_audit", q67, Some(q67Sql)),
+    GQuery("q69_label_centroid_outliers", q69, Some(q69Sql)),
   )
 }
