@@ -444,6 +444,50 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  val PackBinTokens = 512L
+
+  /** q70 — sequence packing: concatenate documents in deterministic order
+    * and chop into fixed token-budget bins (the GPT-style pack-then-split
+    * batch construction; a document may straddle a boundary, exactly as
+    * training packers do). Packing runs PER SOURCE — cumulative token
+    * offsets come from a window partitioned by source and ordered by
+    * doc_id, so each source packs independently and in parallel; there is
+    * no global sequential scan, which is what makes the op viable when
+    * "source" is a shard key with millions of rows each. Reported per
+    * (source, bin): document count, token count, and the doc-id range —
+    * the manifest a downstream loader consumes. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    t(s, dir, "documents")
+      .select($"source", $"doc_id", size(split(lower(trim($"text")), "\\s+")).cast("long").as("toks"))
+      .withColumn("cum_end", sum($"toks").over(w))
+      // bin of a doc = bin containing its first token (0-based offset);
+      // `div` is integer division (plain `/` on longs yields double)
+      .withColumn("bin", expr(s"(cum_end - toks) div $PackBinTokens"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .select($"source", $"bin", $"n_docs".cast("long").as("n_docs"),
+        $"n_tokens".cast("long").as("n_tokens"), $"first_doc", $"last_doc")
+      .orderBy($"source", $"bin")
+  }
+
+  private val q70Sql =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT source, doc_id, toks,
+       |    SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+       |  FROM d)
+       |SELECT source, CAST((cum_end - toks) // $PackBinTokens AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   val TfIdfTopK = 3
 
   /** q68 — TF-IDF keyword extraction: the top-[[TfIdfTopK]] terms per
@@ -504,5 +548,6 @@ object TextOps {
     GQuery("q65_approx_distinct", q65, Some(q65Sql)),
     GQuery("q66_bloom_decontaminate", q66, Some(q66Sql)),
     GQuery("q68_tfidf_topterms", q68, Some(q68Sql)),
+    GQuery("q70_sequence_packing", q70, Some(q70Sql)),
   )
 }
