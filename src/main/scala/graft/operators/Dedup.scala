@@ -427,6 +427,37 @@ object Dedup {
        |SELECT l.doc_id, l.cluster_id, sz.cluster_size, l.doc_id = l.cluster_id AS keep
        |FROM lab l JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** q71 — cross-source duplication matrix: for every source pair, how
+    * many verified near-dup pairs (q24) connect them — q56 says how much
+    * each source duplicates, this says WITH WHOM: the ingest-provenance
+    * view that tells a crawl operator which feeds mirror each other.
+    * (Exact content hashes would be the cheaper key, but this corpus's
+    * exact dups never cross sources — the near-dup graph is where the
+    * cross-feed signal lives.) Source pairs are least/greatest-normalized
+    * so direction doesn't split counts; the doc→source joins touch only
+    * the verified pair list (dup volume, not corpus volume). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select($"doc_id", $"source")
+    ngramJaccardPairs(s, dir)
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .groupBy(least($"src_a", $"src_b").as("source_a"),
+        greatest($"src_a", $"src_b").as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"source_a", $"source_b", $"n_pairs".cast("long").as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val q71Sql =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($q24Sql) q),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT LEAST(a.source, b.source) AS source_a,
+       |  GREATEST(a.source, b.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs p JOIN src a ON a.doc_id = p.doc_a JOIN src b ON b.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q23_exact_dedup", q23, Some(q23Sql)),
     GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
@@ -437,5 +468,6 @@ object Dedup {
     GQuery("q56_source_dup_report", q56, Some(q56Sql)),
     GQuery("q57_minhash_lsh_fast", q57, Some(q24Sql)),
     GQuery("q63_dedup_clusters", q63, Some(q63Sql)),
+    GQuery("q71_source_overlap", q71, Some(q71Sql)),
   )
 }
