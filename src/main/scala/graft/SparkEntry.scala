@@ -22,6 +22,7 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.Multimodal.all ++
       operators.Sampling.all ++
+      operators.Curate.all ++
       streaming.EventsStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

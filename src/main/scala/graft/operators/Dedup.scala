@@ -392,6 +392,8 @@ object Dedup {
     * diameter (near-dup clusters are shallow star/clique shapes), and the
     * cluster-size join shuffles only the clustered slice. Nothing here
     * touches unclustered documents after the q24 prefix-filter pass. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = q63(s, dir)
+
   private def q63(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     import s.implicits._
@@ -412,6 +414,8 @@ object Dedup {
   /** Oracle: transitive closure of the q24 pair set as a recursive CTE
     * (UNION-dedup'd reachability), component label = min reachable id —
     * the same min-label semantics GraphX CC converges to. */
+  private[operators] def q63SqlShared: String = q63Sql
+
   private val q63Sql =
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q24Sql) q),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -242,6 +242,8 @@ object TextOps {
         s"transform(sequence(0, size(ws)-$ContaminationGram), i -> concat_ws(' ', $terms))"))).as("g"))
   }
 
+  def decontaminationReport(s: SparkSession, dir: String): DataFrame = q60(s, dir)
+
   private def q60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = contaminationGrams(s, dir)
@@ -254,6 +256,8 @@ object TextOps {
       .select($"doc_id", $"n_shared".cast("long").as("n_shared"), $"first_eval")
       .orderBy($"doc_id")
   }
+
+  private[operators] def q60SqlShared: String = q60Sql
 
   private val q60Sql = {
     val terms = (1 to ContaminationGram).map(i => s"ws[i+${i - 1}]").mkString(" || ' ' || ")

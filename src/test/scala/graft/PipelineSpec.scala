@@ -126,6 +126,28 @@ class PipelineSpec extends AnyFunSuite {
       s"bloom=${bloom.size} exact=${exact.size}")
   }
 
+  test("curation manifest: verdict precedence and packing invariants") {
+    import spark.implicits._
+    val m = run("q72_curation_manifest").cache()
+    // eval split is exactly the doc_id % 10 == 0 set
+    assert(m.filter($"status" === "eval_holdout").select("doc_id")
+      .collect().forall(_.getLong(0) % 10 == 0))
+    assert(m.filter($"doc_id" % 10 === 0 && $"status" =!= "eval_holdout").count() === 0)
+    // near-dup non-survivors can never be kept
+    val nearDrop = graft.operators.Dedup.dedupClusters(spark, dir)
+      .filter(!$"keep").select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = m.filter($"status" === "kept").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(nearDrop).isEmpty)
+    // only kept docs carry a bin, and bins per source are contiguous from 0
+    assert(m.filter($"status" =!= "kept" && $"bin" =!= -1L).count() === 0)
+    m.filter($"status" === "kept").groupBy($"source")
+      .agg(collect_set($"bin").as("bins")).collect().foreach { r =>
+        val bins = r.getSeq[Long](1).sorted
+        assert(bins === (0L until bins.length), s"${r.getString(0)}: $bins")
+      }
+  }
+
   test("simhash: identical-text pairs at hamming 0; radius bounded") {
     val pairs = run("q26_simhash_pairs").collect()
     assert(pairs.nonEmpty)
