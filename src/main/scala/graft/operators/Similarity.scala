@@ -535,12 +535,16 @@ object Similarity {
     val comp = quantized(s, dir)
       .select($"vec_id", $"label", posexplode($"qs"))
       .toDF("vec_id", "label", "pos", "qi")
+    // labels × 64 rows and labels rows respectively — label-cardinality-
+    // bounded at ANY corpus size, so broadcast is declared, not left to
+    // AQE statistics; the corpus-sized comp relation is never shuffled
+    // for the dot product
     val cent = comp.groupBy($"label", $"pos").agg(sum($"qi").as("ci"))
     val cnorm = cent.groupBy($"label").agg(sum($"ci" * $"ci").as("cn2"))
-    val dots = comp.join(cent, Seq("label", "pos"))
+    val dots = comp.join(broadcast(cent), Seq("label", "pos"))
       .groupBy($"vec_id", $"label")
       .agg(sum($"qi" * $"ci").as("dot"), sum($"qi" * $"qi").as("vn2"))
-    val scored = dots.join(cnorm, "label")
+    val scored = dots.join(broadcast(cnorm), "label")
       .filter($"vn2" > 0L && $"cn2" > 0L) // zero vectors have no direction
       .withColumn("cos_sim", $"dot".cast("double") /
         (sqrt($"vn2".cast("double")) * sqrt($"cn2".cast("double"))))
