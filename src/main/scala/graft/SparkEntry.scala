@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.Sampling.all ++
       operators.Curate.all ++
+      operators.Profile.all ++
       streaming.EventsStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
