@@ -30,7 +30,10 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val benched = SparkEntry.registry.filter(_.bench)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // min-of-3: at these data sizes fresh-JVM codegen warmup dominates the
+    // first run and still colors the second; the third lands near steady
+    // state (measured via tools.AbJaccard's interleaved rounds)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = benched.map { q =>
       val name = q.name
       // production configuration where one exists (e.g. xxhash64 dedup

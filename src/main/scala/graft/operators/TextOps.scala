@@ -230,17 +230,21 @@ object TextOps {
     * suite, small enough that Catalyst broadcasts its gram set, making
     * the whole sweep one map-side pass over the corpus. Here the eval
     * set is a corpus fraction, so the shuffle join is the honest plan. */
-  /** (doc_id, g) — distinct word 8-grams per document, the probe unit the
-    * exact (q60) and Bloom (q66) decontamination sweeps share. */
-  private def contaminationGrams(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** (doc_id, g) — distinct word 8-grams per (doc_id, text) row, the probe
+    * unit the exact (q60) and Bloom (q66) decontamination sweeps and the
+    * streaming contamination monitor share. */
+  def contaminationGramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val terms = (0 until ContaminationGram).map(i => s"ws[i+$i]").mkString(", ")
-    t(s, dir, "documents")
+    docs
       .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
       .filter(size($"ws") >= ContaminationGram)
       .select($"doc_id", explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$ContaminationGram), i -> concat_ws(' ', $terms))"))).as("g"))
   }
+
+  private def contaminationGrams(s: SparkSession, dir: String): DataFrame =
+    contaminationGramsOf(t(s, dir, "documents"))
 
   def decontaminationReport(s: SparkSession, dir: String): DataFrame = q60(s, dir)
 
@@ -357,33 +361,44 @@ object TextOps {
     * per perm). Output includes Bloom false positives BY DESIGN — the
     * oracle builds the identical filter, so rows+hash still match exactly,
     * and the spec pins the no-false-negative guarantee against q60. */
-  private def q66(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, xid, p) Bloom position rows for a gram relation — gram
+    * identity is the full 63-bit hash (collisions ~2⁻⁶³·pairs); only the
+    * perm input reduces mod p. Shared by q66 and the streaming monitor. */
+  def bloomPositions(grams: DataFrame): DataFrame = {
     import graft.functions.MinHashParams
-    import s.implicits._
-    // gram identity = the full 63-bit hash (collisions ~2⁻⁶³·pairs); only
-    // the perm input reduces mod p. The pass condition compares the hit
-    // count against the gram's own position-row count (`npos`), not
-    // against j: two perms colliding on one bit produce duplicate rows on
-    // BOTH sides of the comparison (each duplicate matches iff the bit is
-    // set), so the multiplicities cancel and the corpus-sized position
-    // relation needs NO dedup shuffle — only the broadcast eval bit set
-    // must be distinct (join fan-out otherwise).
-    def positions(grams: DataFrame): DataFrame =
-      grams.withColumn("xid", HashFamily.Oracle.hash63($"g"))
-        .withColumn("x", $"xid" % MinHashParams.P)
-        .select($"doc_id", $"xid", explode(array(
-          (0 until BloomHashes).map(k => MinHashParams.perm(k, $"x") % BloomBits): _*)).as("p"))
-    val grams = contaminationGrams(s, dir)
-    val evalBits = positions(grams.filter($"doc_id" % EvalMod === 0L))
-      .select($"p").distinct().withColumn("hit", lit(1))
-    positions(grams.filter($"doc_id" % EvalMod =!= 0L))
-      .join(broadcast(evalBits), Seq("p"), "left")
+    import grams.sparkSession.implicits._
+    grams.withColumn("xid", HashFamily.Oracle.hash63($"g"))
+      .withColumn("x", $"xid" % MinHashParams.P)
+      .select($"doc_id", $"xid", explode(array(
+        (0 until BloomHashes).map(k => MinHashParams.perm(k, $"x") % BloomBits): _*)).as("p"))
+  }
+
+  /** Probe a document batch's position rows against a distinct eval bit
+    * set: (doc_id, n_flagged) for docs with ≥ 1 fully-hit gram. The pass
+    * condition compares the hit count against the gram's own position-row
+    * count (`npos`), not against j: two perms colliding on one bit produce
+    * duplicate rows on BOTH sides of the comparison (each duplicate
+    * matches iff the bit is set), so the multiplicities cancel and the
+    * corpus-sized position relation needs NO dedup shuffle — only the
+    * broadcast eval bit set must be distinct (join fan-out otherwise). */
+  def bloomProbe(trainPositions: DataFrame, evalBits: DataFrame): DataFrame = {
+    import trainPositions.sparkSession.implicits._
+    trainPositions
+      .join(broadcast(evalBits.withColumn("hit", lit(1))), Seq("p"), "left")
       .groupBy($"doc_id", $"xid")
       .agg(count(lit(1)).as("npos"), count($"hit").as("hits"))
       .filter($"hits" === $"npos")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_flagged"))
       .select($"doc_id", $"n_flagged".cast("long").as("n_flagged"))
       .orderBy($"doc_id")
+  }
+
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = contaminationGrams(s, dir)
+    val evalBits = bloomPositions(grams.filter($"doc_id" % EvalMod === 0L))
+      .select($"p").distinct()
+    bloomProbe(bloomPositions(grams.filter($"doc_id" % EvalMod =!= 0L)), evalBits)
   }
 
   private val q66Sql = {
