@@ -56,37 +56,14 @@ object Dedup {
         expr("transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
         .as("sh"))
 
-  // one persisted shingle store per (session, sf dir) — the IVF-index
-  // amortization pattern applied to tokenization: every query in the
-  // dedup family (q24/q25/q26/q57/q63/q71 + the batch side of the
-  // streaming dedup spec) consumes the same (doc_id, shingles) relation,
-  // and the 3-gram transform is its dominant local cost, so it is
-  // materialized once and scanned thereafter. At 100 TB this is the
-  // canonical "prepare" stage every dedup pipeline runs before its
-  // sketches; re-deriving shingles per query is the wasteful path. The
-  // first consumer pays the build (visible in its timing, same contract
-  // as the q28 index build).
-  private val shingleStores =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
   /** (doc_id, shingles array<string>) over the sfDir documents table,
-    * served from the per-session materialized store. */
-  def docShingles(s: SparkSession, dir: String): DataFrame = {
-    val store = shingleStores.getOrElseUpdate((s, dir), {
-      val d = java.nio.file.Files.createTempDirectory("shinglestore")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }))
-      val out = s"$d/sh"
-      shinglesOf(t(s, dir, "documents"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-      out
-    })
-    s.read.parquet(store)
-  }
+    * served from the per-session [[graft.store.Materialized]] store —
+    * every query in the dedup family (q24/q25/q26/q57/q63/q71 + the batch
+    * side of the streaming dedup spec) consumes this one relation instead
+    * of re-running the 3-gram transform, its dominant local cost. */
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"shingles:$dir")(
+      shinglesOf(t(s, dir, "documents")))
 
   /** Verify candidate pairs against full shingle sets; returns
     * (doc_a, doc_b, jaccard) with jaccard ≥ threshold. */
@@ -314,8 +291,8 @@ object Dedup {
   def simhashFingerprints(s: SparkSession, dir: String,
       family: HashFamily = HashFamily.Oracle): DataFrame = {
     import s.implicits._
-    val tokens = t(s, dir, "documents")
-      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val tokens = TextOps.docTokens(s, dir)
+      .select($"doc_id", explode($"ws").as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", family.hash63($"tok"))
     val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>

@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** (doc_id, source, ws array<string>) — lowercase whitespace tokens —
+    * from any (doc_id, source, text) DataFrame (batch table or streaming
+    * batch). */
+  def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      split(lower(trim(col("text"))), "\\s+").as("ws"))
+
+  /** The tokenized corpus, served from the per-session
+    * [[graft.store.Materialized]] store — the token half of the
+    * shingle-store contract: every whitespace-token consumer
+    * (q34/q53/q59/q60/q65/q66/q68/q70) scans this one columnar relation
+    * instead of re-splitting `documents.text`, which is otherwise the
+    * dominant repeated local cost of the text-analysis family. */
+  def docTokens(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"tokens:$dir")(
+      tokensOf(t(s, dir, "documents")))
+
   /** q30 — token counting: whitespace tokens + BPE-ish regex tokens
     * (letter runs / digits / single punctuation). */
   private def q30(s: SparkSession, dir: String): DataFrame = {
@@ -124,8 +141,8 @@ object TextOps {
   /** q34 — corpus word frequency (A4 explode→aggregate shape): top 20. */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+    docTokens(s, dir)
+      .select(explode($"ws").as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .orderBy($"freq".desc, $"word")
       .limit(20)
@@ -150,8 +167,8 @@ object TextOps {
     * and pass 2 touches a broadcast-filtered sliver. */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents")
-      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val toks = docTokens(s, dir)
+      .select(explode($"ws").as("tok"))
     // sketch candidates AND the total token count in ONE corpus pass (a
     // separate count(*) agg would be a third full tokenization scan);
     // the 1-row result is cached so its two consumers don't recompute it
@@ -184,8 +201,7 @@ object TextOps {
     * embarrassingly parallel, no cross-document state at any scale. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = t(s, dir, "documents")
-      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+    val grams = docTokens(s, dir)
       .filter(size($"ws") >= 2)
       .select($"doc_id", explode(
         expr("transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("g"))
@@ -235,16 +251,25 @@ object TextOps {
     * streaming contamination monitor share. */
   def contaminationGramsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    contaminationGramsFromWs(
+      docs.select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws")))
+  }
+
+  /** Same gram relation from a pre-tokenized (doc_id, ws) input — the
+    * batch path through the materialized token store. */
+  def contaminationGramsFromWs(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
     val terms = (0 until ContaminationGram).map(i => s"ws[i+$i]").mkString(", ")
-    docs
-      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ws"))
+    toks
       .filter(size($"ws") >= ContaminationGram)
       .select($"doc_id", explode(array_distinct(expr(
         s"transform(sequence(0, size(ws)-$ContaminationGram), i -> concat_ws(' ', $terms))"))).as("g"))
   }
 
-  private def contaminationGrams(s: SparkSession, dir: String): DataFrame =
-    contaminationGramsOf(t(s, dir, "documents"))
+  private def contaminationGrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    contaminationGramsFromWs(docTokens(s, dir).select($"doc_id", $"ws"))
+  }
 
   def decontaminationReport(s: SparkSession, dir: String): DataFrame = q60(s, dir)
 
@@ -437,8 +462,8 @@ object TextOps {
   def approxDistinctTokens(s: SparkSession, dir: String,
       family: HashFamily = HashFamily.Oracle): DataFrame = {
     import s.implicits._
-    val hashed = t(s, dir, "documents")
-      .select($"source", explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+    val hashed = docTokens(s, dir)
+      .select($"source", explode($"ws").as("tok"))
       .select($"source", family.hash63($"tok").as("x"))
       .as[(String, Long)]
     hashed.groupByKey(_._1).mapValues(_._2)
@@ -479,8 +504,8 @@ object TextOps {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"doc_id")
-    t(s, dir, "documents")
-      .select($"source", $"doc_id", size(split(lower(trim($"text")), "\\s+")).cast("long").as("toks"))
+    docTokens(s, dir)
+      .select($"source", $"doc_id", size($"ws").cast("long").as("toks"))
       .withColumn("cum_end", sum($"toks").over(w))
       // bin of a doc = bin containing its first token (0-based offset);
       // `div` is integer division (plain `/` on longs yields double)
@@ -524,8 +549,8 @@ object TextOps {
     * document count joins in as a broadcast single-row aggregate. */
   private def q68(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents")
-      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+    val toks = docTokens(s, dir)
+      .select($"doc_id", explode($"ws").as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))

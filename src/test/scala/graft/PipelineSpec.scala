@@ -417,4 +417,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
   }
+
+  test("materialized token and shingle stores are row-identical to direct derivation") {
+    import graft.operators.TextOps
+    import graft.Tables.t
+    val docs = t(spark, dir, "documents")
+    val tokDirect = TextOps.tokensOf(docs)
+    val tokStored = TextOps.docTokens(spark, dir)
+    assert(tokStored.columns.toSeq === tokDirect.columns.toSeq)
+    assert(tokStored.exceptAll(tokDirect).count() === 0L)
+    assert(tokDirect.exceptAll(tokStored).count() === 0L)
+    val shDirect = Dedup.shinglesOf(docs)
+    val shStored = Dedup.docShingles(spark, dir)
+    assert(shStored.exceptAll(shDirect).count() === 0L)
+    assert(shDirect.exceptAll(shStored).count() === 0L)
+  }
 }
