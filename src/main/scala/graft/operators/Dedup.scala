@@ -467,6 +467,82 @@ object Dedup {
        |FROM pairs p JOIN src a ON a.doc_id = p.doc_a JOIN src b ON b.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  val SpanGram = 8
+
+  /** q74 — exact duplicated-substring spans: for every document, the
+    * maximal runs of consecutive token positions whose word
+    * [[SpanGram]]-grams each also occur in at least one OTHER document —
+    * the "exact substring dedup" pass of Lee et al. 2022 (Deduplicating
+    * Training Data Makes Language Models Better), which trims repeated
+    * boilerplate/quotations instead of dropping whole near-dup docs.
+    * Their suffix-array ExactSubstr is a single-machine structure; the
+    * distributed re-expression is an inverted index over positional
+    * k-grams + a gaps-and-islands merge:
+    *
+    *   1. (doc, pos, gram-hash) — positional k-grams, hashed to 63 bits
+    *      before any shuffle (8-byte keys, not ~50-byte strings);
+    *   2. grams spanning ≥ 2 distinct docs via one groupBy(h) — the
+    *      HAVING min≠max form needs no distinct-count state;
+    *   3. flagged positions per doc merged into maximal spans with the
+    *      pos − row_number() island trick — the window partitions by
+    *      doc_id, so each document sorts only its own flagged positions.
+    *
+    * Every shuffle key is either the gram hash or the doc id; nothing is
+    * ever doc×doc. A span of n_grams consecutive duplicated k-grams
+    * covers n_grams + k − 1 tokens ([span_start, span_end)). */
+  def duplicatedSpans(s: SparkSession, dir: String,
+      family: HashFamily = HashFamily.Oracle): DataFrame = {
+    import s.implicits._
+    val terms = (0 until SpanGram).map(i => s"ws[i+$i]").mkString(", ")
+    val pos = TextOps.docTokens(s, dir)
+      .filter(size($"ws") >= SpanGram)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(ws)-$SpanGram), i -> concat_ws(' ', $terms))")))
+      .toDF("doc_id", "pos", "g")
+      .select($"doc_id", $"pos", family.hash63($"g").as("h"))
+    val dup = pos.groupBy($"h")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx")
+      .select($"h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    pos.join(dup, "h")
+      .select($"doc_id", $"pos")
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("span_start"), max($"pos").as("last_g"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start".cast("long").as("span_start"),
+        ($"last_g" + SpanGram).cast("long").as("span_end"),
+        ($"last_g" + SpanGram - $"span_start").cast("long").as("span_tokens"),
+        $"n_grams".cast("long").as("n_grams"))
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(s, dir, HashFamily.Oracle)
+
+  private val q74Sql = {
+    val terms = (1 to SpanGram).map(i => s"ws[i+${i - 1}]").mkString(" || ' ' || ")
+    val h = hash63Sql("p0.s.g")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |p0 AS (SELECT doc_id, unnest([{'pos': i - 1, 'g': $terms}
+       |         for i in range(1, len(ws) - ${SpanGram - 2})]) AS s
+       |       FROM w WHERE len(ws) >= $SpanGram),
+       |p AS (SELECT doc_id, p0.s.pos AS pos, $h AS h FROM p0),
+       |dup AS (SELECT h FROM p GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+       |f AS (SELECT doc_id, pos FROM p JOIN dup USING (h)),
+       |i AS (SELECT doc_id, pos,
+       |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+       |a AS (SELECT doc_id, grp, MIN(pos) AS span_start, MAX(pos) AS last_g,
+       |        COUNT(*) AS n_grams FROM i GROUP BY doc_id, grp)
+       |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       |  CAST(last_g + $SpanGram AS BIGINT) AS span_end,
+       |  CAST(last_g + $SpanGram - span_start AS BIGINT) AS span_tokens,
+       |  CAST(n_grams AS BIGINT) AS n_grams
+       |FROM a ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q23_exact_dedup", q23, Some(q23Sql)),
     GQuery("q24_ngram_jaccard_pairs", q24, Some(q24Sql), bench = true),
@@ -478,5 +554,6 @@ object Dedup {
     GQuery("q57_minhash_lsh_fast", q57, Some(q24Sql)),
     GQuery("q63_dedup_clusters", q63, Some(q63Sql)),
     GQuery("q71_source_overlap", q71, Some(q71Sql)),
+    GQuery("q74_dup_spans", q74, Some(q74Sql)),
   )
 }

@@ -418,6 +418,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("q74 duplicated spans match a brute-force reference; hash families agree") {
+    import graft.functions.HashFamily
+    val k = Dedup.SpanGram
+    val tokenized = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toVector)
+    val pos = tokenized.toSeq.flatMap { case (id, ws) =>
+      if (ws.length >= k) (0 to ws.length - k).map(p => (id, p, ws.slice(p, p + k).mkString(" ")))
+      else Seq.empty
+    }
+    val docsPerGram = pos.groupBy(_._3).map { case (g, v) => g -> v.map(_._1).toSet }
+    val flagged = pos.collect { case (id, p, g) if (docsPerGram(g) - id).nonEmpty => (id, p) }
+    val expect = flagged.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = sorted.foldLeft(List.empty[(Int, Int, Int)]) {
+        case ((st, last, n) :: rest, p) if p == last + 1 => (st, p, n + 1) :: rest
+        case (acc, p) => (p, p, 1) :: acc
+      }.reverse
+      spans.map { case (st, last, n) =>
+        (id, st.toLong, (last + k).toLong, (last + k - st).toLong, n.toLong) }
+    }.sortBy(t => (t._1, t._2))
+    val got = run("q74_dup_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty, "corpus has no duplicated spans — gate is vacuous")
+    assert(got === expect)
+    // invariant: islands of consecutive grams ⇒ span_tokens = n_grams + k − 1
+    assert(got.forall(t => t._4 === t._5 + k - 1))
+    // the production hash family yields the identical span report (w.h.p.
+    // no 63-bit collisions at this scale; a collision would only ever ADD
+    // a false dup-gram, and this pins that it does not happen here)
+    val fast = Dedup.duplicatedSpans(spark, dir, HashFamily.Fast).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(fast === got)
+  }
+
   test("materialized token and shingle stores are row-identical to direct derivation") {
     import graft.operators.TextOps
     import graft.Tables.t
