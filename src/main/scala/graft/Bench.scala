@@ -39,6 +39,10 @@ object Bench {
       // production configuration where one exists (e.g. xxhash64 dedup
       // hashing instead of the oracle-only md5 family)
       val fn = q.benchRun.getOrElse(q.run)
+      // drop this session's materialized prepare-stage stores so run 1 is
+      // a true COLD run — it pays the query's own tokenize/shingle/index
+      // build, the cost a pipeline's first pass over a fresh corpus pays
+      graft.store.Materialized.invalidate(spark)
       // min over repeated runs: filters ambient machine noise, reports the
       // plan's actual cost; a failed query is marked -1, never a fast time
       val timings = (1 to runs).map { _ =>
@@ -50,16 +54,22 @@ object Bench {
         }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      val best = if (timings.forall(_._1)) timings.map(_._2).min else -1.0
-      name -> best
+      val ok = timings.forall(_._1)
+      // headline stays min-of-N (steady-state plan cost); cold rides along
+      // so the amortized prepare stage never disappears from the artifact
+      val best = if (ok) timings.map(_._2).min else -1.0
+      val cold = if (ok) timings.head._2 else -1.0
+      (name, best, cold)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val colds = jmap(_._3)
     // any failed query poisons the headline total (-1): a regression must
     // never read as a speedup by dropping its own time out of the sum
     val failed = results.count(_._2 < 0.0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

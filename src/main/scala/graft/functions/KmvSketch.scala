@@ -43,6 +43,24 @@ final case class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Long] {
   override def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
 }
 
+/** Null-SKIPPING boxed face of [[KmvSketch]] for the untyped `udaf(...)`
+  * surface (Profile q73): SQL aggregates ignore NULL inputs — the oracle
+  * counterpart filters `WHERE expr IS NOT NULL` — but a primitive-encoder
+  * UDAF can't observe the null at all (the encoder would coerce it to 0,
+  * silently counting a phantom distinct value). Boxing the input makes
+  * the null visible so reduce can drop it; ProfileSpec pins the
+  * null-bearing case. */
+final case class KmvSketchBoxed(k: Int) extends Aggregator[java.lang.Long, Seq[Long], Long] {
+  private val inner = KmvSketch(k)
+  override def zero: Seq[Long] = inner.zero
+  override def reduce(b: Seq[Long], x: java.lang.Long): Seq[Long] =
+    if (x == null) b else inner.reduce(b, x.longValue)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = inner.merge(a, b)
+  override def finish(r: Seq[Long]): Long = inner.finish(r)
+  override def bufferEncoder: Encoder[Seq[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+}
+
 /** [[KmvSketch]] emitting the raw sketch buffer instead of the estimate —
   * the unit a streaming accumulator persists between micro-batches (union
   * of sketches = sketch of the union, so incremental maintenance is exact:

@@ -78,12 +78,26 @@ object Dijkstra {
   // from settled-or-nearly-settled distances only, with Δ trading
   // parallelism (big Δ → Bellman-Ford) against work (small Δ → Dijkstra).
 
-  /** Δ heuristic: mean edge weight — splits edges roughly half light /
-    * half heavy on common weight distributions. */
+  /** Δ multiplier over the mean edge weight. MEASURED, not theorized:
+    * GRAPHBENCH_r04's sweep (Δ ∈ {0.5, 1, 2, 4, 8, 16, 32, ∞}×mean over
+    * three 400k-vertex topologies — a low-diameter expander, the same
+    * with 1..1000 weights, and a moderate-diameter sparse circulant)
+    * shows run time monotonically IMPROVING with Δ on every shape,
+    * plateauing by ~8–32×: fine buckets sequence the computation (the
+    * 107-bucket x0.5 run on the sparse shape was 5× slower than x8) while
+    * the bucket ceiling's benefit — deferring relaxations of far
+    * overestimates — survives at coarse Δ. 32× sits on the plateau and
+    * still bounds bucket count on any distance range, unlike Δ = ∞. */
+  val DeltaMeanMultiplier: Double = 32.0
+
+  /** Δ heuristic: [[DeltaMeanMultiplier]] × mean edge weight. (Round 3
+    * used 1× mean — "half the edges light" — which GRAPHBENCH_r03 showed
+    * LOSING to plain label-correcting Pregel; the round-4 sweep above
+    * found the loss was all bucket-sequencing overhead.) */
   def chooseDelta[V: ClassTag](g: Graph[V, Double]): Double = {
     val (sum, n) = g.edges.map(e => (e.attr, 1L))
       .fold((0.0, 0L)) { case ((s, c), (w, k)) => (s + w, c + k) }
-    if (n == 0L || sum <= 0.0) 1.0 else sum / n
+    if (n == 0L || sum <= 0.0) 1.0 else DeltaMeanMultiplier * sum / n
   }
 
   /** Bucketed SSSP with the exact (dist, pred) semantics of [[sssp]],
@@ -95,14 +109,30 @@ object Dijkstra {
     * label-correcting program would). `delta ≤ 0` auto-selects via
     * [[chooseDelta]].
     *
-    * Iteration discipline (the part that makes GraphX loops not
-    * accidentally quadratic): bucket membership is read from the vertex
-    * state inside sendMsg — no per-phase activation rewrite of the graph —
-    * and each new graph materializes BOTH its vertex and edge views before
-    * the parent is unpersisted, so later jobs never re-walk the lineage
-    * chain (Pregel's own caching discipline). */
+    * Two disciplines make the bucket loop competitive with Pregel's (which
+    * gets both for free inside GraphX):
+    *
+    *  1. **Active-set relaxation** ([[GraphXBridge]]): each relax scans
+    *     only the out-edges of a frontier VertexRDD — the vertices whose
+    *     dist changed last round (they received messages), or the bucket's
+    *     members at bucket open / heavy pass — instead of all |E| edge
+    *     triplets per superstep. A vertex whose dist did NOT change since
+    *     it last relaxed can only re-send byte-identical messages, which
+    *     the destination already applied or rejected (sendMsg's condition
+    *     depends on src dist, not src pred), so the restriction loses no
+    *     messages. Without this, every superstep costs O(|E|) and
+    *     delta-stepping's fewer-wasted-relaxations advantage drowns in
+    *     full-graph scans (measured: 19.9 s vs 18.5 s label-correcting at
+    *     5.6M edges in round 3; active-set flipped the comparison).
+    *
+    *  2. **One job per superstep** (Pregel's caching discipline): the next
+    *     round's relax job itself materializes the joined graph — no
+    *     separate vertices.count/edges.count actions — and the previous
+    *     graph/messages unpersist only after that job completes, so no job
+    *     ever re-walks lineage. */
   def deltaSssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
       delta: Double = 0.0, stats: Option[DeltaStats] = None): Graph[State, Double] = {
+    import org.apache.spark.graphx.graftbridge.GraphXBridge
     val dlt = if (delta > 0.0) delta else chooseDelta(g)
     stats.foreach(_.delta = dlt)
 
@@ -118,33 +148,39 @@ object Dijkstra {
       if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache()
     cur.vertices.count(); cur.edges.count()
 
-    // relax out-edges of vertices whose dist lies in [lo, hi), restricted
-    // to the light or heavy edge class; messages only when they would
-    // improve the destination (dist, pred) as currently materialized
-    def relax(lo: Double, hi: Double, lightPhase: Boolean): VertexRDD[State] =
-      cur.aggregateMessages[State](ctx => {
-        val sd = ctx.srcAttr._1
-        if (sd >= lo && sd < hi &&
-          (if (lightPhase) ctx.attr < dlt else ctx.attr >= dlt)) {
-          val cand = sd + ctx.attr
-          if (cand < ctx.dstAttr._1 ||
-            (cand == ctx.dstAttr._1 && ctx.srcId < ctx.dstAttr._2))
-            ctx.sendToDst((cand, ctx.srcId))
-        }
-      }, mergeMsg)
+    // with a coarse Δ (the measured default) many graphs have NO heavy
+    // edge at all — one early-exit scan here saves a full heavy-phase
+    // relax per bucket
+    val anyHeavy = !g.edges.filter(_.attr >= dlt).isEmpty()
 
-    def applyMsgs(msgs: VertexRDD[State]): Unit = {
-      val prev = cur
-      cur = prev.outerJoinVertices(msgs) { (_, old, m) =>
+    // relax out-edges of ACTIVE vertices whose dist lies in [lo, hi),
+    // restricted to the light or heavy edge class; messages only when they
+    // would improve the destination (dist, pred) as currently materialized
+    def relax(lo: Double, hi: Double, lightPhase: Boolean,
+        active: VertexRDD[_]): VertexRDD[State] =
+      GraphXBridge.aggregateMessagesWithActiveSet[State, Double, State](
+        cur,
+        ctx => {
+          val sd = ctx.srcAttr._1
+          if (sd >= lo && sd < hi &&
+            (if (lightPhase) ctx.attr < dlt else ctx.attr >= dlt)) {
+            val cand = sd + ctx.attr
+            if (cand < ctx.dstAttr._1 ||
+              (cand == ctx.dstAttr._1 && ctx.srcId < ctx.dstAttr._2))
+              ctx.sendToDst((cand, ctx.srcId))
+          }
+        },
+        mergeMsg, TripletFields.All, active, EdgeDirection.Out)
+
+    // fold msgs into a new graph; the caller's NEXT relax job materializes
+    // it (and only then are the parents unpersisted)
+    def join(msgs: VertexRDD[State]): Graph[State, Double] =
+      cur.outerJoinVertices(msgs) { (_, old, m) =>
         m match {
           case Some(msg) if improved(old, msg) => msg
           case _ => old
         }
       }.cache()
-      cur.vertices.count(); cur.edges.count()
-      prev.unpersistVertices(blocking = false)
-      prev.edges.unpersist(blocking = false)
-    }
 
     val debug = sys.env.contains("GRAFT_DELTA_DEBUG")
     var bucket = 0L
@@ -154,26 +190,45 @@ object Dijkstra {
       val hi = lo + dlt
       val t0 = if (debug) System.nanoTime() else 0L
 
-      // light-edge fixpoint inside the current bucket; improvements
-      // landing in later buckets are recorded but deferred
-      var go = true
-      var iters = 0
-      while (go) {
+      // light-edge fixpoint inside the current bucket: the opening frontier
+      // is the bucket's members; afterwards only last round's receivers can
+      // have changed dist. Improvements landing in later buckets are
+      // recorded but deferred.
+      val members = cur.vertices.filter { case (_, (d, _)) => d >= lo && d < hi }
+      var msgs = relax(lo, hi, lightPhase = true, members).cache()
+      var n = msgs.count() // the one action: also materializes `cur`
+      var iters = 1
+      while (n > 0) {
         iters += 1
-        val msgs = relax(lo, hi, lightPhase = true).cache()
-        if (msgs.isEmpty()) go = false else applyMsgs(msgs)
+        val prev = cur
+        cur = join(msgs)
+        val next = relax(lo, hi, lightPhase = true, msgs).cache()
+        n = next.count() // materializes the joined `cur`
+        prev.unpersistVertices(blocking = false)
+        prev.edges.unpersist(blocking = false)
         msgs.unpersist(blocking = false)
+        msgs = next
       }
+      msgs.unpersist(blocking = false)
 
       // one heavy-edge pass from every settled member of this bucket
-      val heavy = relax(lo, hi, lightPhase = false).cache()
-      if (!heavy.isEmpty()) applyMsgs(heavy)
-      heavy.unpersist(blocking = false)
+      if (anyHeavy) {
+        val settled = cur.vertices.filter { case (_, (d, _)) => d >= lo && d < hi }
+        val heavy = relax(lo, hi, lightPhase = false, settled).cache()
+        if (heavy.count() > 0) {
+          val prev = cur
+          cur = join(heavy)
+          cur.vertices.count(); cur.edges.count() // no follow-up job this phase
+          prev.unpersistVertices(blocking = false)
+          prev.edges.unpersist(blocking = false)
+        }
+        heavy.unpersist(blocking = false)
+      }
       stats.foreach { st =>
         st.buckets += 1
         // the final empty light probe is a real superstep too
         st.lightSupersteps += iters
-        st.heavySupersteps += 1
+        st.heavySupersteps += (if (anyHeavy) 1 else 0)
       }
 
       // jump to the next non-empty bucket — ONE pass: fold to the minimum
@@ -315,9 +370,20 @@ object Dijkstra {
     }
   }
 
-  /** Distances via the delta-stepping engine (the default distributed
-    * path; [[distances]]/[[sssp]] remain as the label-correcting reference
-    * the equality specs compare against). */
+  /** Distances via the delta-stepping engine — the default distributed
+    * path, now justified by its own benchmark (round-2/3 directive):
+    * GRAPHBENCH_r04 at 400k vertices, same-JVM comparisons, default Δ —
+    * 2.3–3.7× FASTER than the label-correcting Pregel on the low-diameter
+    * expander (5.6 s vs 13.0 s; round 3's 19.9 s-vs-18.5 s loss was the
+    * 1×-mean Δ plus full-edge-scan supersteps, both fixed), modestly ahead
+    * on the wide-weight variant (9.6 s vs 10.1 s), and 1.26× behind on the
+    * moderate-diameter sparse shape (51.7 s vs 41.0 s) — the ~140-
+    * superstep regime where both engines degenerate to the same frontier
+    * sweep and GraphX Pregel's slimmer per-superstep bookkeeping wins;
+    * no Δ recovers that gap (the sweep is flat there from 16× up).
+    * [[distances]]/[[sssp]] remain as the label-correcting reference the
+    * equality specs compare against and as the documented alternative for
+    * known high-diameter graphs. */
   def deltaDistances[V: ClassTag](g: Graph[V, Double], source: VertexId): Seq[(VertexId, Double)] =
     deltaSssp(g, source).vertices
       .filter { case (_, (d, _)) => !d.isInfinite }

@@ -39,7 +39,15 @@ final class GraphCatalog[V, E] {
     private var pins = 0
     private var retired = false
 
-    def pin(): Unit = synchronized { pins += 1 }
+    /** Pin iff not yet retired. A retired holder may already be
+      * unpersisted (retire() fires the unpersist at pins == 0), so pinning
+      * it would hand the caller a graph whose next superstep silently
+      * recomputes from lineage against the store's CURRENT state — the
+      * torn snapshot pinning exists to prevent. Callers must re-fetch the
+      * catalog's current entry on false. */
+    def tryPin(): Boolean = synchronized {
+      if (retired) false else { pins += 1; true }
+    }
 
     def unpin(): Unit = {
       val free = synchronized { pins -= 1; retired && pins == 0 }
@@ -63,13 +71,22 @@ final class GraphCatalog[V, E] {
 
   /** Run `f` against the named projection with the instance pinned: a
     * concurrent refresh/drop swaps the catalog entry immediately but the
-    * pinned instance stays cached until `f` returns. */
+    * pinned instance stays cached until `f` returns.
+    *
+    * Lookup and pin are two steps, so a refresh/drop can retire the holder
+    * in between — tryPin refuses retired holders (whose cache may already
+    * be gone) and the loop re-fetches the catalog's current entry. The
+    * loop terminates in practice: each retry only repeats if ANOTHER
+    * refresh/drop lands in the lookup-to-pin window, and a successful
+    * refresh installs a pinnable fresh holder. */
   def withGraph[T](name: String, build: () => Graph[V, E])(f: Graph[V, E] => T): T = {
-    // getOrElseUpdate is atomic per key; a refresh between it and pin() is
-    // benign — retire() only unpersists at pins == 0, and pin() runs before
-    // any superstep touches the cached partitions
-    val h = graphs.getOrElseUpdate(name, new Holder(materialize(build())))
-    h.pin()
+    var h = graphs.getOrElseUpdate(name, new Holder(materialize(build())))
+    while (!h.tryPin()) {
+      // retired between lookup and pin: drop the stale mapping if it is
+      // still current, then re-fetch/rebuild
+      graphs.remove(name, h)
+      h = graphs.getOrElseUpdate(name, new Holder(materialize(build())))
+    }
     try f(h.graph)
     finally h.unpin()
   }

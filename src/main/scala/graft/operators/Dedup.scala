@@ -225,16 +225,22 @@ object Dedup {
       .toDF("doc_id", "band", "bhash")
   }
 
-  def minhashLshPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame = {
-    import s.implicits._
-    val sh = docShingles(s, dir).cache()
+  /** LSH candidate pairs (pre-verification) for a shingle relation — the
+    * band-bucket self-join both the batch pipeline and the recall spec
+    * share, so the recall that HashFamilySpec certifies is the recall of
+    * exactly the candidate set q25/q57 verify. */
+  def lshCandidates(sh: DataFrame, family: HashFamily): DataFrame = {
     val bands = bandsOf(sh, family)
-    val candidates = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(candidates, sh, JaccardThreshold)
+  }
+
+  def minhashLshPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    verifyPairs(lshCandidates(sh, family), sh, JaccardThreshold)
   }
 
   /** q25 — MinHash+LSH in Oracle mode: the whole pipeline (hash63
@@ -381,7 +387,14 @@ object Dedup {
     * recall is 1.0 — which these band parameters give with per-pair miss
     * probability ≤ 2·10⁻⁴ at the 0.8 threshold (far lower on the planted
     * dups, whose jaccard ≥ 0.9). The gate is deliberately *stronger* than
-    * rows-only: a recall miss or a hash-family bug fails it. */
+    * rows-only: a recall miss or a hash-family bug fails it.
+    *
+    * The probabilistic argument is pinned CRISPLY by HashFamilySpec's
+    * "candidate recall == 1.0" test, which asserts that every exact q24
+    * pair appears in [[lshCandidates]] under BOTH families at the
+    * registered corpus scales (and reports the candidate counts) — so a
+    * future corpus or parameter change that loses a pair fails that spec
+    * loudly instead of flaking this oracle's hash compare. */
   private def q57(s: SparkSession, dir: String): DataFrame =
     minhashLshPairs(s, dir, HashFamily.Fast)
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.GQuery
 import graft.Tables.t
-import graft.functions.{HashFamily, KmvSketch}
+import graft.functions.HashFamily
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,11 +31,16 @@ object Profile {
     ("source", _ => col("source")),
     ("text_len", _ => length(col("text"))))
 
-  private def q73(s: SparkSession, dir: String): DataFrame = {
+  /** The single-pass profiler over arbitrary (name, column) pairs —
+    * public so ProfileSpec can drive it over a null-bearing frame. The
+    * KMV input hashes only non-null values ([[graft.functions.KmvSketchBoxed]]
+    * skips nulls, `hash63` of a null renders null), matching the oracle's
+    * `WHERE expr IS NOT NULL`. */
+  def profile(docs: DataFrame, cols: Seq[(String, DataFrame => Column)]): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = t(s, dir, "documents")
-    val kmvU = udaf(KmvSketch(TextOps.KmvK), Encoders.scalaLong)
-    val aggs: Seq[Column] = Cols.flatMap { case (name, f) =>
+    val kmvU = udaf(graft.functions.KmvSketchBoxed(TextOps.KmvK), Encoders.LONG)
+    val aggs: Seq[Column] = cols.flatMap { case (name, f) =>
       val c = f(docs)
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}_nulls"),
@@ -46,7 +51,7 @@ object Profile {
     val wide = docs.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into (column, metrics) — an inline over
     // a literal-built struct array, no driver round-trip
-    wide.select($"n_rows", inline(array(Cols.map { case (name, _) =>
+    wide.select($"n_rows", inline(array(cols.map { case (name, _) =>
         struct(lit(name).as("column"),
           col(s"${name}_nulls").as("n_nulls"),
           col(s"${name}_nd").as("n_distinct_est"),
@@ -58,6 +63,9 @@ object Profile {
         $"min_val", $"max_val")
       .orderBy($"column")
   }
+
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    profile(t(s, dir, "documents"), Cols)
 
   private def q73Sql = {
     val k = TextOps.KmvK

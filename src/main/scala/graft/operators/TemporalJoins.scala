@@ -169,6 +169,70 @@ object TemporalJoins {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q76 — the same percentiles through the mergeable
+    * [[graft.functions.QuantileSketch]]: the 100 TB path for q41, where an
+    * exact `percentile` must buffer every value of a group (Spark's
+    * Percentile aggregation state is the full value multiset — a
+    * corpus-sized sort in disguise), while the sketch ships O(k) per
+    * partition with map-side partials. The sketch is a deterministic
+    * bottom-k-by-row-hash sample, so — unlike KLL's coin flips or
+    * t-digest's merge-order-dependent centroids — the DuckDB oracle
+    * reproduces the estimate EXACTLY (the same determinism trade q65's
+    * KMV makes), and QuantileSketchSpec separately gates the estimates
+    * against the exact q41 values and proves partitioning invariance.
+    * The row hash keys on the (l_orderkey, l_linenumber) primary key in
+    * Oracle mode; production runs would swap [[HashFamily.Fast]] exactly
+    * as the dedup family does. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    import s.implicits._
+    val rowKey = graft.functions.HashFamily.Oracle.hash63(
+      concat($"l_orderkey".cast("string"), lit("-"), $"l_linenumber".cast("string")))
+    graft.Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(QuantileSketch.sample(rowKey, $"l_quantity").as("samp"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        QuantileSketch.interpolate($"samp", 0.5).as("est_median_qty"),
+        QuantileSketch.interpolate($"samp", 0.9).as("est_p90_qty"),
+        size($"samp").cast("long").as("sample_n"),
+        $"n".cast("long").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q76Sql = {
+    val k = graft.functions.QuantileSketch.DefaultK
+    val h = Dedup.hash63Sql(
+      "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")
+    // the interpolation arithmetic mirrors QuantileSketch.interpolate op
+    // for op (multiply, floor, subtract, multiply-add on doubles) so the
+    // estimate is bit-identical, not merely close
+    def pick(q: String, col: String) =
+      s"""MAX(CASE WHEN vr = CAST(FLOOR($q * (ns - 1)) AS BIGINT) + 1 THEN l_quantity END) AS ${col}_lo,
+         |    MAX(CASE WHEN vr = LEAST(CAST(FLOOR($q * (ns - 1)) AS BIGINT) + 2, ns) THEN l_quantity END) AS ${col}_hi""".stripMargin
+    def interp(q: String, col: String) =
+      s"${col}_lo + (${col}_hi - ${col}_lo) * ($q * (ns - 1) - FLOOR($q * (ns - 1)))"
+    s"""WITH keyed AS (SELECT l_returnflag, l_quantity, $h AS hk FROM lineitem),
+       |samp AS (SELECT l_returnflag, l_quantity,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hk, l_quantity) AS rn
+       |  FROM keyed),
+       |s AS (SELECT l_returnflag, l_quantity FROM samp WHERE rn <= $k),
+       |ord AS (SELECT l_returnflag, l_quantity,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS vr,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS ns
+       |  FROM s),
+       |n AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag),
+       |pick AS (SELECT l_returnflag, ns,
+       |    ${pick("0.5", "m")},
+       |    ${pick("0.9", "p")}
+       |  FROM ord GROUP BY l_returnflag, ns)
+       |SELECT p.l_returnflag,
+       |  ${interp("0.5", "m")} AS est_median_qty,
+       |  ${interp("0.9", "p")} AS est_p90_qty,
+       |  CAST(ns AS BIGINT) AS sample_n, n.n
+       |FROM pick p JOIN n USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+  }
+
   /** q42 — correlated-subquery shape (Catalyst decorrelates it into a
     * join): customers spending more than 2× their nation's per-customer
     * average. Integer cents arithmetic keeps both engines exact. */
@@ -259,6 +323,7 @@ object TemporalJoins {
     GQuery("q39_range_join", q39, Some(q39Sql)),
     GQuery("q40_rollup", q40, Some(q40Sql)),
     GQuery("q41_percentiles", q41, Some(q41Sql)),
+    GQuery("q76_quantile_sketch", q76, Some(q76Sql)),
     GQuery("q42_decorrelated", q42, Some(q42Sql)),
     GQuery("q46_topk_aggregator", q46, Some(q46Sql)),
     GQuery("q49_cube", q49, Some(q49Sql)),

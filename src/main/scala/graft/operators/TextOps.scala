@@ -579,6 +579,74 @@ object TextOps {
        |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= $TfIdfTopK
        |ORDER BY doc_id, rank""".stripMargin
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-terms core over a tokenized corpus (doc_id, ws) — the
+    * full Robertson/Spärck Jones weighting the q68 TF-IDF skeleton was
+    * built toward: log-damped rarity `ln(1 + (N − df + ½)/(df + ½))`,
+    * tf saturation `tf·(k₁+1)/(tf + k₁·…)` (a 50th occurrence is worth
+    * almost nothing, where raw tf·idf grows linearly), and document-length
+    * normalization by `dl/avgdl` (b = 0.75) so verbose documents don't
+    * dominate relevance. Public for the rank-agreement spec, which runs it
+    * over planted-keyword corpora.
+    *
+    * Plan shape is q68's: two keyed aggregations, one term join, a
+    * broadcast single-row stats aggregate, and a per-document top-k
+    * window — no corpus-wide sort. Ranking happens on the RAW score
+    * (ties across engines are only possible at identical (tf, df, dl)
+    * inputs, where both engines compute the identical double); the
+    * displayed score is rounded to 6 dp so the one transcendental (ln)
+    * can never hash-diverge the artifact on a last-ulp libm difference. */
+  def bm25TopTerms(toks: DataFrame, topK: Int = TfIdfTopK): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val tf = toks.select($"doc_id", size($"ws").as("dl"), explode($"ws").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(size($"ws")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // arithmetic mirrors the oracle SQL TERM FOR TERM: every step is one
+    // IEEE op on identical inputs (the constants are source literals on
+    // both sides, never folded differently)
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("score_raw",
+        $"idf" * ($"tf" * lit(2.2) /
+          ($"tf" + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * $"dl" / $"avgdl"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score_raw".desc, $"term")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"doc_id", $"rank", $"term", round($"score_raw", 6).as("score"))
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** q75 — BM25 keyword extraction (k₁ = 1.2, b = 0.75), consuming the
+    * materialized token store like every other token pass. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    bm25TopTerms(docTokens(s, dir))
+
+  private val q75Sql =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |d AS (SELECT doc_id, len(ws) AS dl FROM w),
+       |toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |    (tf.tf * 2.2 / (tf.tf + $Bm25K1 * (0.25 + $Bm25B * d.dl / s.avgdl))) AS score_raw
+       |  FROM tf JOIN df USING (term) JOIN d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
+       |ranked AS (SELECT doc_id, term, score_raw,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, round(score_raw, 6) AS score
+       |FROM ranked WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -593,5 +661,6 @@ object TextOps {
     GQuery("q66_bloom_decontaminate", q66, Some(q66Sql)),
     GQuery("q68_tfidf_topterms", q68, Some(q68Sql)),
     GQuery("q70_sequence_packing", q70, Some(q70Sql)),
+    GQuery("q75_bm25_topterms", q75, Some(q75Sql)),
   )
 }

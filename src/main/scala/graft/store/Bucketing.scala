@@ -54,4 +54,55 @@ object Bucketing {
     }
     !hasExchange(df.queryExecution.executedPlan)
   }
+
+  /** True if NO exchange (shuffle or broadcast) in `df`'s executed plan
+    * has the scan of catalog table `table` anywhere beneath it — i.e. the
+    * table's rows are consumed exactly where they were read, the
+    * co-location property a bucketed probe join must have on its index
+    * side (the OTHER side may shuffle freely). Runs the plan first, same
+    * AQE-finalization discipline as [[isShuffleFree]]. */
+  def scanUnexchanged(df: DataFrame, table: String): Boolean = {
+    df.collect()
+    def scansTable(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => scansTable(a.executedPlan)
+      case q: QueryStageExec => scansTable(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.tableIdentifier.exists(_.table == table)
+      case other => other.children.exists(scansTable)
+    }
+    def ok(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => ok(a.executedPlan)
+      case e @ (_: Exchange | _: ReusedExchangeExec) => !scansTable(e)
+      case q: ShuffleQueryStageExec => !scansTable(q.plan)
+      case q: BroadcastQueryStageExec => !scansTable(q.plan)
+      case q: QueryStageExec => ok(q.plan)
+      case other => other.children.forall(ok)
+    }
+    scansTable(df.queryExecution.executedPlan) &&
+      ok(df.queryExecution.executedPlan)
+  }
+
+  /** Run `body` with dynamic partition-overwrite semantics (an
+    * `INSERT OVERWRITE` replaces only the partitions it touches — the
+    * idempotent-replay primitive the streaming sinks key their batch
+    * output on), restoring each session's previous mode afterwards.
+    *
+    * Takes ALL involved sessions because a foreachBatch micro-batch
+    * DataFrame belongs to a CLONE of the session that started the stream
+    * (its conf was snapshotted at start), and `DataFrameWriter` reads the
+    * mode from the frame's OWN session — setting it only on the outer
+    * session leaves the clone in static mode, which silently turns
+    * "overwrite my batch partition" into "overwrite the whole table"
+    * (DedupStreamSpec's cross-batch tests caught exactly this). */
+  def withDynamicPartitionOverwrite[T](sessions: SparkSession*)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val distinct = sessions.distinct
+    val prevs = distinct.map(s => s -> s.conf.getOption(key))
+    distinct.foreach(_.conf.set(key, "dynamic"))
+    try body
+    finally prevs.foreach {
+      case (s, Some(v)) => s.conf.set(key, v)
+      case (s, None) => s.conf.unset(key)
+    }
+  }
 }

@@ -15,6 +15,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * intermediate, then point every dedup/quality/packing pass at it.
   * Re-deriving the transform per query multiplies the dominant CPU cost
   * of the whole pipeline by the number of passes.
+  *
+  * CONTRACT — immutable inputs per key: the cache is keyed by
+  * (session, key) and never revalidated, so the relation a key derives
+  * from must not change for the session's lifetime. Every call site keys
+  * by the input's scale-factor directory (`"shingles:$dir"`), and the
+  * harness treats those directories as immutable snapshots — exactly the
+  * prepare-stage assumption of a real pipeline, where the materialized
+  * intermediate is stamped to one corpus snapshot. A caller that rewrites
+  * an input in place must [[invalidate]] its keys (the bench's cold-run
+  * lane and tests use this to force a rebuild); nothing does so
+  * implicitly. Stores are temp directories reclaimed by a JVM shutdown
+  * hook; a long-lived multi-tenant service would swap this for a managed
+  * staging location with TTLs.
   */
 object Materialized {
   private val stores =
@@ -38,4 +51,10 @@ object Materialized {
     })
     s.read.parquet(store)
   }
+
+  /** Drop every store of `s` (all keys): the next consumer rebuilds from
+    * its current input. For tests and for measuring cold (prepare-stage-
+    * inclusive) timings; store files are left for the shutdown hook. */
+  def invalidate(s: SparkSession): Unit =
+    stores.keys.filter(_._1 eq s).foreach(stores.remove)
 }

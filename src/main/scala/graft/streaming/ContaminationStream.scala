@@ -36,24 +36,36 @@ object ContaminationStream {
       .write.mode(SaveMode.Overwrite).parquet(bitsDir)
   }
 
-  /** Probe one training batch against the persisted bits; append flagged
-    * docs to the manifest. */
-  def processBatch(s: SparkSession, batch: DataFrame, bitsDir: String,
-      outDir: String): Unit = {
-    val bits = s.read.parquet(bitsDir)
-    TextOps.bloomProbe(
-        TextOps.bloomPositions(TextOps.contaminationGramsOf(batch)), bits)
-      .write.mode(SaveMode.Append).parquet(outDir)
-  }
+  /** Probe one training batch against the persisted bits; write the
+    * batch's flagged manifest as a dynamic overwrite of its own
+    * `batch=<id>` partition — a foreachBatch redelivery (same batchId,
+    * same file-source content) rewrites identical bytes instead of
+    * double-appending manifest rows (ContaminationStreamSpec replays a
+    * batch to pin this). */
+  def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
+      bitsDir: String, outDir: String): Unit =
+    graft.store.Bucketing.withDynamicPartitionOverwrite(s, batch.sparkSession) {
+      val bits = s.read.parquet(bitsDir)
+      TextOps.bloomProbe(
+          TextOps.bloomPositions(TextOps.contaminationGramsOf(batch)), bits)
+        .withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(outDir)
+    }
 
   /** File-source wiring: new training-document parquet files appear in
-    * `srcDir`; each micro-batch appends its flagged manifest. */
+    * `srcDir`; each micro-batch overwrites its own manifest partition. */
   def start(s: SparkSession, srcDir: String, bitsDir: String,
       outDir: String): StreamingQuery =
     s.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        processBatch(s, batch, bitsDir, outDir))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processBatch(s, batch, batchId, bitsDir, outDir))
       .start()
+
+  /** Accumulated flagged manifest in the batch q66 output shape. */
+  def manifest(s: SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("n_flagged"))
+      .orderBy(col("doc_id"))
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.functions.HashFamily
 import graft.operators.Dedup
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -15,19 +16,47 @@ import org.apache.spark.sql.types._
   * applied to near-dup state).
   *
   * Design — the index IS the LSH bucket table:
-  *   - `indexDir/bands`:    (doc_id, band, bhash) for every indexed doc
-  *   - `indexDir/shingles`: (doc_id, sh) — needed because verification is
-  *     exact Jaccard over raw shingle sets, not sketch agreement
-  *   - `pairsDir`:          accumulated verified pairs (doc_a, doc_b, jaccard)
+  *   - bands: a BUCKETED catalog table at `indexDir/bands`, bucketed on
+  *     (band, bhash) — the probe key — and partitioned by the micro-batch
+  *     id. Bucketing makes the per-batch probe co-located: the scan
+  *     reports hash distribution on the join key, so the sort-merge probe
+  *     shuffles only the new batch's band keys (into numBuckets
+  *     partitions) and NEVER exchanges the ever-growing index side
+  *     (DedupStreamSpec pins this on the executed plan). At 10¹⁰ indexed
+  *     docs that is the difference between a probe and re-shuffling the
+  *     whole index every batch.
+  *   - `indexDir/shingles`: (doc_id, sh), batch-partitioned parquet —
+  *     needed because verification is exact Jaccard over raw shingle
+  *     sets, not sketch agreement.
+  *   - `pairsDir`: verified pairs (doc_a, doc_b, jaccard), batch-
+  *     partitioned.
+  *
+  * Exactly-once under foreachBatch redelivery: every write is a DYNAMIC
+  * PARTITION OVERWRITE keyed by the micro-batch id. Replaying a batch
+  * rewrites exactly its own `batch=<id>` partitions with byte-identical
+  * content (the probe also filters the index to `batch < id`, so a
+  * half-written previous attempt can never feed the replay) — no
+  * double-appended pairs, no double-indexed documents, regardless of
+  * where the previous attempt crashed. Spark's file source guarantees a
+  * replayed batch id carries the same files, which is what makes the
+  * rewrite deterministic.
+  *
+  * All filesystem probes go through the Hadoop FileSystem of the path's
+  * scheme (NOT `java.io.File`), so `indexDir`/`pairsDir` may live on any
+  * Hadoop-compatible store; the spec exercises a scheme-qualified path.
+  * One caveat inherited from [[graft.store.Bucketing]]: the bands table's
+  * bucket METADATA lives in the session catalog, so a brand-new session
+  * re-registers the table before probing (`ensureBandsTable` is
+  * idempotent and cheap; a production deployment would back the catalog
+  * with a shared metastore).
   *
   * Each micro-batch hashes ONLY its new documents, joins their band keys
   * against (a) the persisted index and (b) themselves, verifies candidates
-  * with exact Jaccard, appends verified pairs, then appends the new docs'
-  * bands+shingles to the index. Per batch the work is
-  * O(new docs × bands + matched buckets) — the corpus-sized index is only
-  * ever *probed* on its bucket key, never rescanned, which is what makes
-  * the path viable when the index holds 10¹⁰ documents and a batch holds
-  * 10⁴.
+  * with exact Jaccard, then overwrites its own output partitions. Per
+  * batch the work is O(new docs × bands + matched buckets) — the
+  * corpus-sized index is only ever *probed* on its bucket key, never
+  * rescanned, which is what makes the path viable when the index holds
+  * 10¹⁰ documents and a batch holds 10⁴.
   *
   * Determinism: a pair is emitted exactly once — in the micro-batch where
   * its LATER document arrives (the index never contains same-batch docs,
@@ -37,10 +66,6 @@ import org.apache.spark.sql.types._
   * batch `minhashLshPairs` output exactly (DedupStreamSpec proves
   * byte-identity against the q25 rebuild on every batch partitioning it
   * tries).
-  *
-  * At production scale the bands table would be written bucketed by
-  * (band, bhash) so the probe join is co-located (the `store.Bucketing`
-  * pattern); the parquet-append form here keeps the same logical plan.
   */
 object DedupStream {
 
@@ -48,47 +73,111 @@ object DedupStream {
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
+  /** Buckets for the bands index table. Sized so one bucket of a full
+    * index fits an executor core's scan budget; the local harness keeps it
+    * small since every batch writes one file per bucket it touches. */
+  val IndexBuckets = 8
+
+  private def pathExists(s: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def readIfExists(s: SparkSession, path: String, schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) s.read.parquet(path)
+    if (pathExists(s, path)) s.read.parquet(path)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private val bandSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("band", IntegerType),
-    StructField("bhash", LongType)))
   private val shingleSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("sh", ArrayType(StringType, containsNull = false))))
+    StructField("sh", ArrayType(StringType, containsNull = false)),
+    StructField("batch", LongType)))
 
-  /** Process one batch of new documents against the persisted index —
-    * also the unit the spec drives directly. Idempotence is the caller's
-    * contract (foreachBatch may redeliver a batch on recovery; production
-    * would write batchId-suffixed output the way RiskStream's store swap
-    * is atomic — out of scope here, as it is for the reference's sync). */
-  def processBatch(s: SparkSession, batch: DataFrame, indexDir: String,
-      pairsDir: String, family: HashFamily,
-      threshold: Double = Dedup.JaccardThreshold): Unit = {
-    val newSh = Dedup.shinglesOf(batch).cache()
-    val newBands = Dedup.bandsOf(newSh, family).cache()
-    val oldBands = readIfExists(s, s"$indexDir/bands", bandSchema)
-    val oldSh = readIfExists(s, s"$indexDir/shingles", shingleSchema)
+  /** Catalog name for the bands table of a given index location — derived
+    * from the path so independent indexes in one session never collide. */
+  def bandsTable(indexDir: String): String = {
+    val b = indexDir.getBytes("UTF-8")
+    "graft_dedup_bands_" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42) & 0xFFFFFFFFL)
+  }
 
-    // old↔new: probe the index on its bucket key; new↔new: id-ordered self-join
-    val oldNew = newBands.as("x").join(oldBands.as("y"),
+  /** Idempotently register the bands table: an empty bucketed external
+    * table at `indexDir/bands`. Safe to call per batch and from a fresh
+    * session over an existing index (the data files are the truth; this
+    * only restores the catalog entry + bucket spec). */
+  private def ensureBandsTable(s: SparkSession, indexDir: String): String = {
+    val name = bandsTable(indexDir)
+    if (!s.catalog.tableExists(name)) {
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType), StructField("band", IntegerType),
+          StructField("bhash", LongType), StructField("batch", LongType))))
+      empty.write.format("parquet")
+        .option("path", s"$indexDir/bands")
+        .partitionBy("batch")
+        .bucketBy(IndexBuckets, "band", "bhash").sortBy("band", "bhash")
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** The new↔index probe: a co-located join of the batch's band keys
+    * against the bucketed bands table, restricted to strictly earlier
+    * batches. The index side is consumed where it is read — no exchange
+    * between its scan and this join (DedupStreamSpec pins the executed
+    * plan); everything ABOVE the join moves candidate volume only. */
+  private[graft] def probeIndex(s: SparkSession, newBands: DataFrame,
+      batchId: Long, indexDir: String): DataFrame = {
+    val oldBands = s.table(ensureBandsTable(s, indexDir))
+      .filter(col("batch") < batchId) // partition-pruned; excludes any half-written replay of this batch
+    newBands.as("x").join(oldBands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+  }
+
+  /** LSH candidate pairs of one batch: new↔index ∪ new↔new (id-ordered
+    * self-join), deduplicated. */
+  private[graft] def candidates(s: SparkSession, newBands: DataFrame,
+      batchId: Long, indexDir: String): DataFrame = {
     val newNew = newBands.as("x").join(newBands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val candidates = oldNew.union(newNew).distinct()
+    probeIndex(s, newBands, batchId, indexDir).union(newNew).distinct()
+  }
 
-    val verified = Dedup.verifyPairs(candidates, oldSh.unionByName(newSh), threshold)
-    verified.write.mode(SaveMode.Append).parquet(pairsDir)
+  /** Process one micro-batch of new documents against the persisted index
+    * — also the unit the spec drives directly. Idempotent under
+    * redelivery of the same `batchId` (see class doc). */
+  def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
+      indexDir: String, pairsDir: String, family: HashFamily,
+      threshold: Double = Dedup.JaccardThreshold): Unit =
+    graft.store.Bucketing.withDynamicPartitionOverwrite(s, batch.sparkSession) {
+    val newSh = Dedup.shinglesOf(batch).cache()
+    val newBands = Dedup.bandsOf(newSh, family).cache()
+    val table = ensureBandsTable(s, indexDir)
 
-    newBands.write.mode(SaveMode.Append).parquet(s"$indexDir/bands")
-    newSh.write.mode(SaveMode.Append).parquet(s"$indexDir/shingles")
+    val oldSh = readIfExists(s, s"$indexDir/shingles", shingleSchema)
+      .filter(col("batch") < batchId)
+      .select(col("doc_id"), col("sh"))
+
+    val verified = Dedup.verifyPairs(
+      candidates(s, newBands, batchId, indexDir),
+      oldSh.unionByName(newSh), threshold)
+
+    // three per-batch-partition dynamic overwrites: each rewrites ONLY
+    // partition batch=<id>, so any replay (full or after a partial crash)
+    // converges to the same bytes in any write order
+    verified.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(pairsDir)
+    newBands.select(col("doc_id"), col("band"), col("bhash"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).insertInto(table)
+    newSh.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$indexDir/shingles")
     newBands.unpersist()
     newSh.unpersist()
   }
@@ -103,15 +192,19 @@ object DedupStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) processBatch(s, batch, indexDir, pairsDir, family)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(s, batch, batchId, indexDir, pairsDir, family)
       }
       .trigger(trigger)
       .start()
 
-  /** Accumulated verified pairs, in the batch pipeline's output shape. */
+  /** Accumulated verified pairs, in the batch pipeline's output shape.
+    * (An all-empty run may never have materialized the directory — an
+    * empty dynamic overwrite touches no partition — hence the probe.) */
   def pairs(s: SparkSession, pairsDir: String): DataFrame =
-    s.read.parquet(pairsDir)
+    readIfExists(s, pairsDir, StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType),
+      StructField("jaccard", DoubleType))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 }

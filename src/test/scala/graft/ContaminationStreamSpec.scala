@@ -16,7 +16,7 @@ class ContaminationStreamSpec extends AnyFunSuite {
     .select(col("doc_id"), col("text"))
 
   private def collectManifest(path: String): Map[Long, Long] =
-    spark.read.parquet(path).collect()
+    ContaminationStream.manifest(spark, path).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("stream-accumulated manifest equals batch q66 under two batch splits") {
@@ -30,9 +30,28 @@ class ContaminationStreamSpec extends AnyFunSuite {
         Seq(train.filter(col("doc_id") >= 300), train.filter(lit(false)),
           train.filter(col("doc_id") < 300)))) {
       val out = java.nio.file.Files.createTempDirectory("contam").toString + "/flagged"
-      splits.foreach(b => ContaminationStream.processBatch(spark, b, bits, out))
+      splits.zipWithIndex.foreach { case (b, i) =>
+        ContaminationStream.processBatch(spark, b, i.toLong, bits, out)
+      }
       assert(collectManifest(out) === batchMode)
     }
+  }
+
+  test("batch replay rewrites its own manifest partition — no double-append") {
+    val batchMode = SparkEntry.queries("q66_bloom_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bits = java.nio.file.Files.createTempDirectory("evalbits3").toString + "/bits"
+    ContaminationStream.buildEvalBits(spark, dir, bits)
+    val out = java.nio.file.Files.createTempDirectory("contam3").toString + "/flagged"
+    val b0 = train.filter(col("doc_id") % 2 === 1)
+    val b1 = train.filter(col("doc_id") % 2 === 0)
+    ContaminationStream.processBatch(spark, b0, 0L, bits, out)
+    ContaminationStream.processBatch(spark, b1, 1L, bits, out)
+    // redelivery of batch 1 (post-crash foreachBatch contract)
+    ContaminationStream.processBatch(spark, b1, 1L, bits, out)
+    assert(collectManifest(out) === batchMode)
+    assert(ContaminationStream.manifest(spark, out).count() === batchMode.size.toLong,
+      "replayed batch duplicated manifest rows")
   }
 
   test("file-source wiring probes available files against the fixed bits") {

@@ -59,4 +59,54 @@ class DedupStreamSpec extends AnyFunSuite {
     val got = runSliced(slices, HashFamily.Fast)
     assertSame(got, Dedup.minhashLshPairs(spark, dir, HashFamily.Fast))
   }
+
+  test("batch replay is idempotent: pairs and index byte-identical after redelivery") {
+    import spark.implicits._
+    val d = docs.cache()
+    // scheme-qualified root: existence probes must go through the Hadoop
+    // FileSystem of the path (java.io.File would read this as relative
+    // and silently restart the index)
+    val root = "file://" + java.nio.file.Files.createTempDirectory("dedupreplay")
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    val b0 = d.filter($"doc_id" % 2 === 0)
+    val b1 = d.filter($"doc_id" % 2 === 1)
+    DedupStream.processBatch(spark, b0, 0L, indexDir, pairsDir, HashFamily.Fast)
+    DedupStream.processBatch(spark, b1, 1L, indexDir, pairsDir, HashFamily.Fast)
+    val firstPairs = DedupStream.pairs(spark, pairsDir).collect().toSeq
+    val firstBands = spark.table(DedupStream.bandsTable(indexDir)).count()
+    val firstShingles = spark.read.parquet(s"$indexDir/shingles").count()
+    // redeliver batch 1 (foreachBatch's post-crash contract: same id, same data)
+    DedupStream.processBatch(spark, b1, 1L, indexDir, pairsDir, HashFamily.Fast)
+    assert(DedupStream.pairs(spark, pairsDir).collect().toSeq === firstPairs)
+    assert(spark.table(DedupStream.bandsTable(indexDir)).count() === firstBands)
+    assert(spark.read.parquet(s"$indexDir/shingles").count() === firstShingles)
+    assert(firstPairs.nonEmpty, "replay test corpus produced no pairs — vacuous")
+  }
+
+  test("index probe join never exchanges the bucketed index side") {
+    import spark.implicits._
+    val d = docs.cache()
+    val root = java.nio.file.Files.createTempDirectory("dedupplan").toString
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    DedupStream.processBatch(spark, d.filter($"doc_id" < 250), 0L, indexDir,
+      pairsDir, HashFamily.Fast)
+    val newBands = Dedup.bandsOf(
+      Dedup.shinglesOf(d.filter($"doc_id" >= 250)), HashFamily.Fast)
+    // force the sort-merge path (the 10¹⁰-doc-index shape: nothing is
+    // broadcastable); the bucketed scan must satisfy the join's
+    // distribution so only the new batch's band keys move
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+    try {
+      val probe = DedupStream.probeIndex(spark, newBands, 1L, indexDir)
+      assert(graft.store.Bucketing.scanUnexchanged(
+        probe, DedupStream.bandsTable(indexDir)),
+        "probe join shuffled or broadcast the index side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
 }

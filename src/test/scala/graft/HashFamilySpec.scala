@@ -78,6 +78,30 @@ class HashFamilySpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) === 0L && r.getLong(1) === 82L))
   }
 
+  test("q57 gate soundness: LSH candidate recall == 1.0 vs the exact pair set, both families, registered scales") {
+    // q57 registers the Fast-LSH output against the EXACT Jaccard oracle
+    // (q24's SQL); that equality is sound ⇔ every exact pair is an LSH
+    // candidate (the verify step then recomputes true Jaccard). This pins
+    // the recall-is-1.0 premise crisply at the corpus scales the harness
+    // gates, so a corpus/parameter change that loses a pair fails HERE
+    // with a named pair instead of flaking q57's hash compare.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         family <- Seq(HashFamily.Oracle, HashFamily.Fast)) {
+      val sh = Dedup.docShingles(spark, d)
+      val exact = Dedup.ngramJaccardPairs(spark, d).select(col("doc_a"), col("doc_b"))
+      val cands = Dedup.lshCandidates(sh, family).cache()
+      val nCand = cands.count()
+      val missed = exact.exceptAll(cands).collect()
+      assert(missed.isEmpty,
+        s"$d/$family: LSH missed exact pairs (of $nCand candidates): " +
+          missed.take(5).mkString(", "))
+      val nExact = exact.count()
+      assert(nExact > 0L, s"$d: exact pair set empty — recall assertion vacuous")
+      info(s"$d ${family.getClass.getSimpleName}: $nCand candidates cover all $nExact exact pairs")
+      cands.unpersist()
+    }
+  }
+
   test("hash split under Fast family: deterministic, near-80/10/10, stable under growth") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")

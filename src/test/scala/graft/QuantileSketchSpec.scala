@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{HashFamily, QuantileSketch, QuantileSketchAgg}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mergeable quantile sketch: (1) buffer laws — any partitioning and
+  * merge tree yields exactly the global bottom-k-by-(hash, value) sample,
+  * through serialization; (2) DataFrame-level partitioning invariance —
+  * byte-identical sample arrays under different repartitions; (3) the
+  * error gate — sketch estimates sit within the sample rank-error bound
+  * of the exact q41 percentiles at the registered scales. */
+class QuantileSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkAgg(k: Int) = QuantileSketchAgg(
+    BoundReference(0, LongType, nullable = true),
+    BoundReference(1, DoubleType, nullable = true), k)
+
+  test("buffer laws: any partitioning = global bottom-k sample, surviving serde") {
+    val k = 16
+    val agg = mkAgg(k)
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 100) {
+      val rows = List.fill(rng.nextInt(120))((rng.nextLong(), rng.nextInt(100).toDouble))
+      val cut = 1 + rng.nextInt(9)
+      val parts = rows.grouped(math.max(1, cut)).toList.map { part =>
+        val b = part.foldLeft(agg.createAggregationBuffer()) { (buf, r) =>
+          agg.update(buf, new GenericInternalRow(Array[Any](r._1, r._2)))
+        }
+        agg.deserialize(agg.serialize(b)) // partials always cross the wire
+      }
+      val merged = parts.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val got = agg.eval(merged).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      val want = rows.sorted.take(k).map(_._2).sorted
+      assert(got === want, s"cut=$cut rows=$rows")
+    }
+  }
+
+  test("null inputs are skipped, not sampled") {
+    val agg = mkAgg(4)
+    val buf = agg.createAggregationBuffer()
+    agg.update(buf, new GenericInternalRow(Array[Any](1L, 5.0)))
+    agg.update(buf, new GenericInternalRow(Array[Any](null, 9.0)))
+    agg.update(buf, new GenericInternalRow(Array[Any](2L, null)))
+    assert(agg.eval(buf).asInstanceOf[ArrayData].toDoubleArray().toSeq === Seq(5.0))
+  }
+
+  private def sampleByFlag(parts: Int): Map[String, Seq[Double]] = {
+    import spark.implicits._
+    val rowKey = HashFamily.Oracle.hash63(
+      concat($"l_orderkey".cast("string"), lit("-"), $"l_linenumber".cast("string")))
+    Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .repartition(parts)
+      .groupBy($"l_returnflag")
+      .agg(QuantileSketch.sample(rowKey, $"l_quantity").as("samp"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+  }
+
+  test("DataFrame-level determinism: byte-identical samples across repartitions") {
+    // the property KLL (randomized compaction) and t-digest (merge-order-
+    // dependent centroids) cannot offer — and the reason the q76 oracle
+    // can reproduce the estimate exactly
+    val one = sampleByFlag(1)
+    assert(sampleByFlag(7) === one)
+    assert(sampleByFlag(13) === one)
+  }
+
+  test("q76 estimates within sample rank-error bound of exact q41 percentiles") {
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val est = SparkEntry.queries("q76_quantile_sketch")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val li = Tables.t(spark, dir, "lineitem").cache()
+      for ((flag, (med, p90)) <- est; (q, v) <- Seq((0.5, med), (0.9, p90))) {
+        val grp = li.filter($"l_returnflag" === flag)
+        val n = grp.count().toDouble
+        val rank = grp.filter($"l_quantity" <= v).count().toDouble / n
+        // k = 256 → sampling σ = √(q(1−q)/k) ≤ 1/32 (≈3σ = 0.094), plus
+        // the rank jump of a fully-tied value: l_quantity has ~50 levels,
+        // so P(X ≤ est) overshoots the target rank by up to one level's
+        // mass (~0.02) even for a perfect estimate. 0.10 covers both;
+        // the values are deterministic per corpus (no flake margin needed)
+        assert(math.abs(rank - q) <= 0.10,
+          s"$dir $flag q=$q est=$v rank=$rank")
+      }
+      li.unpersist()
+    }
+  }
+}
