@@ -33,10 +33,13 @@ import scala.collection.mutable
   * row-unique), so a q-quantile of the sample deviates from the true
   * q-quantile by rank ≈ √(q(1−q)/k) · n w.h.p. (≈2–3% of n at k = 256) —
   * QuantileSketchSpec gates the estimate against the exact q41
-  * percentiles. Hash ties are broken by value so the bound is on the
-  * multiset, not the distinct set: duplicated values keep their
-  * multiplicity in the sample, which rank statistics require (the crucial
-  * difference from feeding values through KMV).
+  * percentiles. The buffer is a SET of (hash, value) pairs: duplicated
+  * VALUES keep their multiplicity (different rows hash apart — the
+  * crucial difference from feeding values through KMV), while a
+  * re-presented ROW is a no-op, making the sketch idempotent as well as
+  * mergeable (what lets QuantileStream fold state under replays; two
+  * genuinely distinct rows colliding on the full (hash, value) pair is a
+  * 2⁻⁶³ event, the same caveat KMV carries).
   *
   * Scale shape: O(k) state per group, map-side partial aggregation ships
   * ≤ k (hash, value) pairs per partition, merges are k-bounded — the
@@ -54,49 +57,65 @@ case class QuantileSketchAgg(
     key: Expression,
     value: Expression,
     k: Int,
+    /** emit the raw (hash, value) pairs instead of the sorted values —
+      * the mergeable form a streaming monitor persists between batches */
+    emitPairs: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Double)]] {
+  extends TypedImperativeAggregate[mutable.TreeSet[(Long, Double)]] {
 
   require(k > 0, "sample size must be positive")
 
-  // max-heap on (hash, value): the root is the current cap — the pair that
-  // leaves first when a smaller one arrives
   private implicit val ord: Ordering[(Long, Double)] =
     Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering)
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Double)] =
-    mutable.PriorityQueue.empty[(Long, Double)]
+  // a k-bounded sorted SET, not a multiset heap: the hash is the row's
+  // identity, so "k smallest DISTINCT (hash, value) pairs" makes the
+  // buffer an idempotent semilattice — re-merging rows already sampled
+  // (a replayed micro-batch, overlapping state unions) is a no-op, which
+  // is what lets QuantileStream fold state without exactly-once inputs.
+  // (QuantileStreamSpec's replay test caught the multiset version
+  // double-counting re-presented pairs and evicting the real tail.)
+  // Distinct VALUES keep their multiplicity — different rows hash apart —
+  // so rank statistics are still over the row multiset.
+  override def createAggregationBuffer(): mutable.TreeSet[(Long, Double)] =
+    mutable.TreeSet.empty[(Long, Double)]
+
+  private def add(buf: mutable.TreeSet[(Long, Double)], pair: (Long, Double)): Unit =
+    if (buf.size < k) buf += pair
+    else if (ord.lt(pair, buf.last) && !buf.contains(pair)) {
+      buf -= buf.last; buf += pair
+    }
 
   override def update(
-      buf: mutable.PriorityQueue[(Long, Double)],
-      input: InternalRow): mutable.PriorityQueue[(Long, Double)] = {
+      buf: mutable.TreeSet[(Long, Double)],
+      input: InternalRow): mutable.TreeSet[(Long, Double)] = {
     val kv = key.eval(input)
     val vv = value.eval(input)
-    if (kv != null && vv != null) {
-      val pair = (kv.asInstanceOf[Long], vv.asInstanceOf[Double])
-      if (buf.size < k) buf.enqueue(pair)
-      else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
-    }
+    if (kv != null && vv != null)
+      add(buf, (kv.asInstanceOf[Long], vv.asInstanceOf[Double]))
     buf
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(Long, Double)],
-      other: mutable.PriorityQueue[(Long, Double)]): mutable.PriorityQueue[(Long, Double)] = {
-    other.foreach { pair =>
-      if (buf.size < k) buf.enqueue(pair)
-      else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
-    }
+      buf: mutable.TreeSet[(Long, Double)],
+      other: mutable.TreeSet[(Long, Double)]): mutable.TreeSet[(Long, Double)] = {
+    other.foreach(add(buf, _))
     buf
   }
 
-  /** Sample values sorted ascending — the quantile-ready form. */
-  override def eval(buf: mutable.PriorityQueue[(Long, Double)]): Any =
-    new GenericArrayData(buf.toArray.map(_._2)
-      .sorted(Ordering.Double.TotalOrdering).map(_.asInstanceOf[Any]))
+  /** Sample values sorted ascending (quantile-ready), or the (hash,
+    * value) pairs sorted by key when [[emitPairs]] is set. */
+  override def eval(buf: mutable.TreeSet[(Long, Double)]): Any =
+    if (emitPairs)
+      new GenericArrayData(buf.toArray.map { case (h, v) =>
+        InternalRow(h, v).asInstanceOf[Any]
+      })
+    else
+      new GenericArrayData(buf.toArray.map(_._2)
+        .sorted(Ordering.Double.TotalOrdering).map(_.asInstanceOf[Any]))
 
-  override def serialize(buf: mutable.PriorityQueue[(Long, Double)]): Array[Byte] = {
+  override def serialize(buf: mutable.TreeSet[(Long, Double)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -104,17 +123,19 @@ case class QuantileSketchAgg(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Double)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Long, Double)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.enqueue((in.readLong(), in.readDouble())); i += 1 }
+    while (i < n) { buf += ((in.readLong(), in.readDouble())); i += 1 }
     buf
   }
 
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (emitPairs) ArrayType(QuantileSketch.PairType, containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
   override def children: Seq[Expression] = Seq(key, value)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
@@ -132,12 +153,26 @@ object QuantileSketch {
     * median. */
   val DefaultK = 256
 
+  /** Shape of one retained sample pair in [[samplePairs]] output. */
+  val PairType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v", DoubleType, nullable = false)))
+
   /** Aggregate to the sketch sample: ascending array<double> of the k
     * hash-selected values. */
   def sample(key: Column, value: Column, k: Int = DefaultK): Column =
     ColumnBridge.column(
       QuantileSketchAgg(ColumnBridge.expression(key),
         ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** Aggregate to the raw mergeable sample: array<struct<h,v>> sorted by
+    * (h, v) — the state a streaming accumulator persists and re-feeds
+    * through this same aggregate on the next batch. */
+  def samplePairs(key: Column, value: Column, k: Int = DefaultK): Column =
+    ColumnBridge.column(
+      QuantileSketchAgg(ColumnBridge.expression(key),
+        ColumnBridge.expression(value), k, emitPairs = true).toAggregateExpression())
 
   /** Linear-interpolation quantile over a sorted sample column (the
     * percentile_cont definition): pos = q·(n−1); v = v⌊pos⌋ +

@@ -49,13 +49,20 @@ object VocabStream {
   /** Merge one batch into the persisted state. The old state is collected
     * first (O(sources × k) longs), which both makes the overwrite safe —
     * nothing lazily reads the directory being replaced — and keeps the
-    * merge a union of driver-held rows with the batch aggregate. */
+    * merge a union of driver-held rows with the batch aggregate. Replay
+    * of a batch is a no-op by construction: KMV union is an idempotent
+    * semilattice, so re-merging already-counted tokens changes nothing.
+    * State existence goes through the Hadoop FileSystem of the path's
+    * scheme, never `java.io.File` (the DedupStream lesson). */
   def processBatch(s: SparkSession, batch: DataFrame, stateDir: String,
       family: HashFamily, k: Int = TextOps.KmvK): Unit = {
     import s.implicits._
     import scala.jdk.CollectionConverters._
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val stateExists = statePath
+      .getFileSystem(s.sparkContext.hadoopConfiguration).exists(statePath)
     val old: DataFrame =
-      if (new java.io.File(stateDir).exists())
+      if (stateExists)
         s.createDataFrame(s.read.parquet(stateDir).collect().toList.asJava, stateSchema)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     sketchOf(batch, family, k).unionByName(old)

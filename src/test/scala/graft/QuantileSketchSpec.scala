@@ -20,12 +20,16 @@ class QuantileSketchSpec extends AnyFunSuite {
     BoundReference(0, LongType, nullable = true),
     BoundReference(1, DoubleType, nullable = true), k)
 
-  test("buffer laws: any partitioning = global bottom-k sample, surviving serde") {
+  test("buffer laws: any partitioning = global bottom-k DISTINCT sample, surviving serde and replays") {
     val k = 16
     val agg = mkAgg(k)
     val rng = new scala.util.Random(7)
     for (_ <- 0 until 100) {
-      val rows = List.fill(rng.nextInt(120))((rng.nextLong(), rng.nextInt(100).toDouble))
+      val base = List.fill(rng.nextInt(120))((rng.nextLong(), rng.nextInt(100).toDouble))
+      // re-present a third of the rows — the replayed-micro-batch shape;
+      // set semantics must make them no-ops (the multiset version evicted
+      // real tail pairs for the duplicates)
+      val rows = rng.shuffle(base ++ base.take(base.size / 3))
       val cut = 1 + rng.nextInt(9)
       val parts = rows.grouped(math.max(1, cut)).toList.map { part =>
         val b = part.foldLeft(agg.createAggregationBuffer()) { (buf, r) =>
@@ -35,7 +39,7 @@ class QuantileSketchSpec extends AnyFunSuite {
       }
       val merged = parts.foldLeft(agg.createAggregationBuffer())(agg.merge)
       val got = agg.eval(merged).asInstanceOf[ArrayData].toDoubleArray().toSeq
-      val want = rows.sorted.take(k).map(_._2).sorted
+      val want = base.distinct.sorted.take(k).map(_._2).sorted
       assert(got === want, s"cut=$cut rows=$rows")
     }
   }
