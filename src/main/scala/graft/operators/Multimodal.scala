@@ -274,10 +274,183 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Pure-JVM decoder for RIFF/WAVE PCM — a REAL audio container decode
+    * (chunk walker with unknown-chunk skipping and word alignment, fmt
+    * validation, 16-bit little-endian sample extraction) beside the PPM
+    * image path: the two concrete formats bracketing the stub. Only
+    * PCM (format 1) at 16 bits decodes; anything else — float WAV,
+    * truncated data, bad tags — is None, the per-row skip policy (S8). */
+  object Wav {
+    final case class Audio(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        samples: Array[Short])
+
+    private def le(n: Int): ByteOrderBuf = new ByteOrderBuf(n)
+
+    /** Minimal little-endian writer (no java.nio dependency games). */
+    final class ByteOrderBuf(n: Int) {
+      val a = new Array[Byte](n)
+      private var i = 0
+      def ascii(s: String): this.type = { s.foreach(c => { a(i) = c.toByte; i += 1 }); this }
+      def u32(v: Long): this.type = {
+        a(i) = (v & 0xFF).toByte; a(i + 1) = ((v >> 8) & 0xFF).toByte
+        a(i + 2) = ((v >> 16) & 0xFF).toByte; a(i + 3) = ((v >> 24) & 0xFF).toByte
+        i += 4; this
+      }
+      def u16(v: Int): this.type = {
+        a(i) = (v & 0xFF).toByte; a(i + 1) = ((v >> 8) & 0xFF).toByte; i += 2; this
+      }
+      def bytes(b: Array[Byte]): this.type = {
+        System.arraycopy(b, 0, a, i, b.length); i += b.length; this
+      }
+      /** one zero pad byte (the array is zero-initialized). */
+      def pad(): this.type = { i += 1; this }
+    }
+
+    /** PCM-16 writer (synthesizes oracle-checkable payloads; the golden
+      * spec drives it too). `junk` inserts an unknown chunk BEFORE fmt —
+      * exercising the walker's skip + odd-size word-alignment path. */
+    def encodePcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+        junk: Option[Array[Byte]] = None): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val junkBytes = junk.map(j => 8 + j.length + (j.length & 1)).getOrElse(0)
+      val riffSize = 4 + junkBytes + 24 + 8 + dataBytes
+      val buf = le(8 + riffSize)
+      buf.ascii("RIFF").u32(riffSize.toLong).ascii("WAVE")
+      junk.foreach { j =>
+        buf.ascii("LIST").u32(j.length.toLong).bytes(j)
+        if ((j.length & 1) == 1) buf.pad() // word alignment after odd chunk
+      }
+      buf.ascii("fmt ").u32(16L).u16(1).u16(channels)
+        .u32(sampleRate.toLong).u32(sampleRate.toLong * channels * 2)
+        .u16(channels * 2).u16(16)
+      buf.ascii("data").u32(dataBytes.toLong)
+      samples.foreach(s => buf.u16(s & 0xFFFF))
+      buf.a
+    }
+
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      def u32(o: Int): Long =
+        if (o + 4 > bytes.length) -1L
+        else (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def tag(o: Int): String =
+        if (o + 4 > bytes.length) ""
+        else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[(Int, Int)] = None // (offset, size)
+      var o = 12
+      while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(o)
+        val size = u32(o + 4)
+        if (size < 0 || o + 8 + size > bytes.length) return None
+        val body = o + 8
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val audioFormat = u16(body)
+            if (audioFormat != 1 || u16(body + 14) != 16) return None // PCM-16 only
+            fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+          case "data" => data = Some((body, size.toInt))
+          case _ => () // unknown chunk: skip
+        }
+        o = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      for ((channels, rate, bits) <- fmt; (off, sz) <- data
+           if channels >= 1 && rate > 0 && sz % (channels * 2) == 0) yield {
+        val samples = new Array[Short](sz / 2)
+        var i = 0
+        while (i < samples.length) { samples(i) = u16(off + i * 2).toShort; i += 1 }
+        Audio(rate, channels, bits, samples)
+      }
+    }
+  }
+
+  val WavFrames = 64
+  val WavChannels = 2
+  val WavRate = 8000
+
+  final case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, mean_left: Double, mean_right: Double, peak: Int)
+
+  /** Wrap each document's bytes as a stereo PCM-16 clip: interleaved
+    * sample j = (byte_j − 128)·256, zero-padded to [[WavFrames]] frames —
+    * deterministic, so DuckDB recomputes the expected samples. A LIST
+    * junk chunk (odd-sized, exercising alignment) precedes fmt. */
+  def synthesizeWav(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val n = WavFrames * WavChannels
+      val samples = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        val v = if (j < txt.length) txt(j) & 0xFF else 0
+        samples(j) = ((v - 128) * 256).toShort
+        j += 1
+      }
+      MediaRow(id, Wav.encodePcm16(WavRate, WavChannels, samples,
+          junk = Some(s"doc $id".getBytes(java.nio.charset.StandardCharsets.US_ASCII))),
+        "audio/wav", 0, 0)
+    }
+
+  /** REAL decode → per-channel means + peak. Channel sums are integer and
+    * divide by the frame count (a power of two), so the means are exact
+    * doubles the oracle reproduces; a decoder bug (wrong data offset,
+    * byte-order slip, channel de-interleave off-by-one) shifts them. */
+  def decodeWavStats(rows: Iterator[MediaRow]): Iterator[WavStats] =
+    rows.flatMap { r =>
+      Wav.decode(r.payload).map { a =>
+        val frames = a.samples.length / a.channels
+        var sl = 0L; var sr = 0L; var peak = 0
+        var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toInt
+          if (i % a.channels == 0) sl += s else sr += s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        WavStats(r.doc_id, a.sampleRate, a.channels, frames.toLong,
+          sl.toDouble / frames, sr.toDouble / frames, peak)
+      }
+    }
+
+  /** q77 — the decode pipeline on a REAL audio container: synthesize a
+    * RIFF/WAVE PCM-16 clip per document (samples = the document's bytes),
+    * run the actual chunk-walking decoder in a partition-batched map,
+    * emit decoded rate/channels/frame-count + channel stats. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeWavStats(synthesizeWav(rows)))
+      .select($"doc_id", $"sample_rate", $"channels", $"n_frames",
+        $"mean_left", $"mean_right", $"peak")
+      .orderBy($"doc_id")
+  }
+
+  private val q77Sql = {
+    val n = WavFrames * WavChannels
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |s AS (SELECT doc_id, j,
+       |    (CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END - 128) * 256 AS v
+       |  FROM b, range($n) t(j)),
+       |agg AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN j % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS sl,
+       |    CAST(SUM(CASE WHEN j % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS sr,
+       |    CAST(MAX(ABS(v)) AS INTEGER) AS peak
+       |  FROM s GROUP BY doc_id)
+       |SELECT doc_id, CAST($WavRate AS INTEGER) AS sample_rate,
+       |  CAST($WavChannels AS INTEGER) AS channels,
+       |  CAST($WavFrames AS BIGINT) AS n_frames,
+       |  sl / $WavFrames.0 AS mean_left, sr / $WavFrames.0 AS mean_right, peak
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
     GQuery("q55_multimodal_resize", q55, Some(q55Sql)),
     GQuery("q58_ppm_decode", q58, Some(q58Sql)),
+    GQuery("q77_wav_decode", q77, Some(q77Sql)),
   )
 }

@@ -274,6 +274,41 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.MediaRow(6L, Array[Byte](1, 2, 3), "image/x-portable-pixmap", 0, 0))).isEmpty)
   }
 
+  test("WAV decoder: golden samples, chunk skipping + alignment, malformed-payload policy") {
+    import Multimodal.Wav
+    // stereo, 2 frames: L=-32768, R=100, L=200, R=-1
+    val samples = Array[Short](-32768, 100, 200, -1)
+    val plain = Wav.decode(Wav.encodePcm16(8000, 2, samples)).get
+    assert(plain.sampleRate === 8000 && plain.channels === 2 && plain.bitsPerSample === 16)
+    assert(plain.samples.toSeq === samples.toSeq)
+    // an unknown odd-sized chunk before fmt is skipped with word alignment
+    val junked = Wav.decode(Wav.encodePcm16(8000, 2, samples,
+      junk = Some(Array[Byte](1, 2, 3, 4, 5)))).get
+    assert(junked.samples.toSeq === samples.toSeq)
+    // malformed payloads decode to None (per-row skip policy S8):
+    val good = Wav.encodePcm16(8000, 2, samples)
+    assert(Wav.decode(good.take(20)).isEmpty, "truncated mid-chunk")
+    assert(Wav.decode("RIFX".getBytes ++ good.drop(4)).isEmpty, "wrong riff tag")
+    assert(Wav.decode(good.updated(8, 'X'.toByte)).isEmpty, "wrong wave tag")
+    val floatFmt = good.clone()
+    // fmt audioFormat field lives right after "fmt " + size in our layout:
+    // find it and flip PCM(1) → IEEE float(3)
+    val fmtIdx = good.indexOfSlice("fmt ".getBytes)
+    floatFmt(fmtIdx + 8) = 3
+    assert(Wav.decode(floatFmt).isEmpty, "non-PCM format rejected")
+    assert(Wav.decode(Array.empty[Byte]).isEmpty, "empty payload")
+    // stats over a known clip: means are per channel over frames
+    val stats = Multimodal.decodeWavStats(Iterator(
+      Multimodal.MediaRow(7L, good, "audio/wav", 0, 0))).next()
+    assert(stats.n_frames === 2L && stats.channels === 2)
+    assert(stats.mean_left === (-32768.0 + 200.0) / 2)
+    assert(stats.mean_right === (100.0 - 1.0) / 2)
+    assert(stats.peak === 32768)
+    // invalid rows are skipped, not nulled
+    assert(Multimodal.decodeWavStats(Iterator(
+      Multimodal.MediaRow(8L, Array[Byte](82, 73), "audio/wav", 0, 0))).isEmpty)
+  }
+
   test("as-of join ≡ naive per-row latest-match") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
