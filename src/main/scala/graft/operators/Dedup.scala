@@ -114,38 +114,45 @@ object Dedup {
   private[graft] def prefixLen(n: Column): Column = greatest(
     (n - ceil(lit(JaccardThreshold) * n - lit(1e-9)) + 1).cast("int"), lit(1))
 
+  /** q24's ranked prefix relation — (doc_id, h1, h2, rn, n) for the
+    * rarest-first prefix of every document — served from the session
+    * [[graft.store.Materialized]] store: the df aggregation + df join +
+    * per-doc rank window are the build of the prefix-filter INDEX, a pure
+    * function of the corpus snapshot that q24 was re-deriving every run.
+    * Plan notes for the build (unchanged): the doc's shingle count rides
+    * the explode — no separate corpus-sized `sizes` join; shingle strings
+    * collapse to a 128-bit hash pair (two independent xxhash64 draws)
+    * before any shuffle, so every exchange moves two longs and the join
+    * compares integers. 16 bytes buys an expected collision count of
+    * (#distinct shingles)²/2¹²⁹ ≈ 3·10⁻¹⁵ even at 10¹² shingles — which
+    * matters beyond candidate noise: the positional filter's bound is
+    * only valid when both docs rank tokens under the SAME total order, so
+    * the (df, h1, h2) sort key must be collision-free. Raw xxhash64 (not
+    * HashFamily) is deliberate — the hashes never reach the output (the
+    * verify recomputes true Jaccard on raw shingles), so there is no
+    * oracle mode to preserve. dfreq is corpus-sized — one row per
+    * distinct shingle — so it is NOT broadcast: shuffle join on the
+    * natural key, AQE localizes it when small. */
+  def docJaccardPrefixes(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"jprefix:$dir") {
+      import s.implicits._
+      val posting = docShingles(s, dir)
+        .select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
+        .select($"doc_id", $"n",
+          xxhash64($"shingle").as("h1"), xxhash64($"shingle", lit(2)).as("h2"))
+      val dfreq = posting.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df", $"h1", $"h2")
+      posting.join(dfreq, Seq("h1", "h2"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= prefixLen($"n"))
+        .select($"doc_id", $"h1", $"h2", $"rn", $"n")
+    }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
-    // the doc's shingle count rides along through the explode — one narrow
-    // int column instead of a separate corpus-sized `sizes` relation and
-    // its join+shuffle. Shingle strings are immediately collapsed to a
-    // 128-bit hash pair (two independent xxhash64 draws): every downstream
-    // shuffle — the df aggregation, the df join, the doc_id window, the
-    // candidate self-join — moves two longs instead of a ~25-byte string,
-    // and the join comparisons are integer equality. 16 bytes buys an
-    // expected collision count of (#distinct shingles)²/2¹²⁹ ≈ 3·10⁻¹⁵
-    // even at 10¹² shingles, which matters for more than candidate noise:
-    // the positional filter's bound is only valid when both docs rank
-    // their tokens under the SAME total order, so the sort key (df,h1,h2)
-    // must be collision-free to stay a consistent global order. Raw
-    // xxhash64 (not HashFamily) is deliberate — unlike q25/q26 the hashes
-    // never reach the output (the verify recomputes true Jaccard on raw
-    // shingles), so there is no oracle mode to preserve.
-    val posting = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))
-      .select($"doc_id", $"n",
-        xxhash64($"shingle").as("h1"), xxhash64($"shingle", lit(2)).as("h2"))
-    val dfreq = posting.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
-    // global order = rarest-first (df, h1, h2); rank within doc via window
-    // (one shuffle on doc_id). dfreq is corpus-sized — one row per distinct
-    // shingle — so it must NOT be broadcast: shuffle join on the natural
-    // key, AQE localizes it when small
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"df", $"h1", $"h2")
-    val prefixes = posting.join(dfreq, Seq("h1", "h2"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= prefixLen($"n"))
-      .select($"doc_id", $"h1", $"h2", $"rn", $"n")
+    val prefixes = docJaccardPrefixes(s, dir)
     // length filter: jac ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
     // positional filter (PPJoin): a candidate generated at prefix positions
     // (i, j) can reach overlap at most min(i−1, j−1) + 1 + min(|A|−i, |B|−j)

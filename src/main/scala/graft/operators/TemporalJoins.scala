@@ -180,9 +180,15 @@ object TemporalJoins {
     * reproduces the estimate EXACTLY (the same determinism trade q65's
     * KMV makes), and QuantileSketchSpec separately gates the estimates
     * against the exact q41 values and proves partitioning invariance.
-    * The row hash keys on the (l_orderkey, l_linenumber) primary key in
-    * Oracle mode; production runs would swap [[HashFamily.Fast]] exactly
-    * as the dedup family does. */
+    * The row hash keys on (l_orderkey, l_linenumber) in Oracle mode;
+    * production runs would swap [[HashFamily.Fast]] exactly as the dedup
+    * family does. The sketch samples the DISTINCT (key, value) space —
+    * the idempotence that lets the streaming monitor replay batches — so
+    * the oracle's sample CTE carries the matching DISTINCT: this corpus's
+    * synthetic (orderkey, linenumber) key is NOT row-unique (≈0.6% of
+    * rows repeat the triple at sf0.1, which is how the sf0.1 sweep caught
+    * the mismatch), and collapsed duplicates shift rank estimates well
+    * inside the sketch's error bound (QuantileSketchSpec's gate). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.QuantileSketch
     import s.implicits._
@@ -212,7 +218,7 @@ object TemporalJoins {
          |    MAX(CASE WHEN vr = LEAST(CAST(FLOOR($q * (ns - 1)) AS BIGINT) + 2, ns) THEN l_quantity END) AS ${col}_hi""".stripMargin
     def interp(q: String, col: String) =
       s"${col}_lo + (${col}_hi - ${col}_lo) * ($q * (ns - 1) - FLOOR($q * (ns - 1)))"
-    s"""WITH keyed AS (SELECT l_returnflag, l_quantity, $h AS hk FROM lineitem),
+    s"""WITH keyed AS (SELECT DISTINCT l_returnflag, l_quantity, $h AS hk FROM lineitem),
        |samp AS (SELECT l_returnflag, l_quantity,
        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hk, l_quantity) AS rn
        |  FROM keyed),
