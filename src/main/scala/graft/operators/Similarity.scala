@@ -577,6 +577,102 @@ object Similarity {
        |SELECT label, rank, vec_id, dot, cos_sim FROM r WHERE rank <= $OutliersPerLabel
        |ORDER BY label, rank""".stripMargin
 
+  /** int8 candidates surviving to the exact rerank, per query. */
+  val RerankFactor = 4
+
+  /** q78 — QUANTIZED retrieval: the memory-bound ANN serving layout. The
+    * IVF candidate scan runs on the int8 form (q62's quantization — the
+    * representation a 100 TB embedding corpus actually keeps hot), scoring
+    * candidates with INTEGER dot products; only the top
+    * [[RerankFactor]]·K int8 candidates per query touch the full-precision
+    * vectors for the exact rerank. At scale this divides candidate-scan
+    * bytes by 8 (int8 vs double) and bounds float work to R rows/query.
+    *
+    * Exactness: the int8 ranking score is the signed squared cosine
+    * d·|d| / (‖a‖²·‖b‖²) — three exact integer sums and one IEEE divide,
+    * no sqrt — so the candidate ranking is bit-identical on both engines;
+    * the final sim is the same rounded float cosine q61 emits, making the
+    * two retrieval paths directly comparable (PipelineSpec asserts
+    * high overlap and identical sims on shared hits). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val qz = quantized(s, dir)
+      .withColumn("qnorm", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .select($"vec_id", $"qs", $"qnorm")
+    // int8 index: cell assignment + codes (the float vec is NOT carried)
+    val idx8 = ivfAssign(emb).select($"vec_id", $"cell")
+      .join(qz, "vec_id")
+    // probe-cell selection identical to q61 (queries are full-precision)
+    val centsRow = emb.filter($"vec_id" < Centroids)
+      .agg(array_sort(collect_list(struct($"vec_id", $"vec"))).as("cs"))
+    val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
+      .crossJoin(broadcast(centsRow))
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"),
+        slice(array_sort(transform($"cs",
+          c => struct((-cosine($"vec", c("vec"))).as("negsim"), c("vec_id").as("cell")))),
+          1, NProbe).as("cells"))
+      .select($"query_id", $"qvec", explode($"cells.cell").as("cell"))
+      .join(qz.select($"vec_id".as("query_id"), $"qs".as("q_qs"),
+        $"qnorm".as("q_qnorm")), "query_id")
+    // int8 scan: one equi-join on the cell, integer dot per candidate.
+    // |d| ≤ 64·127² ≈ 1.0e6, so d·|d| and the norm product stay ≤ ~1.1e12
+    // — exact in long AND in double, which is what makes the score a
+    // deterministic cross-engine rational
+    val cand8 = probed.join(idx8, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("d",
+        aggregate(zip_with($"qs", $"q_qs", (x, y) => x * y), lit(0L), (a, x) => a + x))
+      .withColumn("score8",
+        when($"qnorm" === 0L || $"q_qnorm" === 0L, lit(-2.0))
+          .otherwise(($"d" * abs($"d")).cast("double") /
+            ($"qnorm" * $"q_qnorm").cast("double")))
+    val w8 = Window.partitionBy($"query_id").orderBy($"score8".desc, $"vec_id")
+    val survivors = cand8.withColumn("r8", row_number().over(w8))
+      .filter($"r8" <= K * RerankFactor)
+      .select($"query_id", $"qvec", $"vec_id")
+    // exact float rerank touches ONLY the survivors
+    val reranked = survivors.join(emb, "vec_id")
+      .select($"query_id", $"vec_id", round(cosine($"vec", $"qvec"), 3).as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    reranked.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q78Sql =
+    s"""${batchAnnCtes(BatchQueryMod)},
+       |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       |qz AS (SELECT vec_id, list_transform(v, x ->
+       |    CASE WHEN scale = 0 THEN 0 ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END) AS qs
+       |  FROM sc),
+       |qn AS (SELECT vec_id, qs,
+       |    CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS qnorm FROM qz),
+       |cand8 AS (SELECT qc.query_id, a.vec_id, qc.qv,
+       |    CAST(list_sum([iq.qs[i] * qq.qs[i] for i in range(1, len(iq.qs) + 1)]) AS BIGINT) AS d,
+       |    iq.qnorm AS anorm, qq.qnorm AS qn2
+       |  FROM qcells qc JOIN assign a ON a.cell = qc.cell
+       |  JOIN qn iq ON iq.vec_id = a.vec_id
+       |  JOIN qn qq ON qq.vec_id = qc.query_id
+       |  WHERE a.vec_id <> qc.query_id),
+       |sc8 AS (SELECT query_id, vec_id, qv,
+       |    CASE WHEN anorm = 0 OR qn2 = 0 THEN -2.0
+       |         ELSE CAST(d * ABS(d) AS DOUBLE) / CAST(anorm * qn2 AS DOUBLE) END AS score8
+       |  FROM cand8),
+       |surv AS (SELECT query_id, vec_id, qv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score8 DESC, vec_id) AS r8 FROM sc8)
+       |  WHERE r8 <= ${K * RerankFactor}),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |    ROUND(list_cosine_similarity(e.v, s.qv), 3) AS sim
+       |  FROM surv s JOIN e ON e.vec_id = s.vec_id),
+       |final AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, rank, vec_id, sim FROM final WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
@@ -585,5 +681,6 @@ object Similarity {
     GQuery("q62_embed_quantize", q62, Some(q62Sql)),
     GQuery("q67_label_knn_audit", q67, Some(q67Sql)),
     GQuery("q69_label_centroid_outliers", q69, Some(q69Sql)),
+    GQuery("q78_quantized_retrieval", q78, Some(q78Sql), bench = true),
   )
 }

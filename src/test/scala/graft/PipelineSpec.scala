@@ -163,6 +163,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 8L, s"overlap=$overlap/10")
   }
 
+  test("quantized retrieval: high overlap with float retrieval, identical sims on shared hits") {
+    import spark.implicits._
+    val float = run("q61_ann_batch")
+      .select($"query_id", $"vec_id", $"sim".as("sim_f"))
+    val int8 = run("q78_quantized_retrieval")
+      .select($"query_id", $"vec_id", $"sim".as("sim_q"))
+    val nQueries = float.select($"query_id").distinct().count()
+    val shared = float.join(int8, Seq("query_id", "vec_id")).cache()
+    // int8 scoring may reorder near-ties, but per query the overlap must
+    // stay high (quantization perturbs cosines by ~1%)
+    val perQuery = shared.groupBy($"query_id").count()
+      .agg(min($"count")).collect().head.getLong(0)
+    assert(perQuery >= 8L, s"worst per-query overlap $perQuery/10 over $nQueries queries")
+    // and wherever both paths return a hit, the RERANKED sim is the same
+    // float cosine — the rerank must erase the quantization error
+    assert(shared.filter($"sim_f" =!= $"sim_q").count() === 0L,
+      "reranked sims diverged from the float path")
+    shared.unpersist()
+  }
+
   test("persisted IVF index: partition-pruned probe matches in-memory ANN") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
