@@ -314,4 +314,39 @@ class EveGraphSpec extends AnyFunSuite {
     assert(cat.drop("g"))
     assert(g2.vertices.getStorageLevel === StorageLevel.NONE)
   }
+
+  test("graph catalog: concurrent refresh storm never hands a query an uncached snapshot") {
+    // the lookup-to-pin race: a refresh can retire (and, at pins == 0,
+    // unpersist) a holder BETWEEN a reader's catalog lookup and its pin.
+    // tryPin refuses retired holders and withGraph re-fetches; with the
+    // old unconditional pin() this storm could observe a graph whose
+    // cache was already dropped (torn snapshot on the next superstep).
+    // One-sided test: correct code can never fail it.
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.storage.StorageLevel
+    val cat = new graft.graph.GraphCatalog[Long, Double]
+    def build(w: Double): () => Graph[Long, Double] =
+      () => Graph.fromEdges(spark.sparkContext.parallelize(Seq(Edge(1L, 2L, w))), 0L)
+    cat.getOrCreate("g", build(0.0))
+    val problems = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 4).map(t => new Thread(() => {
+      try {
+        for (_ <- 0 until 20) {
+          cat.withGraph("g", build(-1.0)) { g =>
+            if (g.vertices.getStorageLevel == StorageLevel.NONE ||
+              g.edges.getStorageLevel == StorageLevel.NONE)
+              problems.add(s"reader $t pinned an unpersisted graph")
+            g.edges.count()
+          }
+        }
+      } catch { case e: Throwable => problems.add(s"reader $t: $e") }
+    }))
+    val refresher = new Thread(() => {
+      try for (i <- 1 to 20) cat.refresh("g", build(i.toDouble))
+      catch { case e: Throwable => problems.add(s"refresher: $e") }
+    })
+    (readers :+ refresher).foreach(_.start())
+    (readers :+ refresher).foreach(_.join(120000))
+    assert(problems.isEmpty, problems.toArray.mkString("; "))
+  }
 }
