@@ -37,6 +37,11 @@ import scala.collection.mutable
 case class MisraGriesAgg(
     child: Expression,
     capacity: Int,
+    /** emit (key, residual-count) pairs instead of the bare key array —
+      * the mergeable form a streaming accumulator persists between
+      * micro-batches (counts are what [[merge]] needs; the batch q53
+      * two-pass plan only needs the candidate keys) */
+    emitCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
@@ -78,9 +83,15 @@ case class MisraGriesAgg(
     buf
   }
 
-  /** Candidate keys, sorted for determinism of downstream plans. */
+  /** Candidate keys sorted for determinism — or (key, residual-count)
+    * structs when [[emitCounts]] is set. */
   override def eval(buf: mutable.HashMap[String, Long]): Any =
-    new GenericArrayData(buf.keys.toArray.sorted.map(UTF8String.fromString): Array[Any])
+    if (emitCounts)
+      new GenericArrayData(buf.toArray.sortBy(_._1).map { case (k, c) =>
+        InternalRow(UTF8String.fromString(k), c).asInstanceOf[Any]
+      })
+    else
+      new GenericArrayData(buf.keys.toArray.sorted.map(UTF8String.fromString): Array[Any])
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -107,7 +118,9 @@ case class MisraGriesAgg(
   }
 
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    if (emitCounts) ArrayType(HeavyHitters.PairType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
   override def children: Seq[Expression] = child :: Nil
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
@@ -119,10 +132,22 @@ case class MisraGriesAgg(
 }
 
 object HeavyHitters {
+  /** Shape of one summary entry in [[summary]] output. */
+  val PairType: StructType = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("c", LongType, nullable = false)))
+
   /** Aggregate a string column into the ≤ k Misra-Gries candidate keys
     * (array<string>) — every value with frequency > N/k is guaranteed
     * present. */
   def candidates(c: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Aggregate to the raw summary (array<struct<k,c>>) — the mergeable
+    * state a streaming accumulator persists between micro-batches. */
+  def summary(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(c), k, emitCounts = true)
+        .toAggregateExpression())
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.HeavyTokenStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming heavy-token monitor's contract is the Misra-Gries
+  * guarantee, NOT byte-identity (counts fold — error accumulates across
+  * merges but stays ≤ N/k): every token whose total frequency exceeds
+  * N/k must be present in the state after any batch split, and residual
+  * counts must lower-bound the true counts. */
+class HeavyTokenStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val capacity = 64
+
+  private def docs: DataFrame =
+    Tables.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** exact token counts of the full corpus. */
+  private lazy val exact: Map[String, Long] = {
+    import spark.implicits._
+    docs.select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def assertRecall(stateDir: String): Unit = {
+    val state = HeavyTokenStream.candidates(spark, stateDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = state.head._3
+    assert(total === exact.values.sum, "token total must be exact")
+    val present = state.map(_._1).toSet
+    val threshold = total / capacity
+    val heavy = exact.filter(_._2 > threshold)
+    assert(heavy.nonEmpty, "no heavy tokens at this capacity — vacuous")
+    val missed = heavy.keySet -- present
+    assert(missed.isEmpty, s"missed heavy tokens (freq > $threshold): $missed")
+    // residuals never exceed the true counts
+    state.foreach { case (tok, residual, _) =>
+      assert(residual <= exact.getOrElse(tok, 0L),
+        s"residual for $tok exceeds its true count")
+    }
+  }
+
+  test("recall of all > N/k tokens under two different batch splits") {
+    import spark.implicits._
+    for (splits <- Seq(
+        Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1)),
+        Seq(docs.filter($"doc_id" >= 400), docs.filter($"doc_id" < 100),
+          docs.filter($"doc_id" >= 100 && $"doc_id" < 400)))) {
+      val state = java.nio.file.Files.createTempDirectory("heavystream").toString + "/state"
+      splits.foreach(b => HeavyTokenStream.processBatch(spark, b, state, capacity))
+      assertRecall(state)
+    }
+  }
+
+  test("file-source wiring folds arriving files into the state") {
+    val src = java.nio.file.Files.createTempDirectory("heavysrc").toString
+    val state = java.nio.file.Files.createTempDirectory("heavystream2").toString + "/state"
+    docs.write.mode("append").parquet(src)
+    val q = HeavyTokenStream.start(spark, src, state, capacity)
+    q.awaitTermination()
+    assertRecall(state)
+  }
+
+  test("replay is NOT a no-op — the documented exactly-once contract of a counting sketch") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("heavystream3").toString + "/state"
+    val b = docs.filter($"doc_id" < 250)
+    HeavyTokenStream.processBatch(spark, b, state, capacity)
+    val t1 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
+    HeavyTokenStream.processBatch(spark, b, state, capacity)
+    val t2 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
+    assert(t2 === 2 * t1,
+      "counting state must visibly double on replay — callers need exactly-once delivery")
+  }
+}
