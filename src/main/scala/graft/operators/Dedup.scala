@@ -134,7 +134,8 @@ object Dedup {
     * distinct shingle — so it is NOT broadcast: shuffle join on the
     * natural key, AQE localizes it when small. */
   def docJaccardPrefixes(s: SparkSession, dir: String): DataFrame =
-    graft.store.Materialized.relation(s, s"jprefix:$dir") {
+    graft.store.Materialized.bucketedRelation(s, s"jprefix:$dir",
+      Seq("h1", "h2"), 16) {
       import s.implicits._
       val posting = docShingles(s, dir)
         .select($"doc_id", size($"sh").as("n"), explode($"sh").as("shingle"))

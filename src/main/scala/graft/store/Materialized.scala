@@ -52,9 +52,43 @@ object Materialized {
     s.read.parquet(store)
   }
 
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** [[relation]] in BUCKETED form: the store is a managed bucketed table
+    * (pre-shuffled on `bucketCols` at build time), so an equi-join of the
+    * relation with ITSELF on the bucket key — the shape of every
+    * candidate-pair generator in the dedup family — runs with no exchange
+    * on either side (the `store.Bucketing` co-location property, applied
+    * to a derived relation instead of a base table). Same immutable-input
+    * contract as [[relation]]; the catalog entry is session-scoped like
+    * every bucketed table here. */
+  def bucketedRelation(s: SparkSession, key: String, bucketCols: Seq[String],
+      buckets: Int)(build: => DataFrame): DataFrame = {
+    val name = tables.getOrElseUpdate((s, key), {
+      val b = key.getBytes("UTF-8")
+      val n = "graft_mat_" + java.lang.Long.toHexString(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 7) & 0xFFFFFFFFL)
+      if (!s.catalog.tableExists(n))
+        build.write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .saveAsTable(n)
+      n
+    })
+    s.table(name)
+  }
+
   /** Drop every store of `s` (all keys): the next consumer rebuilds from
     * its current input. For tests and for measuring cold (prepare-stage-
-    * inclusive) timings; store files are left for the shutdown hook. */
-  def invalidate(s: SparkSession): Unit =
+    * inclusive) timings; store files are left for the shutdown hook,
+    * bucketed tables are dropped through the catalog. */
+  def invalidate(s: SparkSession): Unit = {
     stores.keys.filter(_._1 eq s).foreach(stores.remove)
+    tables.filter(_._1._1 eq s).foreach { case (k, name) =>
+      tables.remove(k)
+      try s.sql(s"DROP TABLE IF EXISTS $name") catch { case _: Throwable => () }
+    }
+  }
 }

@@ -163,6 +163,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 8L, s"overlap=$overlap/10")
   }
 
+  test("q24 prefix self-join is fully co-located: bucketed store, zero exchange") {
+    // the candidate generator joins the materialized prefix relation with
+    // ITSELF on (h1, h2) — the bucketed store pre-shuffled it at build
+    // time, so the join must run with NO exchange on either side (at
+    // corpus scale this is q24's only corpus-sized shuffle)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = graft.operators.Dedup.docJaccardPrefixes(spark, dir)
+      val j = p.as("x").join(p.as("y"),
+        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      assert(graft.store.Bucketing.isShuffleFree(j),
+        "prefix self-join shuffled a side despite the bucketed store")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
+
   test("quantized retrieval: high overlap with float retrieval, identical sims on shared hits") {
     import spark.implicits._
     val float = run("q61_ann_batch")
