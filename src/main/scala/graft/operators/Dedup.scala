@@ -243,7 +243,8 @@ object Dedup {
     * streaming path keeps its own persisted band index — `DedupStream` —
     * built incrementally from batches, never from this store.) */
   def docBands(s: SparkSession, dir: String, family: HashFamily): DataFrame =
-    graft.store.Materialized.relation(s, s"bands:$family:$dir")(
+    graft.store.Materialized.bucketedRelation(s, s"bands:$family:$dir",
+      Seq("band", "bhash"), 16)(
       bandsOf(docShingles(s, dir), family))
 
   /** LSH candidate pairs (pre-verification) from a band-bucket relation —

@@ -70,11 +70,25 @@ object Materialized {
       val n = "graft_mat_" + java.lang.Long.toHexString(
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
           b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 7) & 0xFFFFFFFFL)
-      if (!s.catalog.tableExists(n))
+      if (!s.catalog.tableExists(n)) {
+        // EXTERNAL table at a fresh temp path: a managed table's warehouse
+        // location outlives the (in-memory) catalog that named it, so a
+        // fresh session hashing the same key would collide with the last
+        // JVM's directory; a unique path per build sidesteps that and the
+        // shutdown hook reclaims it like every other store
+        val d = java.nio.file.Files.createTempDirectory("graft-mat-bkt")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }))
         build.write.mode(SaveMode.Overwrite).format("parquet")
+          .option("path", s"$d/rel")
           .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
           .sortBy(bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(n)
+      }
       n
     })
     s.table(name)

@@ -180,6 +180,15 @@ class PipelineSpec extends AnyFunSuite {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       assert(graft.store.Bucketing.isShuffleFree(j),
         "prefix self-join shuffled a side despite the bucketed store")
+      // the q25/q57 band store has the same contract on (band, bhash)
+      val bands = graft.operators.Dedup.docBands(spark, dir,
+        graft.functions.HashFamily.Fast)
+      val bj = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      assert(graft.store.Bucketing.isShuffleFree(bj),
+        "band self-join shuffled a side despite the bucketed store")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
