@@ -133,8 +133,6 @@ object Dijkstra {
   def deltaSssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
       delta: Double = 0.0, stats: Option[DeltaStats] = None): Graph[State, Double] = {
     import org.apache.spark.graphx.graftbridge.GraphXBridge
-    val dlt = if (delta > 0.0) delta else chooseDelta(g)
-    stats.foreach(_.delta = dlt)
 
     def mergeMsg(a: State, b: State): State =
       if (a._1 < b._1) a
@@ -148,10 +146,18 @@ object Dijkstra {
       if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache()
     cur.vertices.count(); cur.edges.count()
 
+    // Δ selection and the heavy-edge probe scan CUR (just cached), never
+    // the input graph: when the caller hands over an uncached lineage
+    // (the DataFrame dispatch path), scanning `g` re-runs the whole
+    // edge-build per pass — two silent full passes that GRAPHBENCH_r04's
+    // frame-dispatch row paid before this was moved
+    val dlt = if (delta > 0.0) delta else chooseDelta(cur)
+    stats.foreach(_.delta = dlt)
+
     // with a coarse Δ (the measured default) many graphs have NO heavy
     // edge at all — one early-exit scan here saves a full heavy-phase
     // relax per bucket
-    val anyHeavy = !g.edges.filter(_.attr >= dlt).isEmpty()
+    val anyHeavy = !cur.edges.filter(_.attr >= dlt).isEmpty()
 
     // relax out-edges of ACTIVE vertices whose dist lies in [lo, hi),
     // restricted to the light or heavy edge class; messages only when they
@@ -374,15 +380,16 @@ object Dijkstra {
     * path, now justified by its own benchmark (the round-3 directive):
     * GRAPHBENCH_r04 (400k vertices, same-JVM comparisons, the default
     * Δ = 32×mean) has the default BEATING the label-correcting Pregel on
-    * all three swept topologies — 2.4× on the low-diameter expander
-    * (6.3 s vs 15.3 s; round 3's 19.9 s-vs-18.5 s loss was the 1×-mean Δ
-    * plus full-edge-scan supersteps, both fixed), 1.25× on the
-    * wide-weight variant (14.0 s vs 17.5 s), and 1.58× on the moderate-
-    * diameter sparse shape (47.7 s vs 75.3 s — the no-heavy-edge skip
-    * matters most there: ~140 supersteps across few buckets, no wasted
-    * heavy passes). Margins in that high-superstep regime are the
-    * noisiest (inter-run Pregel variance spans 41–75 s); the committed
-    * artifact is one consistent same-JVM run, and every timed run is
+    * all three swept topologies — 1.4× on the low-diameter expander
+    * (8.7 s vs 12.4 s; round 3's 19.9 s-vs-18.5 s loss was the 1×-mean Δ
+    * plus full-edge-scan supersteps, both fixed; earlier sweeps measured
+    * up to 3.7× on this shape), 1.3× on the wide-weight variant (13.0 s
+    * vs 16.7 s), and 2.4× on the moderate-diameter sparse shape (55.8 s
+    * vs 134.4 s — the no-heavy-edge skip matters most there: ~140
+    * supersteps across few buckets, no wasted heavy passes). Inter-run
+    * variance on this box is large (Pregel's middiam baseline spanned
+    * 41–134 s across sweeps), so only same-JVM comparisons are quoted;
+    * the committed artifact is one consistent run and every timed run is
     * equality-checked. [[distances]]/[[sssp]] remain as the label-
     * correcting reference the equality specs compare against. */
   def deltaDistances[V: ClassTag](g: Graph[V, Double], source: VertexId): Seq[(VertexId, Double)] =
