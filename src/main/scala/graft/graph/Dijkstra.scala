@@ -359,10 +359,15 @@ object Dijkstra {
     val spark = edges.sparkSession
     val norm = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("double"))
-    // limit-probe instead of full count: one cheap job decides the dispatch
-    val probe = norm.limit((threshold + 1).toInt).collect()
-    if (probe.length <= threshold) {
-      val rows = localSssp(probe.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), source)
+    // limit-COUNT probe: one cheap job decides the dispatch without ever
+    // shipping edge rows to the driver — the distributed branch previously
+    // collected up to threshold+1 rows (~50 MB at the default) only to
+    // discard them; now rows are collected on the local branch alone,
+    // where the probe count has already bounded them to ≤ threshold
+    val probeCount = norm.limit((threshold + 1).toInt).count()
+    if (probeCount <= threshold) {
+      val rows = localSssp(
+        norm.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), source)
         .map { case (id, (d, _)) => (id, d) }.toSeq
       spark.createDataFrame(rows).toDF("id", "dist")
     } else {

@@ -258,6 +258,14 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** NOTE — single-byte-corpus assumption (shared with q77Sql): the Spark
+    * side rasterizes the UTF-8 BYTES of `text`, while the oracle indexes
+    * CHARACTERS (`ascii(substr(text, j+1, 1))` = code point of the j-th
+    * character). The two agree exactly iff every character is single-byte
+    * (ASCII ≤ 0x7F), which the driver's synthetic corpora satisfy; a
+    * non-ASCII corpus would need a byte-level oracle (e.g. indexing into
+    * `encode(text)` blob bytes) — documented rather than generalized
+    * because the hash gate would fail loudly, not silently, on such data. */
   private val q58Sql = {
     val raster = PpmW * PpmH * 3
     def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
@@ -428,6 +436,9 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // single-byte-corpus assumption: see the q58Sql note (ascii(substr(..))
+  // indexes characters, the Spark side indexes UTF-8 bytes — equal only on
+  // an ASCII corpus, which the driver's testdata is)
   private val q77Sql = {
     val n = WavFrames * WavChannels
     s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),

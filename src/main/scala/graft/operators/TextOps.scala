@@ -614,8 +614,11 @@ object TextOps {
       .withColumn("idf",
         log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
       .withColumn("score_raw",
-        $"idf" * ($"tf" * lit(2.2) /
-          ($"tf" + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * $"dl" / $"avgdl"))))
+        // k₁+1 and 1−b are derived IN SOURCE from the constants (both sums
+        // are exact doubles), so retuning Bm25K1/Bm25B can never leave a
+        // stale hand-folded 2.2/0.25 behind
+        $"idf" * ($"tf" * lit(Bm25K1 + 1.0) /
+          ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score_raw".desc, $"term")
     scored.withColumn("rank", row_number().over(w))
@@ -639,7 +642,7 @@ object TextOps {
        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
        |scored AS (SELECT tf.doc_id, tf.term,
        |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-       |    (tf.tf * 2.2 / (tf.tf + $Bm25K1 * (0.25 + $Bm25B * d.dl / s.avgdl))) AS score_raw
+       |    (tf.tf * ${Bm25K1 + 1.0} / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * d.dl / s.avgdl))) AS score_raw
        |  FROM tf JOIN df USING (term) JOIN d ON d.doc_id = tf.doc_id CROSS JOIN stats s),
        |ranked AS (SELECT doc_id, term, score_raw,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term) AS rank

@@ -10,18 +10,28 @@ import org.apache.spark.sql.types._
 /** Running heavy-token monitor over a document stream — the streaming
   * face of q53's candidate pass, and the error-ACCUMULATING member of the
   * streaming-sketch family: unlike the KMV/bottom-k monitors (idempotent
-  * semilattices — replay-safe, byte-identical to batch), a Misra-Gries
-  * summary folds counts, so the guarantees are the sketch's own, not
-  * byte-identity:
+  * semilattices — replay-safe by algebra), a Misra-Gries summary folds
+  * counts, so idempotence has to come from the harness instead. It does:
+  * the state carries the LAST APPLIED BATCH ID, and a batch whose id is
+  * ≤ that high-water mark is skipped — the same replay discipline
+  * [[DedupStream]] keys its partition overwrites on, adapted to a
+  * fold-into-one-summary state. Spark's streaming engine guarantees a
+  * replayed foreachBatch delivery reuses the same batch id (and the file
+  * source, the same files), which is exactly what makes "skip ≤ mark"
+  * equal to exactly-once folding. Guarantees:
   *
   *  - every token with total frequency > N/k across everything ingested
   *    is PRESENT in the state (the mergeable-summaries recall bound —
   *    error adds across merges but stays ≤ N/k total), which is the
   *    property q53's exact second pass needs from a candidate set;
   *  - each residual count lower-bounds the true count;
-  *  - replay is NOT a no-op (counts would double): this monitor requires
-  *    exactly-once input delivery, the honest contract of a counting
-  *    sketch (HeavyTokenStreamSpec documents both halves).
+  *  - replaying a delivered batch id is a NO-OP (HeavyTokenStreamSpec
+  *    asserts totals do not move), so redelivery after a sink-side crash
+  *    cannot double counts. One torn-write caveat remains: the state
+  *    overwrite itself is not transactional, so a crash INSIDE the
+  *    parquet rewrite can corrupt the state file — at which point the
+  *    monitor is rebuilt from the batch source, the standard recovery
+  *    for any overwrite-in-place sketch state.
   *
   * Per micro-batch: one bounded aggregation over the new documents' tokens
   * (O(k) entries per partition cross the shuffle), a driver-side merge of
@@ -38,7 +48,8 @@ object HeavyTokenStream {
   private val stateSchema = StructType(Seq(
     StructField("k", StringType),
     StructField("c", LongType),
-    StructField("total", LongType)))
+    StructField("total", LongType),
+    StructField("last_batch", LongType)))
 
   private def pathExists(s: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -60,17 +71,25 @@ object HeavyTokenStream {
 
   /** Merge one batch into the persisted state via the aggregate's own
     * merge (sum counters, subtract the (k+1)-th largest, drop
-    * non-positives — the Agarwal et al. construction). */
-  def processBatch(s: SparkSession, batch: DataFrame, stateDir: String,
-      capacity: Int): Unit = {
+    * non-positives — the Agarwal et al. construction). Idempotent under
+    * redelivery: `batchId` values must be monotonically increasing across
+    * DISTINCT batches (the streaming engine's contract); a call whose id
+    * is ≤ the persisted high-water mark is a replay and folds nothing. */
+  def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
+      stateDir: String, capacity: Int): Unit = {
     import s.implicits._
-    val (batchMap, batchN) = sketchOf(batch, capacity)
-    val (oldMap, oldN): (Map[String, Long], Long) =
+    // an all-empty batch folds nothing and would (on a fresh state) write
+    // a zero-partition parquet directory that wedges later schema reads
+    if (batch.isEmpty) return
+    val (oldMap, oldN, lastBatch): (Map[String, Long], Long, Long) =
       if (pathExists(s, stateDir)) {
         val rows = s.read.parquet(stateDir).collect()
         (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
-          rows.headOption.map(_.getLong(2)).getOrElse(0L))
-      } else (Map.empty, 0L)
+          rows.headOption.map(_.getLong(2)).getOrElse(0L),
+          rows.headOption.map(_.getLong(3)).getOrElse(Long.MinValue))
+      } else (Map.empty, 0L, Long.MinValue)
+    if (batchId <= lastBatch) return // replayed delivery: already folded
+    val (batchMap, batchN) = sketchOf(batch, capacity)
     val agg = MisraGriesAgg(
       org.apache.spark.sql.catalyst.expressions.Literal("unused"), capacity)
     val merged = agg.merge(
@@ -78,8 +97,8 @@ object HeavyTokenStream {
       scala.collection.mutable.HashMap.from(batchMap))
     val total = oldN + batchN
     merged.toSeq.sortBy(_._1)
-      .map { case (k, c) => (k, c, total) }
-      .toDF("k", "c", "total")
+      .map { case (k, c) => (k, c, total, batchId) }
+      .toDF("k", "c", "total", "last_batch")
       .write.mode(SaveMode.Overwrite).parquet(stateDir)
   }
 
@@ -96,7 +115,7 @@ object HeavyTokenStream {
     s.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        processBatch(s, batch, stateDir, capacity))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processBatch(s, batch, batchId, stateDir, capacity))
       .start()
 }

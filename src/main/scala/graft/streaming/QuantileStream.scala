@@ -57,6 +57,10 @@ object QuantileStream {
   def processBatch(s: SparkSession, batch: DataFrame, stateDir: String,
       family: HashFamily, k: Int = QuantileSketch.DefaultK): Unit = {
     import scala.jdk.CollectionConverters._
+    // an all-empty first batch would otherwise write a zero-partition
+    // parquet directory (no footer files), wedging every later read of the
+    // state on schema inference; an empty batch merges nothing, so skip
+    if (batch.isEmpty) return
     val old: DataFrame =
       if (pathExists(s, stateDir))
         s.createDataFrame(s.read.parquet(stateDir).collect().toList.asJava, stateSchema)

@@ -67,9 +67,12 @@ object GraphBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // default sweep includes 16× and 32× so the SHIPPED DeltaMeanMultiplier
+    // (32) is always a measured point of the default run, not only of ad-hoc
+    // invocations that pass multipliers explicitly
     val deltaMultipliers =
       if (args.length > 3) args(3).split(",").toSeq.map(_.toDouble)
-      else Seq(0.5, 1.0, 2.0, 4.0, 8.0)
+      else Seq(0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
 
     val shapeJsons = shapeDefs.map { case (shape, mk) =>
       val g = Graph.fromEdges(mk(), 0L).cache()

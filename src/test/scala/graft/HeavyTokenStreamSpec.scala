@@ -9,7 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * guarantee, NOT byte-identity (counts fold — error accumulates across
   * merges but stays ≤ N/k): every token whose total frequency exceeds
   * N/k must be present in the state after any batch split, and residual
-  * counts must lower-bound the true counts. */
+  * counts must lower-bound the true counts. Replay of an already-applied
+  * batch id must fold NOTHING (the persisted high-water mark makes the
+  * counting state replay-idempotent, like DedupStream's partition
+  * overwrites). */
 class HeavyTokenStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
@@ -51,7 +54,9 @@ class HeavyTokenStreamSpec extends AnyFunSuite {
         Seq(docs.filter($"doc_id" >= 400), docs.filter($"doc_id" < 100),
           docs.filter($"doc_id" >= 100 && $"doc_id" < 400)))) {
       val state = java.nio.file.Files.createTempDirectory("heavystream").toString + "/state"
-      splits.foreach(b => HeavyTokenStream.processBatch(spark, b, state, capacity))
+      splits.zipWithIndex.foreach { case (b, id) =>
+        HeavyTokenStream.processBatch(spark, b, id.toLong, state, capacity)
+      }
       assertRecall(state)
     }
   }
@@ -65,15 +70,20 @@ class HeavyTokenStreamSpec extends AnyFunSuite {
     assertRecall(state)
   }
 
-  test("replay is NOT a no-op — the documented exactly-once contract of a counting sketch") {
+  test("replay of an applied batch id is a no-op; a NEW id folds") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("heavystream3").toString + "/state"
     val b = docs.filter($"doc_id" < 250)
-    HeavyTokenStream.processBatch(spark, b, state, capacity)
+    HeavyTokenStream.processBatch(spark, b, 0L, state, capacity)
     val t1 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
-    HeavyTokenStream.processBatch(spark, b, state, capacity)
+    // same id again (redelivery) and a stale lower id: both skipped
+    HeavyTokenStream.processBatch(spark, b, 0L, state, capacity)
+    HeavyTokenStream.processBatch(spark, b, -1L, state, capacity)
     val t2 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
-    assert(t2 === 2 * t1,
-      "counting state must visibly double on replay — callers need exactly-once delivery")
+    assert(t2 === t1, "replayed batch ids must fold nothing into the counting state")
+    // a genuinely new batch id still folds (the mark advances, not freezes)
+    HeavyTokenStream.processBatch(spark, b, 1L, state, capacity)
+    val t3 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
+    assert(t3 === 2 * t1, "a new batch id must fold its counts")
   }
 }
