@@ -290,6 +290,74 @@ object GraphQueries {
        |  SELECT v, COUNT(*) AS cnt FROM pv GROUP BY v) t ON n_nationkey = v
        |ORDER BY n_nationkey""".stripMargin
 
+  /** Cost budget for q79 — part of the operator's semantics ("every vertex
+    * reachable within cost ≤ B, with its exact distance"), and what makes
+    * the recursive-CTE oracle's path enumeration finite. Generous: the
+    * part⟷supplier graph is a dense bipartite expander whose true
+    * eccentricities are single digits at every shipped scale factor (max
+    * observed dist 6 at sf0.01), so the budget excludes nothing in
+    * practice while keeping the bound explicit. */
+  val ScaleSsspBudget = 64L
+
+  /** Directed edge list (src, dst, w) of the DATA-SCALE part⟷supplier
+    * bipartite graph: one edge pair per distinct (l_partkey, l_suppkey)
+    * in lineitem (~52k pairs at sf0.01, ~591k at sf0.1 — grows with the
+    * data, unlike the 25-node nation fixtures). Parts live on even vertex
+    * ids (2p), suppliers on odd (2s+1) — disjoint at any scale factor;
+    * weights are exact small-integer arithmetic so distances are exact in
+    * double and BIGINT alike. */
+  def partSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+    val fwd = pairs.select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+      (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"))
+    fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
+  }
+
+  /** q79 — bounded-cost SSSP over the data-scale part⟷supplier graph,
+    * computed by the DISTRIBUTED delta-stepping engine explicitly (no
+    * local-dispatch shortcut): this is the round-6 answer to "every
+    * oracled graph row runs on 25 nodes" — the same engine the 100 TB
+    * path takes, oracle-checked on a graph that grows with the data
+    * (the reference's universe-scale route queries,
+    * `/root/reference/src/database.rs:484-544`, re-expressed over the
+    * driver's tables so DuckDB can replay it). Source = the minimum
+    * supplier vertex; output = every vertex within cost
+    * [[ScaleSsspBudget]] with its exact distance. The distance table
+    * stays distributed until the final ordered dump. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = partSupplierEdges(s, dir)
+    val source = 2L * t(s, dir, "lineitem")
+      .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
+    val g = Graph.fromEdges(
+      edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble)), 0L)
+    val verts = Dijkstra.deltaSssp(g, source).vertices
+      .filter { case (_, (d, _)) => !d.isInfinite && d <= ScaleSsspBudget.toDouble }
+      .map { case (id, (d, _)) => (id, d.toLong) }
+    s.createDataFrame(verts).toDF("node", "dist").orderBy($"node")
+  }
+
+  /** Oracle: bounded path-cost enumeration (UNION-dedup'd (node, dist)
+    * states, extended only while dist ≤ budget) + MIN per node — every
+    * path of cost ≤ B has all prefixes ≤ B, so the enumeration finds the
+    * true distance of every vertex inside the budget, and both engines
+    * exclude vertices beyond it. Validated at sf0.01 in 0.6 s. */
+  private val q79Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem),
+       |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst,
+       |              CAST(1 + (p*3 + su*5) % 7 AS BIGINT) AS w FROM pairs),
+       |edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+       |s AS (SELECT CAST(MIN(l_suppkey)*2+1 AS BIGINT) AS v FROM lineitem),
+       |r(node, dist) AS (
+       |  SELECT v, CAST(0 AS BIGINT) FROM s
+       |  UNION
+       |  SELECT e.dst, r.dist + e.w FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.dist + e.w <= $ScaleSsspBudget)
+       |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node ORDER BY node""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -299,5 +367,6 @@ object GraphQueries {
     GQuery("q22_graph_pagerank", q22, Some(q22Sql)),
     GQuery("q43_graph_scc", q43, Some(q43Sql)),
     GQuery("q44_graph_triangles", q44, Some(q44Sql)),
+    GQuery("q79_graph_scale_sssp", q79, Some(q79Sql), bench = true),
   )
 }

@@ -159,6 +159,32 @@ class DijkstraSpec extends AnyFunSuite {
     assert(got(2L) === ((1.0, 1L))) // min-pred tie-break preserved
   }
 
+  test("q79 data-scale graph: three-way engine equality (delta ≡ Pregel ≡ local)") {
+    // the registered q79 runs the distributed delta engine on the
+    // part⟷supplier bipartite graph; pin all three engines to the same
+    // distance table on the sf0.001 instance of that exact graph
+    val edgeDf = graft.operators.GraphQueries.partSupplierEdges(spark, "/root/testdata/sf0.001")
+    val edges = edgeDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble)).toSeq
+    val src = edges.map(_._1).filter(_ % 2 == 1).min // min supplier vertex
+    val g = graphOf(edges)
+    val ref = Dijkstra.sssp(g, src).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    val delta = Dijkstra.deltaSssp(g, src).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    val local = Dijkstra.localSssp(edges, src)
+    assert(delta === ref, "delta-stepping diverged from Pregel on the data-scale graph")
+    assert(local === ref, "local heap diverged from Pregel on the data-scale graph")
+    // and the registered query's output equals the engine distances
+    val q79 = SparkEntry.queries("q79_graph_scale_sssp")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = ref.collect {
+      case (id, (d, _)) if d <= graft.operators.GraphQueries.ScaleSsspBudget =>
+        id -> d.toLong
+    }
+    assert(q79 === expect)
+  }
+
   test("zero-weight edges: local and Pregel agree on (dist, pred)") {
     // 0→2 settles dist 1 via pred 2's candidates; the zero-weight edge 1→2
     // delivers an equal-dist candidate from a smaller pred id AFTER 2 may
