@@ -30,10 +30,13 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val benched = SparkEntry.registry.filter(_.bench)
-    // min-of-3: at these data sizes fresh-JVM codegen warmup dominates the
-    // first run and still colors the second; the third lands near steady
-    // state (measured via tools.AbJaccard's interleaved rounds)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // min-of-N with N defaulting to 5 (was 3): the round-5 artifact showed
+    // byte-identical binaries moving ±31% per query under min-of-3 — the
+    // per-query MEDIAN and SPREAD of the warm runs are emitted alongside so
+    // a reader can tell a real regression from that noise floor
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    final case class R(name: String, best: Double, cold: Double,
+      median: Double, spread: Double)
     val results = benched.map { q =>
       val name = q.name
       // production configuration where one exists (e.g. xxhash64 dedup
@@ -55,21 +58,28 @@ object Bench {
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       val ok = timings.forall(_._1)
-      // headline stays min-of-N (steady-state plan cost); cold rides along
-      // so the amortized prepare stage never disappears from the artifact
-      val best = if (ok) timings.map(_._2).min else -1.0
-      val cold = if (ok) timings.head._2 else -1.0
-      (name, best, cold)
+      if (!ok) R(name, -1.0, -1.0, -1.0, -1.0)
+      else {
+        // headline stays min-of-N (steady-state plan cost); cold rides
+        // along so the amortized prepare stage never disappears from the
+        // artifact; median/spread are over the WARM runs (cold excluded —
+        // it measures the prepare stage, not run-to-run noise)
+        val times = timings.map(_._2)
+        val warm = if (times.length > 1) times.tail else times
+        val sorted = warm.sorted
+        val median = sorted((sorted.length - 1) / 2)
+        R(name, times.min, times.head, median, sorted.last - sorted.head)
+      }
     }
-    def jmap(f: ((String, Double, Double)) => Double) =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val colds = jmap(_._3)
+    def jmap(f: R => Double) =
+      results.map(r => s"\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     // any failed query poisons the headline total (-1): a regression must
     // never read as a speedup by dropping its own time out of the sum
-    val failed = results.count(_._2 < 0.0)
-    val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"failed":$failed,"sf":"$sfDir"}""")
+    val failed = results.count(_.best < 0.0)
+    val total = if (failed > 0) -1.0 else results.map(_.best).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
+      s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
+      s""""runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
