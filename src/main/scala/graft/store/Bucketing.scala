@@ -87,6 +87,14 @@ object Bucketing {
     * idempotent-replay primitive the streaming sinks key their batch
     * output on), restoring each session's previous mode afterwards.
     *
+    * PREFER the per-write data-source option
+    * `option("partitionOverwriteMode", "dynamic")` wherever the writer
+    * supports it (all path-based writes): it outranks every session conf
+    * and mutates nothing. This wrapper remains only for `insertInto`,
+    * whose API carries no write options; the restore is not atomic under
+    * concurrent writers on one session — callers serialize their batches
+    * (foreachBatch does by contract).
+    *
     * Takes ALL involved sessions because a foreachBatch micro-batch
     * DataFrame belongs to a CLONE of the session that started the stream
     * (its conf was snapshotted at start), and `DataFrameWriter` reads the

@@ -101,23 +101,28 @@ object DedupStream {
         b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42) & 0xFFFFFFFFL)
   }
 
-  /** Idempotently register the bands table: an empty bucketed external
-    * table at `indexDir/bands`. Safe to call per batch and from a fresh
-    * session over an existing index (the data files are the truth; this
-    * only restores the catalog entry + bucket spec). */
+  /** Idempotently register the bands table: a bucketed external table at
+    * `indexDir/bands`. Safe to call per batch and from a fresh session
+    * over an existing index (the data files are the truth; this only
+    * restores the catalog entry + bucket spec). Registration is plain
+    * DDL, not an empty CTAS write: CTAS refuses a non-empty location, so
+    * the empty-write form only ever worked for a BRAND-NEW index — a
+    * fresh session re-attaching a populated one needs CREATE TABLE +
+    * RECOVER PARTITIONS (the MaterializedSpec re-attach tests surfaced
+    * this; DedupStreamSpec now pins it for this table too). */
   private def ensureBandsTable(s: SparkSession, indexDir: String): String = {
     val name = bandsTable(indexDir)
     if (!s.catalog.tableExists(name)) {
-      val empty = s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("doc_id", LongType), StructField("band", IntegerType),
-          StructField("bhash", LongType), StructField("batch", LongType))))
-      empty.write.format("parquet")
-        .option("path", s"$indexDir/bands")
-        .partitionBy("batch")
-        .bucketBy(IndexBuckets, "band", "bhash").sortBy("band", "bhash")
-        .saveAsTable(name)
+      val bandsPath = s"$indexDir/bands"
+      val populated = pathExists(s, bandsPath)
+      s.sql(s"""CREATE TABLE $name (doc_id BIGINT, band INT, bhash BIGINT, batch BIGINT)
+        USING PARQUET
+        PARTITIONED BY (batch)
+        CLUSTERED BY (band, bhash) SORTED BY (band, bhash) INTO $IndexBuckets BUCKETS
+        LOCATION '$bandsPath'""")
+      // an existing index's batch=<id> partitions live only in the
+      // directory layout until recovered into the fresh catalog entry
+      if (populated) s.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
     }
     name
   }
@@ -154,8 +159,7 @@ object DedupStream {
     * redelivery of the same `batchId` (see class doc). */
   def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
       indexDir: String, pairsDir: String, family: HashFamily,
-      threshold: Double = Dedup.JaccardThreshold): Unit =
-    graft.store.Bucketing.withDynamicPartitionOverwrite(s, batch.sparkSession) {
+      threshold: Double = Dedup.JaccardThreshold): Unit = {
     val newSh = Dedup.shinglesOf(batch).cache()
     val newBands = Dedup.bandsOf(newSh, family).cache()
     val table = ensureBandsTable(s, indexDir)
@@ -170,14 +174,23 @@ object DedupStream {
 
     // three per-batch-partition dynamic overwrites: each rewrites ONLY
     // partition batch=<id>, so any replay (full or after a partial crash)
-    // converges to the same bytes in any write order
+    // converges to the same bytes in any write order. The path writes
+    // request dynamic mode PER WRITE (the documented data-source option,
+    // which outranks any session conf — including the foreachBatch
+    // clone-session conf that bit the conf-only approach); only
+    // insertInto, whose API carries no write options, still needs the
+    // scoped session-conf wrapper
     verified.withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(pairsDir)
-    newBands.select(col("doc_id"), col("band"), col("bhash"))
-      .withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).insertInto(table)
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(pairsDir)
+    graft.store.Bucketing.withDynamicPartitionOverwrite(s, batch.sparkSession) {
+      newBands.select(col("doc_id"), col("band"), col("bhash"))
+        .withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+    }
     newSh.withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$indexDir/shingles")
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$indexDir/shingles")
     newBands.unpersist()
     newSh.unpersist()
   }

@@ -109,4 +109,32 @@ class DedupStreamSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
     }
   }
+
+  test("fresh session re-attaches a populated index: partitions recovered, probe equal") {
+    import spark.implicits._
+    val d = docs.cache()
+    val root = java.nio.file.Files.createTempDirectory("dedupattach").toString
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    DedupStream.processBatch(spark, d.filter($"doc_id" < 200), 0L, indexDir,
+      pairsDir, HashFamily.Fast)
+    DedupStream.processBatch(spark, d.filter($"doc_id" >= 200 && $"doc_id" < 400), 1L,
+      indexDir, pairsDir, HashFamily.Fast)
+    val table = DedupStream.bandsTable(indexDir)
+    val bandRows = spark.table(table).count()
+    assert(bandRows > 0)
+    val newBands = Dedup.bandsOf(
+      Dedup.shinglesOf(d.filter($"doc_id" >= 400)), HashFamily.Fast).cache()
+    val want = DedupStream.probeIndex(spark, newBands, 2L, indexDir)
+      .collect().map(_.toString).sorted
+    // simulate a fresh JVM over the same index: the catalog entry is gone,
+    // the data files remain — the next probe must restore the table AND
+    // its batch partitions (a recovered-but-partitionless table would
+    // silently probe an empty index)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val got = DedupStream.probeIndex(spark, newBands, 2L, indexDir)
+      .collect().map(_.toString).sorted
+    assert(spark.table(table).count() === bandRows,
+      "re-attached index lost rows (partitions not recovered)")
+    assert(got === want, "probe over the re-attached index diverged")
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import graft.store.{Bucketing, Materialized}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Staged materialized stores: a fresh session over the same immutable
+  * corpus snapshot must RE-ATTACH to the existing store files (zero
+  * rebuild — the whole point: a second pipeline session does not re-pay
+  * the prepare stage), invalidate must still force a rebuild, and a
+  * re-attached BUCKETED store must keep the co-location property its
+  * build paid for. */
+class MaterializedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def stagedSession(root: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.stagingDir", root)
+    s
+  }
+
+  test("staged relation: fresh session re-attaches (zero rebuild); invalidate forces rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-staging").toString
+    val key = "spec:mat:" + java.util.UUID.randomUUID()
+    var builds = 0
+    def build(s: SparkSession) = {
+      import s.implicits._
+      builds += 1
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    }
+
+    val s1 = stagedSession(root)
+    val r1 = Materialized.relation(s1, key)(build(s1)).collect().map(_.toString).sorted
+    assert(builds === 1)
+
+    val s2 = stagedSession(root) // fresh session, same staging root + key
+    val r2 = Materialized.relation(s2, key)(build(s2)).collect().map(_.toString).sorted
+    assert(builds === 1, "fresh session must re-attach to the staged store, not rebuild")
+    assert(r2 === r1)
+
+    Materialized.invalidate(s2)
+    Materialized.relation(s2, key)(build(s2)).collect()
+    assert(builds === 2, "invalidate must delete the staged store and force a rebuild")
+  }
+
+  test("staged bucketed relation: catalog re-registration over existing files, join still exchange-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft-staging-bkt").toString
+    val key = "spec:matbkt:" + java.util.UUID.randomUUID()
+    var builds = 0
+    def build(s: SparkSession) = {
+      import s.implicits._
+      builds += 1
+      (0L until 64L).map(i => (i % 8, i)).toDF("h1", "v")
+    }
+
+    val s1 = stagedSession(root)
+    val t1 = Materialized.bucketedRelation(s1, key, Seq("h1"), 4)(build(s1))
+    val rows1 = t1.collect().map(_.toString).sorted
+    assert(builds === 1)
+
+    // force the sort-merge path on both sessions (a broadcast exchange
+    // would mask the bucketing question this test asks)
+    def noBroadcast(s: SparkSession): Unit = {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+    }
+    noBroadcast(s1)
+    val j1 = t1.as("x").join(t1.as("y"), col("x.h1") === col("y.h1"))
+    assert(Bucketing.isShuffleFree(j1), "baseline: built store must be co-located")
+
+    // simulate a fresh JVM: drop the catalog entry (sessions share the
+    // in-memory external catalog), keep the staged files
+    val name = Materialized.bucketedTableName(key)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+
+    val s2 = stagedSession(root)
+    noBroadcast(s2)
+    val t2 = Materialized.bucketedRelation(s2, key, Seq("h1"), 4)(build(s2))
+    assert(builds === 1, "re-attach must not re-run the build")
+    assert(t2.collect().map(_.toString).sorted === rows1)
+    // the re-registered table still carries the bucket spec: the self-join
+    // on the bucket key runs with zero exchange, as at build time
+    val j = t2.as("x").join(t2.as("y"), col("x.h1") === col("y.h1"))
+    assert(Bucketing.isShuffleFree(j),
+      "re-attached bucketed store lost the co-location property")
+
+    Materialized.invalidate(s2)
+    Materialized.bucketedRelation(s2, key, Seq("h1"), 4)(build(s2)).count()
+    assert(builds === 2, "invalidate must force a bucketed rebuild")
+  }
+
+  test("torn staged build (no _SUCCESS) is rebuilt, not attached") {
+    val root = java.nio.file.Files.createTempDirectory("graft-staging-torn").toString
+    val key = "spec:mattorn:" + java.util.UUID.randomUUID()
+    var builds = 0
+    def build(s: SparkSession) = {
+      import s.implicits._
+      builds += 1
+      Seq((1L, "x")).toDF("id", "v")
+    }
+    val s1 = stagedSession(root)
+    Materialized.relation(s1, key)(build(s1)).collect()
+    assert(builds === 1)
+    // tear the store: remove the success marker, as a crashed writer would
+    val stored = new java.io.File(root).listFiles().filter(_.getName.startsWith("mat_")).head
+    assert(new java.io.File(stored, "_SUCCESS").delete())
+    val s2 = stagedSession(root)
+    Materialized.relation(s2, key)(build(s2)).collect()
+    assert(builds === 2, "an incomplete staged store must be rebuilt")
+  }
+}
