@@ -102,10 +102,11 @@ object Similarity {
   val Centroids = 8
   val NProbe = 3
 
-  /** IVF index: every vector assigned to its nearest centroid; centroids are
-    * the first [[Centroids]] corpus vectors by id (deterministic seeding —
-    * at scale you'd Lloyd-iterate on a sample, the partitioning stays the
-    * same shape). Returns (vec_id, vec, cell).
+  /** SEED-based IVF assignment: every vector assigned to its nearest of
+    * the first [[Centroids]] corpus vectors by id — the Lloyd INIT, kept
+    * as the all-cells-probe spec baseline (PipelineSpec) now that every
+    * registered retrieval query serves from [[trainedCentroids]].
+    * Returns (vec_id, vec, cell).
     *
     * Zero-shuffle assignment: the centroid set is ONE broadcast row of
     * array<array<double>>; each vector computes its [[Centroids]] cosines
@@ -129,11 +130,13 @@ object Similarity {
 
   // one persisted index per (session, sf dir): build once, query many —
   // the amortization split a real ANN service needs, and what makes the
-  // benchmarked q28 measure the partition-pruned probe, not the build
-  private val indexes =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // benchmarked q28 measure the partition-pruned probe, not the build.
+  // The entry carries the TRAINED centroids beside the path (the query
+  // side needs them to pick probe cells).
+  private val indexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Seq[(Long, Seq[Double])])]
 
-  private def ivfIndexDir(s: SparkSession, dir: String): String =
+  private def ivfIndex(s: SparkSession, dir: String): (String, Seq[(Long, Seq[Double])]) =
     indexes.getOrElseUpdate((s, dir), {
       val d = java.nio.file.Files.createTempDirectory("ivfindex")
       // temp indexes are process-scoped: reclaim them on JVM exit so a
@@ -144,35 +147,35 @@ object Similarity {
           java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         } catch { case _: Throwable => () }))
-      buildIvfIndex(embeddings(s, dir), d.toString)
-      d.toString
+      val cents = trainedCentroids(s, dir)
+      assignToCentroids(embeddings(s, dir), cents).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(d.toString)
+      (d.toString, cents)
     })
 
-  /** q28 — ANN top-k for vector 0 via the persisted IVF index: probe the
-    * [[NProbe]] centroids nearest to the query, partition-pruned scan of
-    * just those cell directories, exact re-rank inside them. Probe selection
-    * runs on the driver over [[Centroids]] + 1 tiny rows; the corpus is only
-    * touched through the pruned index scan. */
+  /** q28 — ANN top-k for vector 0 via the persisted TRAINED IVF index:
+    * probe the [[NProbe]] trained centroids nearest to the query,
+    * partition-pruned scan of just those cell directories, exact re-rank
+    * inside them. Probe selection runs on the driver over [[Centroids]]
+    * tiny rows; the corpus is only touched through the pruned index
+    * scan. */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
-    val idxDir = ivfIndexDir(s, dir)
-    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
-      r.getSeq[Double](1).toArray
-    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    val (idxDir, cents) = ivfIndex(s, dir)
+    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val cents = emb.filter($"vec_id" < Centroids).orderBy($"vec_id").collect()
-      .map(r => (r.getLong(0), vecOf(r)))
-    val qvec = vecOf(emb.filter($"vec_id" === QueryVecId).collect()(0))
-    // probe cells by actual centroid id, matching ivfAssign's cell labels
+    val qvec = emb.filter($"vec_id" === QueryVecId).collect()(0).getSeq[Double](1)
     val cells = cents
       .map { case (id, c) => (cosLocal(c, qvec), id) }
       .sortBy { case (sim, id) => (-sim, id) }
-      .take(NProbe).map(_._2).toSeq
-    val topk = queryIvfIndex(s, idxDir, qvec.toSeq, cells, K + 1)
+      .take(NProbe).map(_._2)
+    val topk = queryIvfIndex(s, idxDir, qvec, cells, K + 1)
       .filter($"vec_id" =!= QueryVecId)
       .orderBy($"sim".desc, $"vec_id")
       .limit(K)
@@ -181,11 +184,14 @@ object Similarity {
       .orderBy($"rank")
   }
 
-  /** Oracle: the identical deterministic IVF pipeline in SQL — argmax cell
-    * assignment, top-[[NProbe]] probe, exact re-rank within probed cells. */
-  private val q28Sql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $Centroids),
+  /** Oracle: the identical deterministic IVF pipeline in SQL — Lloyd
+    * training unrolled (see [[lloydCtes]]), argmax cell assignment against
+    * the TRAINED centroids, top-[[NProbe]] probe, exact re-rank within
+    * probed cells. */
+  private def q28Sql =
+    s"""WITH ${lloydCtes(Centroids, TrainIters, TrainSampleMod)},
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT cent_id, cv FROM t_cent$TrainIters),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId),
        |sims AS (SELECT e.vec_id, e.v, c.cent_id,
        |    list_cosine_similarity(e.v, c.cv) AS cs FROM e CROSS JOIN c),
@@ -202,55 +208,87 @@ object Similarity {
        |    FROM ranked)
        |SELECT rank, vec_id, sim FROM top WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  /** The centroid list as ONE literal array-of-structs column (k·dim
+    * double literals — broadcast-free, sorted by centroid id so positional
+    * argmax ties resolve to the smallest id). */
+  private def centStructs(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.sortBy(_._1).map { case (id, v) =>
+      struct(lit(id).as("vec_id"), array(v.map(lit): _*).cast("array<double>").as("vec"))
+    }: _*)
+
   /** Assign every vector to its argmax-cosine centroid from an explicit
     * centroid list (driver-provided, embedded as literals — k·dim doubles,
     * broadcast-free). Same zero-shuffle single-projection plan as
     * [[ivfAssign]]; ties to the smallest centroid id. */
   def assignToCentroids(emb: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import emb.sparkSession.implicits._
-    val centArr = array(cents.sortBy(_._1).map { case (id, v) =>
-      struct(lit(id).as("vec_id"), array(v.map(lit): _*).cast("array<double>").as("vec"))
-    }: _*)
-    emb.withColumn("cs", centArr)
+    emb.withColumn("cs", centStructs(cents))
       .withColumn("sims", transform($"cs", c => cosine($"vec", c("vec"))))
       .withColumn("pos", array_position($"sims", array_max($"sims")).cast("int"))
       .withColumn("cell", element_at($"cs", $"pos")("vec_id"))
       .select($"vec_id", $"vec", $"cell")
   }
 
+  /** (vec_id, qs) int8 codes of a (vec_id, vec) frame — q62's per-vector
+    * symmetric quantization arithmetic, reused as the TRAINING
+    * representation (see [[trainCentroids]]). */
+  def int8Codes(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.withColumn("scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
+      .withColumn("qs",
+        when($"scale" === 0.0, array_repeat(lit(0L), 64))
+          .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
+      .select($"vec_id", $"qs")
+  }
+
+  /** Lloyd iterations / training-sample modulus of the REGISTERED queries
+    * (q28/q61/q67/q78 all serve from one trained centroid set per
+    * (session, sf dir)); the sample modulus exercises the train-on-a-
+    * sample path a 100 TB run would take (~10⁻⁴ of the corpus there). */
+  val TrainIters = 5
+  val TrainSampleMod = 2L
+
   /** Lloyd (spherical k-means) centroid training on a deterministic
-    * sample: seeds are the first k corpus vectors by id (exactly the q28
-    * seeding, so the trained index is a strict refinement of the
-    * registered one), then `iters` assign/re-mean rounds. The per-round
-    * mean is one elementwise aggregation (cell × dim rows — k·dim values
-    * collected per round, independent of corpus size) and the assignment
-    * is the zero-shuffle projection above, so a round costs one scan of
-    * the sample; `sampleMod` thins the training set (vec_id % mod == 0)
-    * the way a 100 TB run would train on ~10⁻⁴ of the corpus. Cosine is
-    * scale-invariant, so the unnormalized mean is a valid spherical
-    * centroid direction; means are rounded to 9 dp so double summation
-    * order can never flip a downstream argmax between runs. Empty cells
-    * keep their previous centroid. */
-  def trainCentroids(emb: DataFrame, k: Int = Centroids, iters: Int = 5,
+    * sample — in EXACT integer arithmetic, which is what lets the trained
+    * index keep a DuckDB oracle: training runs on the int8-quantized
+    * vectors (the q62 representation a 100 TB embedding corpus ships),
+    * seeds are the first k corpus vectors' codes (the Lloyd INIT — the
+    * registered pre-round-6 seeding), and each round re-centers a cell on
+    * the per-component INTEGER SUM of its members (cosine is
+    * scale-invariant, so the unnormalized component sum is a valid
+    * spherical centroid direction — the q69 trick applied to training).
+    * Every centroid component is therefore an exact integer (< 2⁵³ by
+    * orders of magnitude), independent of partitioning and summation
+    * order, so Spark and the unrolled-SQL oracle train BIT-IDENTICAL
+    * centroids; the only floating point anywhere is the per-row cosine
+    * argmax both engines evaluate on identical inputs. The per-round
+    * re-center is one elementwise aggregation (k·dim values collected per
+    * round, independent of corpus size); assignment is the zero-shuffle
+    * literal-centroid projection, so a round costs one scan of the
+    * sample. Empty cells keep their previous centroid. `iters = 0`
+    * returns the quantized seeds. */
+  def trainCentroids(emb: DataFrame, k: Int = Centroids, iters: Int = TrainIters,
       sampleMod: Long = 1L): Seq[(Long, Seq[Double])] = {
     import emb.sparkSession.implicits._
+    val codes = int8Codes(emb)
     val sample =
-      (if (sampleMod > 1L) emb.filter($"vec_id" % sampleMod === 0L) else emb).cache()
-    var cents: Seq[(Long, Seq[Double])] = emb.filter($"vec_id" < k).orderBy($"vec_id")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      (if (sampleMod > 1L) codes.filter($"vec_id" % sampleMod === 0L) else codes)
+        .select($"vec_id", $"qs".cast("array<double>").as("vec")).cache()
+    var cents: Seq[(Long, Seq[Double])] = codes.filter($"vec_id" < k).orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble))).toSeq
     for (_ <- 0 until iters) {
-      val means = assignToCentroids(sample, cents)
+      val sums = assignToCentroids(sample, cents)
         .select($"cell", posexplode($"vec"))
         .toDF("cell", "pos", "x")
-        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        // sum of integer-valued doubles: exact, associative, order-free
+        .groupBy($"cell", $"pos").agg(sum($"x").as("m"))
         .collect()
-      val byCell = means.groupBy(_.getLong(0))
+      val byCell = sums.groupBy(_.getLong(0))
       cents = cents.map { case (cid, old) =>
         byCell.get(cid) match {
           case Some(rows) =>
             val arr = new Array[Double](old.length)
-            rows.foreach(r => arr(r.getInt(1)) =
-              BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
             (cid, arr.toSeq)
           case None => (cid, old)
         }
@@ -259,6 +297,17 @@ object Similarity {
     sample.unpersist()
     cents
   }
+
+  // one trained centroid set per (session, sf dir): q28/q61/q67/q78 all
+  // serve from it — training is load-bearing for every registered
+  // retrieval query, paid once per corpus snapshot like the other
+  // prepare-stage artifacts
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
+
+  def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    trainedCache.getOrElseUpdate((s, dir),
+      trainCentroids(embeddings(s, dir), Centroids, TrainIters, TrainSampleMod))
 
   /** Mean best-centroid cosine over the corpus — the spherical k-means
     * objective; the training spec asserts it does not degrade. */
@@ -307,6 +356,40 @@ object Similarity {
       .select($"vec_id", $"sim")
   }
 
+  /** The Lloyd training loop of [[trainCentroids]] unrolled as DuckDB
+    * CTEs (`t_`-prefixed to stay clear of consumer CTE names): quantize,
+    * seed from the first k codes, then per iteration an argmax-cosine
+    * assignment of the sample and an exact integer re-center with
+    * empty-cell carryover. Ends at `t_cent<iters>` (cent_id, cv) — the
+    * trained centroids, bit-identical to the Scala side's because every
+    * centroid component is an exact integer and the assignment compares
+    * cosines both engines compute from identical exact inputs. */
+  private def lloydCtes(k: Int, iters: Int, sampleMod: Long): String = {
+    val it = (1 to iters).map { i =>
+      s"""t_asg$i AS (SELECT vec_id, sv, cent_id FROM (
+         |    SELECT s.vec_id, s.sv, c.cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |        ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cent_id) AS rn
+         |    FROM t_samp s CROSS JOIN t_cent${i - 1} c) WHERE rn = 1),
+         |t_sum$i AS (SELECT cent_id, j AS pos, CAST(SUM(sv[j]) AS DOUBLE) AS m
+         |    FROM t_asg$i, range(1, 65) t(j) GROUP BY cent_id, j),
+         |t_cent$i AS (SELECT p.cent_id, COALESCE(n.cv, p.cv) AS cv
+         |    FROM t_cent${i - 1} p LEFT JOIN (
+         |      SELECT cent_id, list(m ORDER BY pos) AS cv FROM t_sum$i GROUP BY cent_id) n
+         |    ON n.cent_id = p.cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""t_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |t_sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM t_e),
+       |t_qz AS (SELECT vec_id, list_transform(v, x ->
+       |    CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END) AS qs
+       |  FROM t_sc),
+       |t_samp AS (SELECT vec_id, list_transform(qs, x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM t_qz WHERE vec_id % $sampleMod = 0),
+       |t_cent0 AS (SELECT vec_id AS cent_id, list_transform(qs, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM t_qz WHERE vec_id < $k),
+       |$it""".stripMargin
+  }
+
   val BatchQueryMod = 50L
 
   /** q61 — BATCH ANN: IVF top-k for every query in a query set at once —
@@ -325,15 +408,16 @@ object Similarity {
 
   /** Batch IVF top-k for every vector with `vec_id % queryMod == 0` —
     * the shared retrieval core of q61 (retrieval output) and q67 (label
-    * consistency). Returns (query_id, rank, vec_id, sim). */
+    * consistency), served from the TRAINED centroids ([[trainedCentroids]]
+    * — seeds are only the Lloyd init). Returns
+    * (query_id, rank, vec_id, sim). */
   def batchAnnTopK(s: SparkSession, dir: String, queryMod: Long): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
-    val assigned = ivfAssign(emb)
-    val centsRow = emb.filter($"vec_id" < Centroids)
-      .agg(array_sort(collect_list(struct($"vec_id", $"vec"))).as("cs"))
+    val cents = trainedCentroids(s, dir)
+    val assigned = assignToCentroids(emb, cents)
     val probed = emb.filter($"vec_id" % queryMod === 0L)
-      .crossJoin(broadcast(centsRow))
+      .withColumn("cs", centStructs(cents)) // literal centroids: no join at all
       .select($"vec_id".as("query_id"), $"vec".as("qvec"),
         // sort by (−sim, cell): sim DESC with ties to the smaller cell id
         slice(array_sort(transform($"cs",
@@ -351,10 +435,12 @@ object Similarity {
   }
 
   /** Shared CTE chain of the batch-ANN oracle (through `top`), mod-
-    * parameterized so q61 and q67 stay one pipeline in SQL too. */
+    * parameterized so q61 and q67 stay one pipeline in SQL too. The
+    * centroid relation is the unrolled-Lloyd result, not the seeds. */
   private def batchAnnCtes(queryMod: Long): String =
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $Centroids),
+    s"""WITH ${lloydCtes(Centroids, TrainIters, TrainSampleMod)},
+       |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT cent_id, cv FROM t_cent$TrainIters),
        |sims AS (SELECT e.vec_id, e.v, c.cent_id,
        |    list_cosine_similarity(e.v, c.cv) AS cs FROM e CROSS JOIN c),
        |assign AS (SELECT vec_id, v, cent_id AS cell FROM (
@@ -597,17 +683,17 @@ object Similarity {
   private def q78(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
+    val cents = trainedCentroids(s, dir)
     val qz = quantized(s, dir)
       .withColumn("qnorm", aggregate($"qs", lit(0L), (a, x) => a + x * x))
       .select($"vec_id", $"qs", $"qnorm")
-    // int8 index: cell assignment + codes (the float vec is NOT carried)
-    val idx8 = ivfAssign(emb).select($"vec_id", $"cell")
+    // int8 index: cell assignment (trained centroids) + codes (the float
+    // vec is NOT carried)
+    val idx8 = assignToCentroids(emb, cents).select($"vec_id", $"cell")
       .join(qz, "vec_id")
     // probe-cell selection identical to q61 (queries are full-precision)
-    val centsRow = emb.filter($"vec_id" < Centroids)
-      .agg(array_sort(collect_list(struct($"vec_id", $"vec"))).as("cs"))
     val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
-      .crossJoin(broadcast(centsRow))
+      .withColumn("cs", centStructs(cents))
       .select($"vec_id".as("query_id"), $"vec".as("qvec"),
         slice(array_sort(transform($"cs",
           c => struct((-cosine($"vec", c("vec"))).as("negsim"), c("vec_id").as("cell")))),
