@@ -175,6 +175,48 @@ object KllState {
   }
 }
 
+/** [[KllSketchAgg]] emitting the SERIALIZED state instead of quantile
+  * estimates — the unit a streaming monitor persists and re-merges
+  * ([[graft.streaming.KllStream]]): the distributed aggregation builds
+  * one state per group, the monitor folds it into the stored state with
+  * the same `mergeIn` the map-side combine uses. */
+case class KllStateAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllState] {
+
+  require(k >= 8, "k must be at least 8")
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+
+  override def update(buf: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllState, other: KllState): KllState = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: KllState): Any = buf.toBytes
+
+  override def serialize(buf: KllState): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllState = KllState.fromBytes(bytes)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllStateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllStateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "kll_state"
+}
+
 object KllSketch {
   val DefaultK = 200
 
@@ -182,4 +224,9 @@ object KllSketch {
   def quantiles(c: Column, probs: Seq[Double], k: Int = DefaultK): Column =
     ColumnBridge.column(
       KllSketchAgg(ColumnBridge.expression(c), k, probs).toAggregateExpression())
+
+  /** Aggregate a double column into ONE serialized KLL state. */
+  def state(c: Column, k: Int = DefaultK): Column =
+    ColumnBridge.column(
+      KllStateAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 }
