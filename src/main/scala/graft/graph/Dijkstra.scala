@@ -382,21 +382,21 @@ object Dijkstra {
   }
 
   /** Distances via the delta-stepping engine — the default distributed
-    * path, now justified by its own benchmark (the round-3 directive):
-    * GRAPHBENCH_r04 (400k vertices, same-JVM comparisons, the default
-    * Δ = 32×mean) has the default BEATING the label-correcting Pregel on
-    * all three swept topologies — 1.4× on the low-diameter expander
-    * (8.7 s vs 12.4 s; round 3's 19.9 s-vs-18.5 s loss was the 1×-mean Δ
-    * plus full-edge-scan supersteps, both fixed; earlier sweeps measured
-    * up to 3.7× on this shape), 1.3× on the wide-weight variant (13.0 s
-    * vs 16.7 s), and 2.4× on the moderate-diameter sparse shape (55.8 s
-    * vs 134.4 s — the no-heavy-edge skip matters most there: ~140
-    * supersteps across few buckets, no wasted heavy passes). Inter-run
-    * variance on this box is large (Pregel's middiam baseline spanned
-    * 41–134 s across sweeps), so only same-JVM comparisons are quoted;
-    * the committed artifact is one consistent run and every timed run is
-    * equality-checked. [[distances]]/[[sssp]] remain as the label-
-    * correcting reference the equality specs compare against. */
+    * path, justified by its own benchmark (GRAPHBENCH_r04 + the r06
+    * repeat-pair study; 400k vertices, same-JVM pairs only, the default
+    * Δ = 32×mean, every timed run equality-checked). The honest picture
+    * across 5 paired runs per shape (`GRAPHBENCH_r06.json
+    * repeat_pairs_x32`): delta wins the low-diameter expander outright
+    * (6.6 s vs 12.6 s in the r06 sweep) and wins the wide-weight shape
+    * in 4 of 5 pairs (delta stable at 12.5–15.1 s; Pregel spans
+    * 12.2–22.0 s). On the moderate-diameter sparse shape Pregel holds a
+    * ~13% median edge (≈48 s vs ≈56 s, 4/5 pairs) but carries an
+    * unbounded tail — its r04 run hit 134.4 s, 2.4× the delta band,
+    * and its cross-sweep history spans 41–134 s while delta stays in a
+    * narrow 52–70 s band. Delta-stepping stays the default: two outright
+    * wins plus bounded worst-case on the third beats a one-shape median
+    * edge bought with tail risk. [[distances]]/[[sssp]] remain as the
+    * label-correcting reference the equality specs compare against. */
   def deltaDistances[V: ClassTag](g: Graph[V, Double], source: VertexId): Seq[(VertexId, Double)] =
     deltaSssp(g, source).vertices
       .filter { case (_, (d, _)) => !d.isInfinite }
