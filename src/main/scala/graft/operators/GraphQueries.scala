@@ -358,6 +358,106 @@ object GraphQueries {
        |  WHERE r.dist + e.w <= $ScaleSsspBudget)
        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node ORDER BY node""".stripMargin
 
+  /** Iteration budget for q80 — part of the operator's semantics (exactly-
+    * bounded min-label propagation, the q22 fixed-iteration idiom), and
+    * what makes the chained-CTE oracle finite. Both engines compute the
+    * SAME function at any scale — "min vertex id within ≤ 20 hops" — so
+    * parity holds by construction even where the bound binds; at every
+    * shipped scale factor the propagation reaches its fixpoint well inside
+    * it (measured: 7 rounds at sf0.001, 10 at sf0.01, 14 at sf0.1), so the
+    * bounded result IS the true connected-components labeling
+    * (DijkstraSpec pins q80 ≡ GraphX `connectedComponents`). */
+  val ScaleCcRounds = 20
+
+  /** Undirected edge list of the SPARSE data-scale part⟷supplier graph:
+    * one edge pair per distinct (l_partkey, l_suppkey) among max-quantity
+    * lineitems (l_quantity = 50, ~2% of distinct pairs). Unlike the full
+    * bipartite expander (one giant component, diameter ~6) this subgraph
+    * has real component structure — 8 components at sf0.1 (a giant plus
+    * size-≤11 fringe) with a 14-round min-label fixpoint — so connected
+    * components over it is a non-vacuous data-scale computation. Vertex
+    * ids as in [[partSupplierEdges]]: parts even (2p), suppliers odd
+    * (2s+1), disjoint at any scale factor. */
+  def sparsePartSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+    val fwd = pairs.select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"))
+    fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  /** Bounded min-label propagation: l₀(v) = v; lᵢ(v) = min(lᵢ₋₁(v),
+    * min over edges (u,v) of lᵢ₋₁(u)); at most `rounds` Pregel
+    * supersteps. One superstep propagates exactly one hop, so after k
+    * supersteps the label is the min vertex id within the k-hop
+    * neighborhood — identical, round for round, to the oracle's unrolled
+    * CTE chain. The Pregel active set makes the bound a budget, not a
+    * cost: converged regions send no messages (`srcAttr < dstAttr`
+    * guard), so the loop exits at the fixpoint and supersteps past it are
+    * never run — the scale path is the same message-pruned iteration
+    * GraphX's own connectedComponents uses. */
+  def minLabelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    val g = Graph.fromEdges(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
+      .mapVertices((id, _) => id)
+    val labels = org.apache.spark.graphx.Pregel(g, Long.MaxValue, maxIterations = rounds)(
+      (_, attr, msg) => math.min(attr, msg),
+      t => if (t.srcAttr < t.dstAttr) Iterator((t.dstId, t.srcAttr)) else Iterator.empty,
+      math.min)
+    // stays distributed: no driver collect of the label table
+    s.createDataFrame(labels.vertices.map { case (id, l) => (id, l) })
+      .toDF("node", "component")
+  }
+
+  /** q80 — connected components at data scale: the companion to q79's
+    * SSSP (the round-6 directive named either), closing "every oracled CC
+    * row runs on 25 nodes" (q21). Runs the distributed Pregel propagation
+    * on a graph that grows with the data; the label table stays
+    * distributed until the final ordered dump. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minLabelPropagation(sparsePartSupplierEdges(s, dir), ScaleCcRounds)
+      .orderBy($"node")
+  }
+
+  /** Oracle: the same [[ScaleCcRounds]] propagation rounds unrolled as
+    * chained aggregating CTEs (the q22 technique — recursive CTEs cannot
+    * aggregate in the recursive term, and full transitive closure is
+    * Σ|component|² states, quadratic on the giant component; K bounded
+    * min-joins are linear in K·|E|). The self-loop trick makes each
+    * iteration reference its predecessor exactly ONCE — lᵢ(v) =
+    * min over (edges ∪ self-loops) into v of lᵢ₋₁(src), the same function
+    * as min(own, neighbors) — because a `LEAST(v.label, MIN(p.label))`
+    * formulation reads lᵢ₋₁ twice and DuckDB's CTE inlining then blows
+    * the plan up exponentially (2²⁰ scans: observed as an fd-exhaustion
+    * IO error). `AS MATERIALIZED` on the chain additionally collapses the
+    * 20-deep inlined plan to one pipeline per round (13.7 s → 0.15 s at
+    * sf0.1, DuckDB 1.0.0); the single-reference shape still guarantees
+    * linear inlining on engines that ignore the hint. Validated against
+    * an independent driver-side simulation at all three shipped SFs. */
+  private val q80Sql = {
+    val steps = (1 to ScaleCcRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, MIN(p.label) AS label
+         |  FROM edges e JOIN l${i - 1} p ON p.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
+       |  FROM lineitem WHERE l_quantity = 50),
+       |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM (SELECT src FROM e0 UNION ALL SELECT dst FROM e0)),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0
+       |          UNION ALL SELECT dst, src FROM e0
+       |          UNION ALL SELECT v, v FROM verts),
+       |l0 AS (SELECT v AS node, v AS label FROM verts),
+       |$steps
+       |SELECT node, CAST(label AS BIGINT) AS component FROM l$ScaleCcRounds ORDER BY node""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -368,5 +468,6 @@ object GraphQueries {
     GQuery("q43_graph_scc", q43, Some(q43Sql)),
     GQuery("q44_graph_triangles", q44, Some(q44Sql)),
     GQuery("q79_graph_scale_sssp", q79, Some(q79Sql), bench = true),
+    GQuery("q80_graph_scale_cc", q80, Some(q80Sql), bench = true),
   )
 }

@@ -185,6 +185,27 @@ class DijkstraSpec extends AnyFunSuite {
     assert(q79 === expect)
   }
 
+  test("q80 data-scale CC: bounded propagation reaches the true component fixpoint") {
+    // the registered q80 runs ScaleCcRounds-bounded min-label propagation;
+    // at every shipped SF the budget exceeds the fixpoint, so the result
+    // must equal GraphX's own run-to-convergence connectedComponents on
+    // the same graph — this is what licenses calling q80 "connected
+    // components" rather than "k-hop min label"
+    import graft.operators.GraphQueries
+    val edges = GraphQueries.sparsePartSupplierEdges(spark, "/root/testdata/sf0.001")
+    val g = Graph.fromEdges(
+      edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0)), 0L)
+    val ref = g.connectedComponents().vertices.collect().toMap
+    val q80 = SparkEntry.queries("q80_graph_scale_cc")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q80 === ref, "bounded propagation diverged from run-to-convergence CC")
+    // and the budget has real margin: half the budget already suffices here
+    val half = GraphQueries
+      .minLabelPropagation(edges, GraphQueries.ScaleCcRounds / 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(half === ref, "fixpoint not reached within half the round budget")
+  }
+
   test("zero-weight edges: local and Pregel agree on (dist, pred)") {
     // 0→2 settles dist 1 via pred 2's candidates; the zero-weight edge 1→2
     // delivers an equal-dist candidate from a smaller pred id AFTER 2 may
