@@ -39,6 +39,65 @@ final case class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Lo
   * score would lose precision on 63-bit hash keys), O(k) buffers, so a
   * per-stratum quota sample is a partial aggregate instead of a full
   * window sort of each stratum. */
+/** Exact bounded budget-prefix over (key, id, weight) longs: the admitted
+  * set is the ascending-(key, id) prefix whose RUNNING weight sum stays
+  * ≤ budget — the token-budget mixture-sampling primitive (q81), where the
+  * quota is a weight total rather than a row count ([[BottomK]]'s case).
+  *
+  * Truncation soundness is subtler than [[BottomK]]'s: a partial buffer
+  * keeps the maximal ascending prefix whose running sum stays ≤ budget
+  * PLUS the first overflowing element (the "barrier"). The barrier's
+  * subset running sum already exceeds the budget, and a global running
+  * sum only grows (merging inserts elements before it, never removes),
+  * so everything at-or-after the barrier is provably excluded and safe to
+  * drop — but the barrier itself must be RETAINED in partials: dropping
+  * it would lose its weight, and a later merge could then under-count
+  * the running sum of elements sorting after it and wrongly re-admit
+  * them (budget 10, one partition holding weights 6,6 and another the
+  * weight-3 element that sorts first: with the second 6 dropped, a
+  * trailing weight-1 element computes 3+6+1 ≤ 10 though its true prefix
+  * sum is 16). Only [[finish]] cuts the barrier. With positive weights
+  * the buffer never exceeds budget/min(weight)+1 entries, so partial
+  * aggregation ships O(budget) per partition instead of window-sorting
+  * every row of every group. */
+final case class BudgetBottom(budget: Long)
+    extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]] {
+
+  /** Ascending prefix with running sum ≤ budget; `withBarrier` also keeps
+    * the first overflowing element. */
+  private def prefix(a: Seq[(Long, Long, Long)], withBarrier: Boolean): Seq[(Long, Long, Long)] = {
+    val sorted = a.sortBy(e => (e._1, e._2))
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    var cum = 0L
+    val it = sorted.iterator
+    var open = true
+    while (open && it.hasNext) {
+      val e = it.next()
+      cum += e._3
+      if (cum <= budget) out += e
+      else { if (withBarrier) out += e; open = false }
+    }
+    out.result()
+  }
+
+  override def zero: Seq[(Long, Long, Long)] = Seq.empty
+
+  override def reduce(b: Seq[(Long, Long, Long)], in: (Long, Long, Long)): Seq[(Long, Long, Long)] =
+    prefix(b :+ in, withBarrier = true)
+
+  override def merge(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    prefix(a ++ b, withBarrier = true)
+
+  override def finish(r: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    prefix(r, withBarrier = false)
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]]()
+}
+
 final case class BottomK(k: Int) extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
 
   private def best(a: Seq[(Long, Long)]): Seq[(Long, Long)] = a.sorted.take(k)

@@ -135,9 +135,59 @@ object Sampling {
       |FROM dom WHERE l_suppkey IN (SELECT s_suppkey FROM supplier)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Per-source token budget for q81 — small enough that the cut binds at
+    * every shipped SF (sources average ≳750 whitespace tokens even at
+    * sf0.001), so the admitted set is a real prefix, not the whole
+    * corpus. */
+  val TokenBudgetPerSource = 400L
+
+  /** q81 — token-budget mixture sampling: the "data mixing" step of a
+    * training pipeline. For each source, admit documents in deterministic
+    * (hash, doc_id) order until the cumulative whitespace-token count
+    * fills [[TokenBudgetPerSource]] — reproducible (hash order, like
+    * q50/q51), budgeted in TOKENS (what a training run actually buys),
+    * and stable under corpus growth within a source prefix. Implemented
+    * as the bounded typed [[graft.functions.BudgetBottom]] aggregate, NOT
+    * a window: partial aggregation ships O(budget) rows per partition per
+    * source, where the ROW_NUMBER/SUM-OVER oracle formulation would
+    * shuffle and sort every document of every source — at 100 TB the
+    * budget is a sliver and the window is the corpus. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"source", $"doc_id", h($"doc_id").as("hkey"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2, r._4)) // (hash, doc_id, n_tokens) ascending
+      .agg(graft.functions.BudgetBottom(TokenBudgetPerSource).toColumn)
+      .flatMap { case (source, picks) =>
+        var cum = 0L
+        picks.zipWithIndex.map { case ((_, id, n), i) =>
+          cum += n
+          (source, id, n, cum, i + 1)
+        }
+      }
+      .toDF("source", "doc_id", "n_tokens", "cum_tokens", "rk")
+      .orderBy($"source", $"rk")
+  }
+
+  private val q81Sql =
+    s"""SELECT source, doc_id, n_tokens, cum_tokens, rk FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS INTEGER) AS rk
+       |  FROM (SELECT source, doc_id,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |          ${hSql("doc_id")} AS hk
+       |        FROM documents))
+       |WHERE cum_tokens <= $TokenBudgetPerSource ORDER BY source, rk""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q50_hash_split", q50, Some(q50Sql)),
     GQuery("q51_stratified_sample", q51, Some(q51Sql)),
     GQuery("q52_supplier_share", q52, Some(q52Sql)),
+    GQuery("q81_token_budget_mix", q81, Some(q81Sql)),
   )
 }

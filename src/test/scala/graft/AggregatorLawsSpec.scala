@@ -40,6 +40,37 @@ class AggregatorLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("BudgetBottom: any partitioning equals global budget prefix (200 random streams)") {
+    val agg = graft.functions.BudgetBottom(25)
+    def want(xs: List[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+      var cum = 0L
+      xs.sortBy(e => (e._1, e._2)).iterator
+        .map { e => cum += e._3; (e, cum) }
+        .takeWhile(_._2 <= 25L).map(_._1).toSeq
+    }
+    val rng = new scala.util.Random(6)
+    for (_ <- 0 until 200) {
+      val xs = List.fill(rng.nextInt(30))(
+        (rng.nextLong(40), rng.nextLong(50), 1L + rng.nextLong(10)))
+      val cut = 1 + rng.nextInt(7)
+      val got = agg.finish(viaPartitions(xs, cut, agg.zero, agg.reduce, agg.merge))
+      assert(got === want(xs), s"xs=$xs cut=$cut")
+    }
+  }
+
+  test("BudgetBottom: dropped-weight regression — the barrier must ride along in partials") {
+    // budget 10; one partition holds weights 6,6 (keys 1,2), another the
+    // key-0 weight-3 element and a trailing key-3 weight-1 element. If the
+    // overflowing key-2 element were dropped instead of kept as a barrier,
+    // the merge would compute 3+6+1 ≤ 10 for key 3 and wrongly admit it
+    // (its true prefix sum is 16).
+    val agg = graft.functions.BudgetBottom(10)
+    val pA = List((1L, 1L, 6L), (2L, 2L, 6L)).foldLeft(agg.zero)(agg.reduce)
+    val pB = List((0L, 0L, 3L), (3L, 3L, 1L)).foldLeft(agg.zero)(agg.reduce)
+    val got = agg.finish(agg.merge(pA, pB))
+    assert(got === Seq((0L, 0L, 3L), (1L, 1L, 6L)))
+  }
+
   test("Misra-Gries: frequent keys survive any partitioning/merge order") {
     val agg = graft.functions.MisraGriesAgg(
       org.apache.spark.sql.catalyst.expressions.Literal("x"), capacity = 8)
