@@ -28,34 +28,126 @@ object Dijkstra {
   /** dist + predecessor per vertex; unreached = (+inf, -1). */
   type State = (Double, VertexId)
 
-  /** `maxIterations` bounds Pregel supersteps (diameter bound) — the
-    * at-scale guard SURVEY §7.4 calls for; default unbounded = exact
-    * fixpoint, identical to GDS. */
+  /** Supersteps between lineage truncations in the iterative engines.
+    *
+    * Caching bounds RECOMPUTATION but not the RDD dependency graph: every
+    * superstep's join/aggregate adds a layer, and past a few hundred
+    * supersteps the DAGScheduler's recursive lineage walk overflows the
+    * stack — measured: the opt-in `hidiam_w5` GraphBench shape (~1,600
+    * supersteps at n=100k) killed the un-truncated label-correcting
+    * engine with 64 StackOverflowErrors after 11 min, while the shipped
+    * shapes (≤ ~370 supersteps) were fine. Every [[CheckpointInterval]]
+    * supersteps the engines therefore materialize the vertex state,
+    * cut its lineage (`localCheckpoint`, or a reliable `checkpoint` when
+    * `spark.graft.checkpointDir` is set — prefer that on a real cluster,
+    * where losing an executor must not lose truncated state), and rebuild
+    * the graph over a pre-truncated static edge RDD. 64 keeps worst-case
+    * lineage depth well under the observed failure threshold while making
+    * the truncation cost (~one graph rebuild) invisible on shallow runs:
+    * any run under 64 supersteps — every shipped query and benchmark
+    * shape — never truncates and pays nothing. */
+  val CheckpointInterval: Int = 64
+
+  /** Cut `gr`'s lineage: materialize vertex state into a fresh root RDD
+    * and rebuild the graph over `edgeRaw` (a static, already-truncated
+    * edge RDD). Both views are materialized before the parent graph and
+    * the previous truncation root are unpersisted (the quadratic-loop
+    * guard). Returns the rebuilt graph and the new root; the caller
+    * passes the root back on the next call so it can be released. */
+  private def truncatedGraph(gr: Graph[State, Double],
+      edgeRaw: org.apache.spark.rdd.RDD[Edge[Double]],
+      prevRoot: Option[org.apache.spark.rdd.RDD[(VertexId, State)]])
+      : (Graph[State, Double], org.apache.spark.rdd.RDD[(VertexId, State)]) = {
+    val sc = gr.vertices.sparkContext
+    val vraw = gr.vertices.map(v => v)
+    if (sc.getCheckpointDir.isDefined) vraw.checkpoint() else vraw.localCheckpoint()
+    val g2 = Graph(vraw, edgeRaw, (Double.PositiveInfinity, -1L)).cache()
+    g2.vertices.count(); g2.edges.count()
+    prevRoot.foreach(_.unpersist(blocking = false))
+    gr.unpersistVertices(blocking = false)
+    gr.edges.unpersist(blocking = false)
+    (g2, vraw)
+  }
+
+  private def mergeState(a: State, b: State): State =
+    if (a._1 < b._1) a
+    else if (b._1 < a._1) b
+    else if (a._2 <= b._2) a else b // equal dist: deterministic min-pred tie-break
+
+  private def sendImprove(ctx: EdgeContext[State, Double, State]): Unit = {
+    val cand = ctx.srcAttr._1 + ctx.attr
+    val dst = ctx.dstAttr
+    // strict improvement, or equal-dist better tie-break, propagates
+    if (cand < dst._1 || (cand == dst._1 && ctx.srcId < dst._2))
+      ctx.sendToDst((cand, ctx.srcId))
+  }
+
+  /** `maxIterations` bounds supersteps (diameter bound) — the at-scale
+    * guard SURVEY §7.4 calls for; default unbounded = exact fixpoint,
+    * identical to GDS.
+    *
+    * This is Pregel's exact label-correcting loop written out (same
+    * initial full gather, same receiver-only vprog, same
+    * `EdgeDirection.Out` active set, same per-superstep message count
+    * action Pregel itself pays) — explicit so the loop can truncate
+    * lineage every [[CheckpointInterval]] supersteps, which
+    * `Graph.pregel` cannot (the built-in overflowed the stack on the
+    * ~1,600-superstep hidiam probe). After a truncation the frontier is
+    * re-derived with one full-edge gather: `sendImprove`'s guard reads
+    * the CURRENT destination state, so exactly the still-improving
+    * messages regenerate — the fixpoint, including the min-pred
+    * tie-break, is unchanged. */
   def sssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
       maxIterations: Int = Int.MaxValue): Graph[State, Double] = {
     require(g.edges != null)
-    val init: Graph[State, Double] =
-      g.mapVertices((id, _) => if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L))
+    import org.apache.spark.graphx.graftbridge.GraphXBridge
+    var cur: Graph[State, Double] = g.mapVertices((id, _) =>
+      if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache()
 
-    def mergeMsg(a: State, b: State): State =
-      if (a._1 < b._1) a
-      else if (b._1 < a._1) b
-      else if (a._2 <= b._2) a else b // equal dist: deterministic min-pred tie-break
+    var edgeRaw: org.apache.spark.rdd.RDD[Edge[Double]] = null
+    var lastRoot: Option[org.apache.spark.rdd.RDD[(VertexId, State)]] = None
+    def truncate(): Unit = {
+      if (edgeRaw == null) { // derive once, from the CACHED current graph
+        edgeRaw = cur.edges.map(e => Edge(e.srcId, e.dstId, e.attr))
+        if (cur.vertices.sparkContext.getCheckpointDir.isDefined) edgeRaw.checkpoint()
+        else edgeRaw.localCheckpoint()
+        edgeRaw.count()
+      }
+      val (g2, root) = truncatedGraph(cur, edgeRaw, lastRoot)
+      cur = g2; lastRoot = Some(root)
+    }
 
-    init.pregel(
-      initialMsg = (Double.PositiveInfinity, -1L),
-      maxIterations = maxIterations,
-      activeDirection = EdgeDirection.Out)(
-      vprog = (_, cur, msg) => mergeMsg(cur, msg),
-      sendMsg = triplet => {
-        val cand = triplet.srcAttr._1 + triplet.attr
-        val dst = triplet.dstAttr
-        // strict improvement, or equal-dist better tie-break, propagates
-        if (cand < dst._1 || (cand == dst._1 && triplet.srcId < dst._2))
-          Iterator((triplet.dstId, (cand, triplet.srcId)))
-        else Iterator.empty
-      },
-      mergeMsg = mergeMsg)
+    var msgs = cur.aggregateMessages[State](sendImprove, mergeState).cache()
+    var n = msgs.count() // materializes cur too
+    var iters = 0
+    var sinceTrunc = 0
+    while (n > 0 && iters < maxIterations) {
+      iters += 1; sinceTrunc += 1
+      val prev = cur
+      cur = prev.outerJoinVertices(msgs) { (_, old, m) =>
+        m.map(mergeState(old, _)).getOrElse(old)
+      }.cache()
+      if (sinceTrunc >= CheckpointInterval) {
+        cur.vertices.count(); cur.edges.count()
+        prev.unpersistVertices(blocking = false)
+        prev.edges.unpersist(blocking = false)
+        msgs.unpersist(blocking = false)
+        truncate()
+        sinceTrunc = 0
+        msgs = cur.aggregateMessages[State](sendImprove, mergeState).cache()
+        n = msgs.count()
+      } else {
+        val next = GraphXBridge.aggregateMessagesWithActiveSet[State, Double, State](
+          cur, sendImprove, mergeState, TripletFields.All, msgs, EdgeDirection.Out).cache()
+        n = next.count() // the one action: materializes the joined cur
+        prev.unpersistVertices(blocking = false)
+        prev.edges.unpersist(blocking = false)
+        msgs.unpersist(blocking = false)
+        msgs = next
+      }
+    }
+    msgs.unpersist(blocking = false)
+    cur
   }
 
   /** Distances only, as (vertexId, dist) for reachable vertices. */
@@ -159,6 +251,24 @@ object Dijkstra {
     // relax per bucket
     val anyHeavy = !cur.edges.filter(_.attr >= dlt).isEmpty()
 
+    // periodic lineage truncation (see [[CheckpointInterval]]): high-
+    // diameter graphs drive thousands of supersteps through this loop and
+    // the un-truncated dependency chain overflows the DAGScheduler stack
+    var edgeRaw: org.apache.spark.rdd.RDD[Edge[Double]] = null
+    var lastRoot: Option[org.apache.spark.rdd.RDD[(VertexId, State)]] = None
+    var sinceTrunc = 0
+    def truncate(): Unit = {
+      if (edgeRaw == null) { // derive once, from the CACHED current graph
+        edgeRaw = cur.edges.map(e => Edge(e.srcId, e.dstId, e.attr))
+        if (cur.vertices.sparkContext.getCheckpointDir.isDefined) edgeRaw.checkpoint()
+        else edgeRaw.localCheckpoint()
+        edgeRaw.count()
+      }
+      val (g2, root) = truncatedGraph(cur, edgeRaw, lastRoot)
+      cur = g2; lastRoot = Some(root)
+      sinceTrunc = 0
+    }
+
     // relax out-edges of ACTIVE vertices whose dist lies in [lo, hi),
     // restricted to the light or heavy edge class; messages only when they
     // would improve the destination (dist, pred) as currently materialized
@@ -204,16 +314,32 @@ object Dijkstra {
       var msgs = relax(lo, hi, lightPhase = true, members).cache()
       var n = msgs.count() // the one action: also materializes `cur`
       var iters = 1
+      sinceTrunc += 1
       while (n > 0) {
-        iters += 1
+        iters += 1; sinceTrunc += 1
         val prev = cur
         cur = join(msgs)
-        val next = relax(lo, hi, lightPhase = true, msgs).cache()
-        n = next.count() // materializes the joined `cur`
-        prev.unpersistVertices(blocking = false)
-        prev.edges.unpersist(blocking = false)
-        msgs.unpersist(blocking = false)
-        msgs = next
+        if (sinceTrunc >= CheckpointInterval) {
+          cur.vertices.count(); cur.edges.count()
+          prev.unpersistVertices(blocking = false)
+          prev.edges.unpersist(blocking = false)
+          msgs.unpersist(blocking = false)
+          truncate()
+          // active sets must derive from the rebuilt graph: re-open the
+          // bucket — sendMsg's improvement guard reads the CURRENT dst
+          // state, so exactly the still-improving in-bucket messages
+          // (a superset of the pending frontier's effect) regenerate
+          val reopened = cur.vertices.filter { case (_, (d, _)) => d >= lo && d < hi }
+          msgs = relax(lo, hi, lightPhase = true, reopened).cache()
+          n = msgs.count()
+        } else {
+          val next = relax(lo, hi, lightPhase = true, msgs).cache()
+          n = next.count() // materializes the joined `cur`
+          prev.unpersistVertices(blocking = false)
+          prev.edges.unpersist(blocking = false)
+          msgs.unpersist(blocking = false)
+          msgs = next
+        }
       }
       msgs.unpersist(blocking = false)
 
@@ -221,6 +347,7 @@ object Dijkstra {
       if (anyHeavy) {
         val settled = cur.vertices.filter { case (_, (d, _)) => d >= lo && d < hi }
         val heavy = relax(lo, hi, lightPhase = false, settled).cache()
+        sinceTrunc += 1
         if (heavy.count() > 0) {
           val prev = cur
           cur = join(heavy)
@@ -230,6 +357,9 @@ object Dijkstra {
         }
         heavy.unpersist(blocking = false)
       }
+      // bucket boundary is the natural cut point: no in-flight frontier,
+      // cur is cached and materialized
+      if (sinceTrunc >= CheckpointInterval) truncate()
       stats.foreach { st =>
         st.buckets += 1
         // the final empty light probe is a real superstep too

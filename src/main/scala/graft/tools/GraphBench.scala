@@ -32,6 +32,11 @@ object GraphBench {
   //  - middiam_w5: chords {1, 97, 9403}, weights 1..5 — sparser (6 edges
   //    per vertex) with diameter in the hundreds: many cheap supersteps,
   //    the per-superstep-overhead stress case.
+  //  - hidiam_w5 (OPT-IN — pass it in the shapes arg; excluded from the
+  //    default sweep): chords {1, 31}, diameter ~n/62 — thousands of
+  //    supersteps, the boundary probe for where frontier-synchronous
+  //    engines stop being viable at all (run at n=100k unless you have
+  //    an hour).
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 400000L
     val out = if (args.length > 1) Some(args(1)) else None
@@ -48,6 +53,7 @@ object GraphBench {
 
     val logChords = Iterator.iterate(1L)(_ * 7L).takeWhile(_ < n / 2).toSeq
     val sparseChords = Seq(1L, 97L, 9403L).filter(_ < n / 2)
+    val hidiamChords = Seq(1L, 31L).filter(_ < n / 2)
     def circulant(chords: Seq[Long], wmod: Long) =
       sc.range(0L, n, 1L, parts).flatMap { i =>
         chords.flatMap(d => Seq(
@@ -55,11 +61,16 @@ object GraphBench {
           Edge(i, (i - d + n) % n, (1L + (i * 13L + d) % wmod).toDouble)))
       }
 
+    // hidiam is opt-in: a default (no-shapes-arg) sweep must stay
+    // affordable, and the boundary probe costs an order of magnitude more
+    val optIn = Set("hidiam_w5")
     val shapeDefs: Seq[(String, () => RDD[Edge[Double]])] = Seq(
       ("expander_w5", () => circulant(logChords, 5L)),
       ("wide_w1000", () => circulant(logChords, 1000L)),
-      ("middiam_w5", () => circulant(sparseChords, 5L)))
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      ("middiam_w5", () => circulant(sparseChords, 5L)),
+      ("hidiam_w5", () => circulant(hidiamChords, 5L)))
+      .filter { case (name, _) =>
+        if (only.isEmpty) !optIn(name) else only.contains(name) }
 
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
