@@ -458,6 +458,84 @@ object GraphQueries {
        |SELECT node, CAST(label AS BIGINT) AS component FROM l$ScaleCcRounds ORDER BY node""".stripMargin
   }
 
+  /** Degree cap for q83's supplier→part-clique projection — part of the
+    * operator's semantics AND the scale guard: a supplier of degree d
+    * projects d·(d−1)/2 part–part edges, so one hub supplier explodes the
+    * projection quadratically; excluding suppliers above the cap bounds
+    * the projected edge count by |S|·cap² regardless of skew (the same
+    * hub-pruning idea as q24's document-frequency prefix filter — a
+    * near-complete clique from a hub carries no co-occurrence signal
+    * anyway). Both engines apply the identical cap, so parity holds
+    * whether or not it binds at a given scale factor. */
+  val TriDegreeCap = 64L
+
+  /** q83 — triangle counting at data scale, via graph PROJECTION: the
+    * sparse part⟷supplier bipartite graph (bipartite = trivially
+    * triangle-free) is projected onto parts — an edge joins two parts
+    * sharing a supplier — and triangles are counted per part on the
+    * projection. This is the third member of the data-scale trio
+    * (q79 SSSP, q80 CC): q44's triangle oracle runs on the 25-node
+    * nation fixture, while this graph grows with the data.
+    *
+    * Pure DataFrame formulation (no GraphX): ordered distinct projected
+    * edges (a < b), wedge join e1(a,b)⋈e2(b,c), closed by a left-semi
+    * probe into e3(a,c) — each triangle a<b<c enumerated exactly once,
+    * then exploded to its three corners for per-part counts. Exact
+    * integers end to end. Catalyst plans the wedge join and the closing
+    * semi-join as plain shuffle joins on the edge relation — the
+    * standard distributed triangle-enumeration layout whose cost is
+    * O(Σ wedges), bounded here by the degree cap. */
+  /** The capped part–part projection, materialized once per (session, SF)
+    * — the triangle join references it THREE times (e1, e2, e3), and a
+    * lazy plan would re-run the lineitem scan + distinct shuffle for each
+    * reference; served from the prepare-stage store, all three are
+    * columnar scans of one small relation (the [[graft.store.Materialized]]
+    * contract — the bench's cold lane pays the build visibly). */
+  private def projectedPartEdges(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"tri-projection:$dir") {
+      import s.implicits._
+      val pairs = t(s, dir, "lineitem")
+        .filter($"l_quantity" === 50)
+        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+        .distinct()
+      val smallSu = pairs.groupBy($"su").agg(count(lit(1)).as("d"))
+        .filter($"d" <= TriDegreeCap).select($"su")
+      val kept = pairs.join(smallSu, Seq("su"), "left_semi")
+      kept.as("x").join(kept.as("y"), $"x.su" === $"y.su" && $"x.p" < $"y.p")
+        .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+    }
+
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = projectedPartEdges(s, dir)
+    val tri = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+      .select($"e1.a".as("ta"), $"e1.b".as("tb"), $"e2.b".as("tc"))
+      .join(e.as("e3"), $"ta" === $"e3.a" && $"tc" === $"e3.b", "left_semi")
+    val corners = tri.select($"ta".as("part"))
+      .union(tri.select($"tb")).union(tri.select($"tc"))
+    corners.groupBy($"part").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"part")
+  }
+
+  /** Oracle: the same capped projection + wedge-close enumeration. The
+    * inner e3 join is equivalent to the Spark side's left-semi probe
+    * because (ta, tc) matches at most one row of the distinct ordered
+    * edge relation. */
+  private val q83Sql =
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
+       |  FROM lineitem WHERE l_quantity = 50),
+       |ok AS (SELECT su FROM pairs GROUP BY su HAVING COUNT(*) <= $TriDegreeCap),
+       |kept AS (SELECT p, su FROM pairs WHERE su IN (SELECT su FROM ok)),
+       |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+       |      FROM kept x JOIN kept y ON x.su = y.su AND x.p < y.p),
+       |tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pv AS (SELECT ta AS v FROM tri UNION ALL SELECT tb FROM tri
+       |       UNION ALL SELECT tc FROM tri)
+       |SELECT CAST(v AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM pv GROUP BY v ORDER BY part""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -469,5 +547,6 @@ object GraphQueries {
     GQuery("q44_graph_triangles", q44, Some(q44Sql)),
     GQuery("q79_graph_scale_sssp", q79, Some(q79Sql), bench = true),
     GQuery("q80_graph_scale_cc", q80, Some(q80Sql), bench = true),
+    GQuery("q83_scale_triangles", q83, Some(q83Sql), bench = true),
   )
 }

@@ -185,6 +185,25 @@ class DijkstraSpec extends AnyFunSuite {
     assert(q79 === expect)
   }
 
+  test("lineage truncation: both engines exact past CheckpointInterval supersteps") {
+    // 200-hop weighted path → ~200 supersteps, 3× the truncation interval:
+    // exercises the localCheckpoint + graph-rebuild + frontier-re-derivation
+    // path in both engines (the hidiam GraphBench shape overflowed the
+    // stack here before truncation existed); a sub-interval run never
+    // enters that path, so this is the only coverage it gets
+    val nPath = 200
+    val edges = (0 until nPath).map(i => (i.toLong, i + 1L, 1.0 + (i % 3)))
+    val g = graphOf(edges)
+    val local = Dijkstra.localSssp(edges, 0L)
+    val pregel = Dijkstra.sssp(g, 0L).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    val delta = Dijkstra.deltaSssp(g, 0L).vertices
+      .filter(v => !v._2._1.isInfinite).collect().toMap
+    assert(nPath > Dijkstra.CheckpointInterval * 3, "path no longer exercises truncation")
+    assert(pregel === local, "label-correcting engine diverged across truncations")
+    assert(delta === local, "delta-stepping engine diverged across truncations")
+  }
+
   test("q80 data-scale CC: bounded propagation reaches the true component fixpoint") {
     // the registered q80 runs ScaleCcRounds-bounded min-label propagation;
     // at every shipped SF the budget exceeds the fixpoint, so the result
@@ -204,6 +223,36 @@ class DijkstraSpec extends AnyFunSuite {
       .minLabelPropagation(edges, GraphQueries.ScaleCcRounds / 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(half === ref, "fixpoint not reached within half the round budget")
+  }
+
+  test("q83 data-scale triangles: wedge enumeration equals GraphX triangleCount") {
+    // q83 counts triangles by DataFrame wedge enumeration; GraphX's
+    // triangleCount is an independent counting algorithm (per-vertex
+    // neighborhood-set intersection) — agreement on the same projected
+    // graph cross-checks the enumeration, complementing the DuckDB oracle
+    import graft.operators.GraphQueries
+    import org.apache.spark.graphx.PartitionStrategy
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val q83 = SparkEntry.queries("q83_scale_triangles")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q83.nonEmpty, "projection has no triangles at sf0.001 — vacuous test data")
+    // same capped projection (recomputed), counted by GraphX instead
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+    val keep = pairs.groupBy($"su").count()
+      .filter($"count" <= GraphQueries.TriDegreeCap).select($"su")
+    val kept = pairs.join(keep, Seq("su"), "left_semi")
+    val e = kept.as("x").join(kept.as("y"), $"x.su" === $"y.su" && $"x.p" < $"y.p")
+      .select($"x.p", $"y.p").distinct()
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val ref = Graph.fromEdges(e, 0).partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.filter(_._2 > 0)
+      .collect().map { case (v, n) => v -> n.toLong }.toMap
+    assert(q83 === ref, "wedge enumeration diverged from GraphX triangleCount")
   }
 
   test("zero-weight edges: local and Pregel agree on (dist, pred)") {
