@@ -324,6 +324,66 @@ object TemporalJoins {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Funnel deadline: stage-2/3 events must land within one day of the
+    * anchoring first view. Part of the operator's semantics (first-touch
+    * attribution with a fixed deadline), single-sourced into the oracle
+    * SQL so both engines share one constant. 24 h is the widest window
+    * at which the shipped fixtures exercise every stage 0–3 (the fastest
+    * unconstrained view→purchase chain at sf0.001 takes ~4.3 h, so a
+    * 1-hour deadline leaves stage 3 vacuously empty). */
+  val FunnelWindowUs: Long = 86400L * 1000000L
+
+  /** q82 — first-touch funnel over events: per user, the deepest prefix
+    * of view → click → purchase completed within [[FunnelWindowUs]] of
+    * the user's FIRST view (stage 0–3), plus the exact time-to-convert
+    * for completers. The chain is the greedy first-touch rule every
+    * funnel tool defaults to: the deadline anchors at the first view,
+    * the earliest qualifying click is taken (which maximizes the room
+    * left for the purchase under a fixed deadline), then the earliest
+    * qualifying purchase. All arithmetic is exact epoch-micros longs.
+    *
+    * Scale shape: ONE hash exchange on user_id — the three chained
+    * conditional window minima and the final per-user aggregate all
+    * share that partitioning, so Catalyst plans a single Exchange
+    * feeding stacked Window operators (no per-stage re-shuffle, no
+    * self-joins, state O(1) per row). The same plan at 100 TB is one
+    * shuffle of the events table, which is the floor for any per-user
+    * computation. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    graft.Tables.events(s, dir)
+      .withColumn("v_us", min(when($"event_type" === "view", $"ts_us")).over(w))
+      .withColumn("c_us", min(when($"event_type" === "click" &&
+        $"ts_us" >= $"v_us" && $"ts_us" <= $"v_us" + FunnelWindowUs, $"ts_us")).over(w))
+      .withColumn("p_us", min(when($"event_type" === "purchase" &&
+        $"ts_us" >= $"c_us" && $"ts_us" <= $"v_us" + FunnelWindowUs, $"ts_us")).over(w))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"p_us".isNotNull, 3L).when($"c_us".isNotNull, 2L)
+          .when($"v_us".isNotNull, 1L).otherwise(0L)).as("stage"),
+        // null below stage 3 by construction: p_us is null there
+        max($"p_us" - $"v_us").as("ttc_us"))
+      .orderBy($"user_id")
+  }
+
+  private val q82Sql =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |v AS (SELECT user_id, event_type, ts_us,
+       |  MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+       |    OVER (PARTITION BY user_id) AS v_us FROM e),
+       |c AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+       |    AND ts_us >= v_us AND ts_us <= v_us + $FunnelWindowUs THEN ts_us END)
+       |    OVER (PARTITION BY user_id) AS c_us FROM v),
+       |p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+       |    AND ts_us >= c_us AND ts_us <= v_us + $FunnelWindowUs THEN ts_us END)
+       |    OVER (PARTITION BY user_id) AS p_us FROM c)
+       |SELECT user_id,
+       |  CAST(MAX(CASE WHEN p_us IS NOT NULL THEN 3 WHEN c_us IS NOT NULL THEN 2
+       |           WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+       |  CAST(MAX(p_us - v_us) AS BIGINT) AS ttc_us
+       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q38_asof_join", q38, Some(q38Sql), bench = true),
     GQuery("q39_range_join", q39, Some(q39Sql)),
@@ -333,5 +393,6 @@ object TemporalJoins {
     GQuery("q42_decorrelated", q42, Some(q42Sql)),
     GQuery("q46_topk_aggregator", q46, Some(q46Sql)),
     GQuery("q49_cube", q49, Some(q49Sql)),
+    GQuery("q82_funnel_stages", q82, Some(q82Sql)),
   )
 }

@@ -381,6 +381,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(naive.exceptAll(got).count() === 0L)
   }
 
+  test("funnel stages ≡ naive per-user greedy chain") {
+    import spark.implicits._
+    // independent driver-side reimplementation of the first-touch rule:
+    // collect each user's events, walk them imperatively
+    val byUser = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    val H = graft.operators.TemporalJoins.FunnelWindowUs
+    val naive = byUser.map { case (u, evs) =>
+      val v = evs.filter(_._2 == "view").map(_._3).minOption
+      val deadline = v.map(_ + H)
+      val c = v.flatMap(vt => evs.filter(e =>
+        e._2 == "click" && e._3 >= vt && e._3 <= deadline.get).map(_._3).minOption)
+      val p = c.flatMap(ct => evs.filter(e =>
+        e._2 == "purchase" && e._3 >= ct && e._3 <= deadline.get).map(_._3).minOption)
+      val stage = if (p.isDefined) 3L else if (c.isDefined) 2L else if (v.isDefined) 1L else 0L
+      u -> ((stage, p.flatMap(pt => v.map(pt - _))))
+    }
+    val got = run("q82_funnel_stages").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got === naive, "funnel chain diverged from the naive greedy walk")
+    // non-vacuous at every stage: the fixture exercises 1, 2 and 3
+    val stages = got.values.map(_._1).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(stages), s"fixture covers only stages $stages")
+  }
+
   test("banded range join ≡ naive theta join") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
