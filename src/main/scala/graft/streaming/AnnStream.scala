@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Incremental maintenance of the persisted IVF index for an embedding
+  * corpus that grows through the streaming path — the ANN companion of
+  * [[DedupStream]]: the batch pipeline builds the partition-pruned index
+  * once per snapshot ([[Similarity.buildTrainedIvfIndex]]), but a corpus
+  * ingested continuously had no way to admit new vectors short of a full
+  * rebuild.
+  *
+  * Contract — FROZEN centroids: the caller trains centroids offline on a
+  * corpus snapshot ([[Similarity.trainCentroids]]) and hands them to the
+  * stream; every arriving vector is argmax-cosine-assigned to that fixed
+  * codebook and appended under its cell. This is the production split of
+  * a real ANN service: retraining is a periodic offline job (it moves
+  * every assignment, so it rebuilds the index anyway); ingestion must not
+  * wait for it. Because the codebook is frozen, the streamed index is
+  * BY CONSTRUCTION the batch index of the union corpus — AnnStreamSpec
+  * pins content equality under different batch splits, and probe-query
+  * equality against the batch-built index.
+  *
+  * Layout: parquet partitioned by (batch, cell). Probes prune on `cell`
+  * exactly as the batch index does (Spark prunes any partition column,
+  * whatever its depth); `batch` being a partition column is what makes
+  * redelivery exactly-once — each micro-batch DYNAMICALLY OVERWRITES only
+  * its own `batch=<id>` partitions with deterministic bytes, so a replay
+  * (full or after a partial crash) converges instead of double-appending
+  * (the [[DedupStream]] recovery design, applied to the index).
+  *
+  * Scale shape: per batch the work is O(new vectors × k) comparisons in
+  * one zero-shuffle projection ([[Similarity.assignToCentroids]] embeds
+  * the k·dim codebook as literals) plus a partitioned write of the new
+  * rows only. The existing index is never read, rewritten, or shuffled on
+  * ingest — at 10¹⁰ indexed vectors a batch still costs only its own
+  * size. Queries scan probed cells across all batches: nprobe pruned
+  * directories per batch rather than per corpus, the same I/O bound as
+  * the batch layout with file counts governed by ingest granularity (a
+  * real deployment compacts old batches periodically; compaction is
+  * content-neutral here because the rows carry no batch provenance).
+  */
+object AnnStream {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("vec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Assign one micro-batch to the frozen codebook and overwrite its own
+    * index partitions — also the unit the spec drives directly.
+    * Idempotent under redelivery of the same `batchId`. */
+  def processBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      cents: Seq[(Long, Seq[Double])]): Unit =
+    Similarity.assignToCentroids(batch, cents)
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(indexDir)
+
+  /** File-source stream over a vectors directory: every arriving parquet
+    * file of (vec_id, vec) rows is assigned and indexed.
+    * `maxFilesPerTrigger=1` keeps micro-batches file-sized. */
+  def start(s: SparkSession, vecsDir: String, indexDir: String,
+      cents: Seq[(Long, Seq[Double])],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    s.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(vecsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, indexDir, cents)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Probe the streamed index: identical plan to the batch-index query
+    * ([[Similarity.queryIvfIndex]] — cell-pruned scan, exact re-rank);
+    * the extra `batch` partition column rides along unreferenced. */
+  def query(s: SparkSession, indexDir: String, qvec: Seq[Double],
+      cells: Seq[Long], k: Int = Similarity.K): DataFrame =
+    Similarity.queryIvfIndex(s, indexDir, qvec, cells, k)
+}
