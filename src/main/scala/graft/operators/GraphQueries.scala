@@ -536,6 +536,112 @@ object GraphQueries {
        |SELECT CAST(v AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
        |FROM pv GROUP BY v ORDER BY part""".stripMargin
 
+  /** q84's core order and round budget — both part of the operator's
+    * semantics (exactly-bounded synchronous peeling, the q80 idiom) and
+    * what keeps the unrolled-CTE oracle finite. k = 2 is the smallest
+    * order at which the sparse graph peels non-trivially: measured
+    * cascades of 5 / 3 / 3 rounds at sf0.001 / 0.01 / 0.1 with a
+    * non-empty core (23 / 335 / 3390 survivors) — k ≥ 3 dissolves the
+    * whole graph, and the full bipartite graph is already its own 4-core.
+    * 12 rounds ≥ 2× the deepest observed cascade; both engines compute
+    * the same function ("survivors of 12 synchronous peels, with their
+    * induced degrees") at any scale, so parity holds by construction even
+    * where the budget binds, and at every shipped SF the bounded result
+    * IS the true k-core (DijkstraSpec pins q84 ≡ an independent
+    * run-to-convergence peel with 2× round margin). */
+  val KCoreK = 2
+  val KCoreRounds = 12
+
+  /** Synchronous k-core peeling on a BIDIRECTED edge list (src, dst):
+    * each round computes every surviving vertex's degree in the surviving
+    * induced subgraph (= out-degree, since edges appear in both
+    * directions) and drops all vertices of degree < k at once; vertices
+    * isolated by a drop leave the edge list and fall in the next round
+    * (degree 0 < k). Early exit when a round removes nothing — the round
+    * budget is a bound, not a cost, exactly like q80's propagation.
+    *
+    * Returns (node, deg): the induced degree of every vertex still in the
+    * peeled subgraph — at a reached fixpoint all deg ≥ k, i.e. the k-core
+    * with its core degrees. Exact integers end to end.
+    *
+    * Scale shape: each round is one hash aggregate on src plus two
+    * left-semi joins of the edge list against the (much smaller) survivor
+    * set — the textbook distributed peel, all hash exchanges on the
+    * vertex key, nothing driver-side but the per-round survivor count
+    * that drives early exit.
+    *
+    * Each round's surviving edge list is `localCheckpoint`ed (eager):
+    * that both materializes it AND resets its LOGICAL PLAN to a
+    * constant-size `LogicalRDD` root. The plan cut is load-bearing, not
+    * hygiene — the Dijkstra lineage-truncation lesson one level up:
+    * every round references the previous round's frame three times
+    * (degree aggregate + two semi-joins), so under plain `cache()` the
+    * logical/physical plan TREE grows ~3^rounds even though the DAG is
+    * linear, and any plan stringification (AQE's per-stage
+    * `simpleString`, the SQL UI, `explain`) goes exponential — measured:
+    * a 6-round peel at sf0.001 pinned `Bench`'s driver for 20+ CPU-min
+    * inside `generateTreeString` while the jobs themselves took
+    * milliseconds. Superseded rounds are dropped by reference and their
+    * cached blocks reclaimed by the `ContextCleaner`; rounds are bounded
+    * by the budget, so at most a handful of shrinking edge lists are
+    * ever live. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val deg = (e: DataFrame) => e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var cur = edges.localCheckpoint()
+    var nVerts = deg(cur).count()
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      i += 1
+      // keep's plan is one aggregate over cur's LogicalRDD — small enough
+      // to recompute per reference (two semi-joins + the count action)
+      val keep = deg(cur).filter(col("deg") >= k).select(col("src").as("node"))
+      val nKeep = keep.count()
+      if (nKeep == nVerts) {
+        converged = true // nothing dropped: fixpoint, skip the re-induce
+      } else {
+        cur = cur
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+        nVerts = deg(cur).count()
+      }
+    }
+    deg(cur).select(col("src").as("node"), col("deg"))
+  }
+
+  /** q84 — k-core decomposition at data scale: fourth member of the
+    * data-scale graph family (q79 SSSP, q80 CC, q83 triangles), and the
+    * DataFrame-iterative member — the peel is groupBy + semi-joins per
+    * round, no GraphX. Runs on the same sparse part⟷supplier graph as
+    * q80 (the full bipartite graph is already its own 4-core — vacuous). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kCorePeel(sparsePartSupplierEdges(s, dir), KCoreK, KCoreRounds)
+      .orderBy($"node")
+  }
+
+  /** Oracle: the same [[KCoreRounds]] synchronous peels unrolled as
+    * chained CTEs (q80's technique). Each round's edge relation is
+    * referenced twice (degree + re-induce), so every per-round CTE is
+    * `AS MATERIALIZED` to stop DuckDB's inliner from exponentiating the
+    * 12-deep chain (the q80 lesson); rounds past the fixpoint re-induce
+    * an unchanged relation, matching the Spark side's early exit. */
+  private val q84Sql = {
+    val steps = (1 to KCoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM c${i - 1} GROUP BY src HAVING COUNT(*) >= $KCoreK),
+         |c$i AS MATERIALIZED (SELECT c.src, c.dst FROM c${i - 1} c
+         |  JOIN k$i a ON a.src = c.src JOIN k$i b ON b.src = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
+       |  FROM lineitem WHERE l_quantity = 50),
+       |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst FROM pairs),
+       |c0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |$steps
+       |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM c$KCoreRounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -548,5 +654,6 @@ object GraphQueries {
     GQuery("q79_graph_scale_sssp", q79, Some(q79Sql), bench = true),
     GQuery("q80_graph_scale_cc", q80, Some(q80Sql), bench = true),
     GQuery("q83_scale_triangles", q83, Some(q83Sql), bench = true),
+    GQuery("q84_scale_kcore", q84, Some(q84Sql), bench = true),
   )
 }

@@ -255,6 +255,35 @@ class DijkstraSpec extends AnyFunSuite {
     assert(q83 === ref, "wedge enumeration diverged from GraphX triangleCount")
   }
 
+  test("q84 data-scale k-core: bounded peel equals run-to-convergence peeling") {
+    // independent driver-side reimplementation: run synchronous peels to
+    // the true fixpoint (no round budget) and compare membership + core
+    // degrees; also pin that the shipped budget carries 2x margin over
+    // the observed cascade depth, the q80 discipline
+    import graft.operators.GraphQueries
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q84_scale_kcore")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = GraphQueries.sparsePartSupplierEdges(spark, dir)
+      .as[(Long, Long)].collect()
+    val adj = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var alive = adj.keySet
+    var roundsUsed = 0
+    var changed = true
+    while (changed) {
+      val rm = alive.filter(v => adj(v).count(alive) < GraphQueries.KCoreK)
+      changed = rm.nonEmpty
+      if (changed) { roundsUsed += 1; alive = alive -- rm }
+    }
+    val want = alive.map(v => v -> adj(v).count(alive).toLong).toMap
+    assert(got === want, "bounded peel diverged from run-to-convergence k-core")
+    assert(got.nonEmpty, "k-core empty at sf0.001 — vacuous fixture")
+    assert(roundsUsed >= 2, s"cascade only $roundsUsed rounds — removal order untested")
+    assert(GraphQueries.KCoreRounds >= 2 * roundsUsed,
+      s"round budget ${GraphQueries.KCoreRounds} under 2x observed fixpoint $roundsUsed")
+  }
+
   test("zero-weight edges: local and Pregel agree on (dist, pred)") {
     // 0→2 settles dist 1 via pred 2's candidates; the zero-weight edge 1→2
     // delivers an equal-dist candidate from a smaller pred id AFTER 2 may
