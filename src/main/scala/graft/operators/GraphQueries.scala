@@ -642,6 +642,71 @@ object GraphQueries {
        |FROM c$KCoreRounds GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** q85's walk-length budget. Part of the operator's semantics (Katz
+    * centrality with attenuation β = 1 truncated at L — i.e. each vertex
+    * scored by its total count of inbound walks of length ≤ L), chosen so
+    * the counts stay EXACT in 64-bit integers: the per-hop growth factor
+    * is bounded by the maximum degree, so counts are ≤ deg_max^L —
+    * measured ceilings 2^22 / 2^28 / 2^29 at sf0.001/0.01/0.1, and safe
+    * until deg_max ≈ 55k at L = 4. Exactness is what makes a DATA-SCALE
+    * centrality hash-oracle-able at all: PageRank's damped float ranks
+    * accumulate in shuffle-completion order, so two runs (let alone two
+    * engines) need not agree bitwise, which is why q22's PageRank oracle
+    * lives on the 25-node fixture — integer walk counts are
+    * order-independent. Past the long range, Spark's ANSI mode (default
+    * on) fails loudly on sum overflow rather than wrapping. */
+  val WalkLen = 4
+
+  /** q85 — walk-count (Katz β=1) centrality at data scale: fifth member
+    * of the data-scale graph family (q79 SSSP, q80 CC, q83 triangles,
+    * q84 k-core) and the centrality member — closing "every oracled
+    * centrality row runs on 25 nodes" (q22) with the exact-integer
+    * centrality that CAN be hash-oracled at data scale. Runs on the full
+    * part⟷supplier bipartite graph (the one that grows with the data;
+    * walks may backtrack, the standard walk-count convention).
+    *
+    * Pure DataFrame SpMV: w₀ ≡ 1; wₗ(v) = Σ over edges (u,v) of wₗ₋₁(u)
+    * — one equi-join + one hash aggregate per hop, L hops, then one
+    * union-aggregate for the ≤-L total. Each hop references its
+    * predecessor ONCE, so the plan grows linearly in L and needs no
+    * plan-cut (contrast q84's triple-reference peel). At scale each hop
+    * is one shuffle on the vertex key — the same exchange the aggregate
+    * reuses — and the frontier is always the full vertex set, so there
+    * is no skew pivot beyond what AQE already handles. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = partSupplierEdges(s, dir).select($"src", $"dst")
+    val w0 = e.select($"src".as("node")).union(e.select($"dst")).distinct()
+      .withColumn("w", lit(1L))
+    val hops = Iterator.iterate(w0) { w =>
+      e.join(w.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy($"dst".as("node")).agg(sum($"w").as("w"))
+        .select($"node", $"w")
+    }.take(WalkLen + 1).toSeq
+    hops.reduce(_ union _)
+      .groupBy($"node").agg(sum($"w").as("walks"))
+      .orderBy($"node")
+  }
+
+  /** Oracle: the same L SpMV hops as chained single-reference CTEs
+    * (linear inlining even without the MATERIALIZED hint, kept anyway),
+    * exact BIGINT arithmetic end to end. */
+  private val q85Sql = {
+    val steps = (1 to WalkLen).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT e.dst AS node, SUM(p.w) AS w
+         |  FROM edges e JOIN w${i - 1} p ON p.node = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to WalkLen).map(i => s"SELECT node, w FROM w$i").mkString(" UNION ALL ")
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem),
+       |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst FROM pairs),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |w0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS w
+       |       FROM (SELECT src FROM edges)),
+       |$steps
+       |SELECT node, CAST(SUM(w) AS BIGINT) AS walks FROM ($unions)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -655,5 +720,6 @@ object GraphQueries {
     GQuery("q80_graph_scale_cc", q80, Some(q80Sql), bench = true),
     GQuery("q83_scale_triangles", q83, Some(q83Sql), bench = true),
     GQuery("q84_scale_kcore", q84, Some(q84Sql), bench = true),
+    GQuery("q85_scale_walk_centrality", q85, Some(q85Sql), bench = true),
   )
 }

@@ -284,6 +284,29 @@ class DijkstraSpec extends AnyFunSuite {
       s"round budget ${GraphQueries.KCoreRounds} under 2x observed fixpoint $roundsUsed")
   }
 
+  test("q85 walk centrality: SpMV chain equals independent adjacency-walk sim") {
+    // independent driver-side reimplementation: count inbound walks of
+    // length <= WalkLen by direct adjacency iteration and compare exactly
+    import graft.operators.GraphQueries
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q85_scale_walk_centrality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = GraphQueries.partSupplierEdges(spark, dir)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val adj = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var w = adj.keySet.map(_ -> 1L).toMap
+    val total = scala.collection.mutable.Map.from(w)
+    for (_ <- 1 to GraphQueries.WalkLen) {
+      val nw = scala.collection.mutable.Map.empty[Long, Long]
+      for ((u, wu) <- w; v <- adj(u)) nw(v) = nw.getOrElse(v, 0L) + wu
+      w = nw.toMap
+      for ((v, x) <- w) total(v) = total.getOrElse(v, 0L) + x
+    }
+    assert(got === total.toMap, "SpMV walk counts diverged from adjacency sim")
+    assert(got.values.max > got.size.toLong, "no walk ever multiplied — vacuous")
+  }
+
   test("zero-weight edges: local and Pregel agree on (dist, pred)") {
     // 0→2 settles dist 1 via pred 2's candidates; the zero-weight edge 1→2
     // delivers an equal-dist candidate from a smaller pred id AFTER 2 may
