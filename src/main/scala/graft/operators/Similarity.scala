@@ -759,6 +759,262 @@ object Similarity {
        |SELECT query_id, rank, vec_id, sim FROM final WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  // ── Product quantization: IVF-PQ with integer ADC (q86) ─────────────
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims (64-dim vectors),
+    * [[PqKs]] codes per subspace — 8 half-byte codes per vector, an 8×
+    * compression over the int8 codes q78 scans and 32× over float32.
+    * [[PqIters]] Lloyd rounds per subspace; training samples the same
+    * [[TrainSampleMod]] slice the IVF training uses. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKs = 16
+  val PqIters = 2
+
+  /** Literal codebook for one subspace: array<array<long>> ordered by
+    * code id (k·subdim ints — embedded like [[centStructs]], no shuffle,
+    * no broadcast needed). */
+  private def bookLit(book: Seq[Seq[Long]]): Column =
+    array(book.map(cv => array(cv.map(lit): _*)): _*)
+
+  private def subVec(qs: Column, m: Int): Column =
+    slice(qs, m * PqSubDim + 1, PqSubDim)
+
+  /** 0-based argmin-squared-L2 code of `sub` against `book`; exact
+    * integer distances, ties to the smallest code id (array_position
+    * returns the FIRST index of the minimum and the literal array is
+    * ordered by code). */
+  private def argminCode(sub: Column, book: Seq[Seq[Long]]): Column = {
+    val dists = transform(bookLit(book), c =>
+      aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x))
+    (array_position(dists, array_min(dists)) - 1L).cast("int")
+  }
+
+  /** PQ codebook training in EXACT integer arithmetic — the
+    * [[trainCentroids]] discipline applied per subspace, which is what
+    * lets even the PQ index keep a DuckDB oracle. Sub-vectors are the
+    * int8 codes sliced into [[PqM]] blocks; seeds are the first [[PqKs]]
+    * SAMPLE vectors' blocks; each Lloyd round assigns every sample block
+    * to its argmin-L2 centroid (distances are integer sums — no float
+    * anywhere) and re-centers each cell on the FLOOR-DIVIDED componentwise
+    * integer mean. Unlike the cosine case, L2 assignment is not
+    * scale-invariant, so the unnormalized-sum trick is out — the floored
+    * mean is the deterministic integer stand-in for the true mean (off by
+    * < 1 ulp of the lattice per component), computed identically by
+    * `Math.floorDiv` here and a pmod identity in the oracle SQL. Empty
+    * cells keep their previous centroid. A round costs one scan of the
+    * sample (the assignment is a zero-shuffle literal-codebook
+    * projection) plus a PqM·PqKs·PqSubDim-row aggregate — independent of
+    * corpus size, the train-on-a-sample split a 100 TB run takes. */
+  def trainPqBooks(emb: DataFrame, iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+    import emb.sparkSession.implicits._
+    val sample = int8Codes(emb).filter($"vec_id" % TrainSampleMod === 0L).cache()
+    val seedRows = sample.orderBy($"vec_id").limit(PqKs).collect()
+    var books: Seq[Seq[Seq[Long]]] = (0 until PqM).map { m =>
+      seedRows.map(_.getSeq[Long](1).slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq).toSeq
+    }
+    for (_ <- 0 until iters) {
+      val perSub = array((0 until PqM).map { m =>
+        struct(lit(m).as("m"), argminCode(subVec($"qs", m), books(m)).as("code"),
+          subVec($"qs", m).as("sub"))
+      }: _*)
+      val sums = sample.select(explode(perSub).as("a"))
+        .select($"a.m", $"a.code", posexplode($"a.sub"))
+        .toDF("m", "code", "pos", "x")
+        .groupBy($"m", $"code", $"pos")
+        .agg(sum($"x").as("fs"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = (0 until PqM).map { m =>
+        (0 until PqKs).map { c =>
+          byCell.get((m, c)) match {
+            case Some(rows) =>
+              val arr = new Array[Long](PqSubDim)
+              val n = rows.head.getLong(4)
+              rows.foreach(r => arr(r.getInt(2)) = Math.floorDiv(r.getLong(3), n))
+              arr.toSeq
+            case None => books(m)(c)
+          }
+        }
+      }
+    }
+    sample.unpersist()
+    books
+  }
+
+  // one trained PQ codebook set per (session, sf dir), like trainedCache
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
+
+  def pqBooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
+    pqCache.getOrElseUpdate((s, dir), trainPqBooks(embeddings(s, dir)))
+
+  /** (vec_id, pq): the M 0-based codes per vector — one zero-shuffle
+    * projection against the literal codebooks. */
+  def pqEncode(codes: DataFrame, books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import codes.sparkSession.implicits._
+    codes.select($"vec_id",
+      array((0 until PqM).map(m => argminCode(subVec($"qs", m), books(m))): _*).as("pq"))
+  }
+
+  /** Mean squared reconstruction error of the int8 corpus under `books`
+    * — the PQ training objective; the spec asserts training does not
+    * degrade it vs the seeds. Exact integer sum, divided once. */
+  def pqDistortion(emb: DataFrame, books: Seq[Seq[Seq[Long]]]): Double = {
+    import emb.sparkSession.implicits._
+    val errs = (0 until PqM).map { m =>
+      val sub = subVec($"qs", m)
+      val cv = element_at(bookLit(books(m)), argminCode(sub, books(m)) + 1)
+      aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+    }.reduce(_ + _)
+    val r = int8Codes(emb).select(errs.as("e")).agg(sum($"e"), count(lit(1))).head()
+    r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  /** q86 — IVF-PQ retrieval with integer ADC: the end-state 100 TB
+    * serving layout one notch past q78. The hot index carries, per
+    * vector, its IVF cell and [[PqM]] 4-bit codes (8× smaller than q78's
+    * int8 scan, 32× smaller than float32); candidates in probed cells
+    * are scored by table lookups into the literal codebooks — the
+    * query's int8 sub-vectors dotted against each candidate's
+    * RECONSTRUCTED sub-centroids, all-integer and order-free, so the
+    * approximate score is a deterministic cross-engine rational (|d| ≤
+    * 64·127² — d·|d| and the norm product stay ≈1e12, exact in long and
+    * double alike; the reconstruction norm Σ‖c‖² plays q78's candidate
+    * norm). Exact float cosine then reranks only the
+    * [[K]]·[[RerankFactor]] ADC survivors — the same
+    * approximate-scan/exact-rerank split, with a 16-entry-per-subspace
+    * distance table standing in for the full int8 dot. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val cents = trainedCentroids(s, dir)
+    val books = pqBooks(s, dir)
+    val qz = quantized(s, dir)
+      .withColumn("qnorm", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .select($"vec_id", $"qs", $"qnorm")
+    val idx = assignToCentroids(emb, cents).select($"vec_id", $"cell")
+      .join(pqEncode(int8Codes(emb), books), "vec_id")
+    val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
+      .withColumn("cs", centStructs(cents))
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"),
+        slice(array_sort(transform($"cs",
+          c => struct((-cosine($"vec", c("vec"))).as("negsim"), c("vec_id").as("cell")))),
+          1, NProbe).as("cells"))
+      .select($"query_id", $"qvec", explode($"cells.cell").as("cell"))
+      .join(qz.select($"vec_id".as("query_id"), $"qs".as("q_qs"),
+        $"qnorm".as("q_qnorm")), "query_id")
+    val d = (0 until PqM).map { m =>
+      aggregate(zip_with(subVec($"q_qs", m),
+        element_at(bookLit(books(m)), element_at($"pq", m + 1) + 1),
+        (x, y) => x * y), lit(0L), (a, x) => a + x)
+    }.reduce(_ + _)
+    val pnorm = (0 until PqM).map { m =>
+      element_at(array(books(m).map(cv => lit(cv.map(x => x * x).sum)): _*),
+        element_at($"pq", m + 1) + 1)
+    }.reduce(_ + _)
+    val cand = probed.join(idx, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("d", d)
+      .withColumn("pnorm", pnorm)
+      .withColumn("spq",
+        when($"pnorm" === 0L || $"q_qnorm" === 0L, lit(-2.0))
+          .otherwise(($"d" * abs($"d")).cast("double") /
+            ($"pnorm" * $"q_qnorm").cast("double")))
+    val w8 = Window.partitionBy($"query_id").orderBy($"spq".desc, $"vec_id")
+    val survivors = cand.withColumn("r8", row_number().over(w8))
+      .filter($"r8" <= K * RerankFactor)
+      .select($"query_id", $"qvec", $"vec_id")
+    val reranked = survivors.join(emb, "vec_id")
+      .select($"query_id", $"vec_id", round(cosine($"vec", $"qvec"), 3).as("sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    reranked.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"vec_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: PQ training unrolled per round (all subspaces at once, keyed
+    * by m), floored integer means via the pmod identity
+    * (fs − ((fs % n + n) % n)) // n ≡ Math.floorDiv, then encode + ADC +
+    * rerank mirroring the Spark plan; builds on [[batchAnnCtes]] for the
+    * trained-IVF assignment and probe cells. */
+  private val q86Sql = {
+    val rounds = (1 to PqIters).map { r =>
+      s"""pqd$r AS MATERIALIZED (SELECT sm.vec_id, sm.m, b.code,
+         |    CAST(list_sum([(sm.sub[i] - b.cv[i]) * (sm.sub[i] - b.cv[i])
+         |      for i in range(1, ${PqSubDim + 1})]) AS BIGINT) AS dist
+         |  FROM pqsamp sm JOIN pqb${r - 1} b ON b.m = sm.m),
+         |pqa$r AS (SELECT vec_id, m, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+         |    FROM pqd$r) WHERE rn = 1),
+         |pqs$r AS (SELECT a.m, a.code, i.i AS pos,
+         |    CAST(SUM(sm.sub[i.i]) AS BIGINT) AS fs, COUNT(*) AS n
+         |  FROM pqa$r a JOIN pqsamp sm ON sm.vec_id = a.vec_id AND sm.m = a.m
+         |  CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) i
+         |  GROUP BY a.m, a.code, i.i),
+         |pqb$r AS MATERIALIZED (SELECT p.m, p.code, COALESCE(nw.cv, p.cv) AS cv
+         |  FROM pqb${r - 1} p LEFT JOIN (
+         |    SELECT m, code, list(((fs - ((fs % n + n) % n)) // n) ORDER BY pos) AS cv
+         |    FROM pqs$r GROUP BY m, code) nw ON nw.m = p.m AND nw.code = p.code)""".stripMargin
+    }.mkString(",\n")
+    s"""${batchAnnCtes(BatchQueryMod)},
+       |pqz AS (SELECT vec_id, list_transform(v, x ->
+       |    CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END) AS qs
+       |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)),
+       |pqn AS (SELECT vec_id, CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS qnorm FROM pqz),
+       |pqsub AS MATERIALIZED (SELECT vec_id, t.m,
+       |    qs[t.m * $PqSubDim + 1 : (t.m + 1) * $PqSubDim] AS sub
+       |  FROM pqz CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) t),
+       |pqsamp AS MATERIALIZED (SELECT * FROM pqsub WHERE vec_id % $TrainSampleMod = 0),
+       |pqsv AS (SELECT vec_id FROM pqz WHERE vec_id % $TrainSampleMod = 0
+       |  ORDER BY vec_id LIMIT $PqKs),
+       |pqb0 AS (SELECT s.m,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.m ORDER BY s.vec_id) - 1 AS INTEGER) AS code,
+       |    s.sub AS cv
+       |  FROM pqsamp s JOIN pqsv ON pqsv.vec_id = s.vec_id),
+       |$rounds,
+       |pqenc AS MATERIALIZED (SELECT vec_id, m, code FROM (
+       |    SELECT d.vec_id, d.m, d.code,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m ORDER BY d.dist, d.code) AS rn
+       |    FROM (SELECT sb.vec_id, sb.m, b.code,
+       |        CAST(list_sum([(sb.sub[i] - b.cv[i]) * (sb.sub[i] - b.cv[i])
+       |          for i in range(1, ${PqSubDim + 1})]) AS BIGINT) AS dist
+       |      FROM pqsub sb JOIN pqb$PqIters b ON b.m = sb.m) d) WHERE rn = 1),
+       |pqbn AS (SELECT m, code,
+       |    CAST(list_sum([cv[i] * cv[i] for i in range(1, ${PqSubDim + 1})]) AS BIGINT) AS nrm
+       |  FROM pqb$PqIters),
+       |pqpm AS (SELECT qc.query_id, av.vec_id, en.m,
+       |    CAST(list_sum([qs.sub[i] * b.cv[i] for i in range(1, ${PqSubDim + 1})]) AS BIGINT) AS dm,
+       |    bn.nrm AS nm
+       |  FROM qcells qc JOIN assign av ON av.cell = qc.cell
+       |  JOIN pqenc en ON en.vec_id = av.vec_id
+       |  JOIN pqb$PqIters b ON b.m = en.m AND b.code = en.code
+       |  JOIN pqbn bn ON bn.m = en.m AND bn.code = en.code
+       |  JOIN pqsub qs ON qs.vec_id = qc.query_id AND qs.m = en.m
+       |  WHERE av.vec_id <> qc.query_id),
+       |pqdd AS (SELECT query_id, vec_id,
+       |    CAST(SUM(dm) AS BIGINT) AS d, CAST(SUM(nm) AS BIGINT) AS pnorm
+       |  FROM pqpm GROUP BY query_id, vec_id),
+       |pqsc AS (SELECT dd.query_id, dd.vec_id,
+       |    CASE WHEN dd.pnorm = 0 OR qn.qnorm = 0 THEN -2.0
+       |         ELSE CAST(dd.d * ABS(dd.d) AS DOUBLE) / CAST(dd.pnorm * qn.qnorm AS DOUBLE)
+       |    END AS spq
+       |  FROM pqdd dd JOIN pqn qn ON qn.vec_id = dd.query_id),
+       |pqsurv AS (SELECT query_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY spq DESC, vec_id) AS r8
+       |    FROM pqsc) WHERE r8 <= ${K * RerankFactor}),
+       |pqrr AS (SELECT s.query_id, s.vec_id,
+       |    ROUND(list_cosine_similarity(ev.v, eq.v), 3) AS sim
+       |  FROM pqsurv s JOIN e ev ON ev.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.query_id),
+       |pqfinal AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM pqrr)
+       |SELECT query_id, rank, vec_id, sim FROM pqfinal WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
@@ -768,5 +1024,6 @@ object Similarity {
     GQuery("q67_label_knn_audit", q67, Some(q67Sql)),
     GQuery("q69_label_centroid_outliers", q69, Some(q69Sql)),
     GQuery("q78_quantized_retrieval", q78, Some(q78Sql), bench = true),
+    GQuery("q86_pq_retrieval", q86, Some(q86Sql), bench = true),
   )
 }

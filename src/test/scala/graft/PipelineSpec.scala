@@ -215,6 +215,40 @@ class PipelineSpec extends AnyFunSuite {
     shared.unpersist()
   }
 
+  test("PQ retrieval: rerank exact on shared hits; training reduces distortion") {
+    import spark.implicits._
+    val float = run("q61_ann_batch").select($"query_id", $"vec_id", $"sim".as("sim_f"))
+    val pq = run("q86_pq_retrieval").select($"query_id", $"vec_id", $"sim".as("sim_p")).cache()
+    val shared = float.join(pq, Seq("query_id", "vec_id")).cache()
+    // 4-bit PQ candidates are coarser than q78's full int8 dots, and the
+    // synthetic corpus (random near-orthogonal vectors) is PQ's hard
+    // case — measured overlap vs the float path: min 4 / mean 6.4 per
+    // query at sf0.001; assert half that as the floor
+    val nQ = float.select($"query_id").distinct().count()
+    assert(shared.count() >= nQ * 3, "mean per-query overlap with float path below 3/10")
+    val worst = shared.groupBy($"query_id").count().agg(min($"count")).head.getLong(0)
+    assert(worst >= 2L, s"worst per-query overlap $worst/10")
+    // wherever both paths return a hit, the rerank must have erased the
+    // PQ approximation entirely: identical float cosine
+    assert(shared.filter($"sim_f" =!= $"sim_p").count() === 0L,
+      "reranked sims diverged from the float path")
+    // every code in range; exactly PqM codes per vector
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val books = Similarity.pqBooks(spark, dir)
+    val codes = Similarity.pqEncode(Similarity.int8Codes(emb), books)
+    assert(codes.filter(size($"pq") =!= Similarity.PqM ||
+      exists($"pq", c => c < 0 || c >= Similarity.PqKs)).count() === 0L)
+    // the Lloyd rounds must not degrade the training objective (mean
+    // squared reconstruction error of the int8 corpus) vs the raw seeds
+    val seedBooks = Similarity.trainPqBooks(emb, iters = 0)
+    val d0 = Similarity.pqDistortion(emb, seedBooks)
+    val dT = Similarity.pqDistortion(emb, books)
+    assert(dT <= d0, s"training degraded distortion: seeds $d0 -> trained $dT")
+    assert(dT < d0, s"training changed nothing: $d0 == $dT — vacuous Lloyd rounds")
+    shared.unpersist(); pq.unpersist()
+  }
+
   test("persisted IVF index: partition-pruned probe matches in-memory ANN") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
