@@ -81,4 +81,43 @@ object AnnStream {
   def query(s: SparkSession, indexDir: String, qvec: Seq[Double],
       cells: Seq[Long], k: Int = Similarity.K): DataFrame =
     Similarity.queryIvfIndex(s, indexDir, qvec, cells, k)
+
+  /** Fold every ingested batch at or below `throughBatch` into one
+    * consolidated batch partition — the periodic maintenance job the
+    * ingest layout assumes: probe cost scales with nprobe × BATCH COUNT
+    * (one pruned directory per batch per probed cell), so an always-on
+    * stream needs old micro-batches squashed to keep file counts
+    * governed by corpus size, not ingest granularity.
+    *
+    * Content-neutral by construction: rows carry no batch provenance
+    * (the batch column exists only for replay idempotence), so rewriting
+    * them under `batch = throughBatch` changes nothing a probe can see.
+    * Crash-safe without a transaction log: the consolidated rows are
+    * STAGED under a fresh `batch = throughBatch + 1` partition first
+    * (dynamic overwrite, deterministic bytes — itself replay-idempotent),
+    * and only then are the source batch directories dropped; a crash
+    * between the two leaves duplicates that a re-run converges, and
+    * [[processBatch]] keeps writing strictly increasing live batch ids
+    * past the staging id. Ingest proceeds concurrently — compaction
+    * never touches a batch above `throughBatch`. */
+  def compact(s: SparkSession, indexDir: String, throughBatch: Long): Unit = {
+    import s.implicits._
+    // localCheckpoint materializes the compacted slice BEFORE the write:
+    // Spark (rightly) refuses a plan that overwrites a path it is still
+    // reading, and compaction inherently pays one read of the old rows
+    val old = s.read.parquet(indexDir).filter($"batch" <= throughBatch)
+      .select($"vec_id", $"vec", $"cell").localCheckpoint()
+    val staged = old.select($"vec_id", $"vec", lit(throughBatch + 1).as("batch"), $"cell")
+    staged.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(indexDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch=") &&
+          name.stripPrefix("batch=").toLong <= throughBatch)
+        fs.delete(st.getPath, true)
+    }
+  }
 }

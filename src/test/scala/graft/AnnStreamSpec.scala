@@ -78,6 +78,29 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty, "probe returned nothing — vacuous")
   }
 
+  test("compaction: content-neutral, probe-identical, batch count collapses") {
+    import spark.implicits._
+    val e = emb.cache()
+    val streamed = streamSliced(Seq(
+      e.filter($"vec_id" % 3 === 0), e.filter($"vec_id" % 3 === 1), e.filter($"vec_id" % 3 === 2)))
+    val before = assignments(streamed)
+    val qvec = e.filter($"vec_id" === Similarity.QueryVecId).collect()(0).getSeq[Double](1)
+    val cells = cents.map(_._1).take(2)
+    val probeBefore = AnnStream.query(spark, streamed, qvec, cells)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    AnnStream.compact(spark, streamed, throughBatch = 2L)
+    assert(assignments(streamed) === before, "compaction changed index content")
+    val batches = new java.io.File(streamed).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(batches === Set("batch=3"), s"expected one consolidated batch, got $batches")
+    val probeAfter = AnnStream.query(spark, streamed, qvec, cells)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAfter === probeBefore, "probe diverged after compaction")
+    // a compaction re-run (crash replay) converges to the same content
+    AnnStream.compact(spark, streamed, throughBatch = 3L)
+    assert(assignments(streamed) === before, "re-compaction changed index content")
+  }
+
   test("batch replay is idempotent: index content identical after redelivery") {
     import spark.implicits._
     val e = emb.cache()
