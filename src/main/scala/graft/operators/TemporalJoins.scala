@@ -384,6 +384,54 @@ object TemporalJoins {
        |  CAST(MAX(p_us - v_us) AS BIGINT) AS ttc_us
        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Day length for q87's retention offsets — single-sourced into the
+    * oracle. Epoch micros are non-negative, so truncating integer
+    * division (Spark `div`, DuckDB `//`) IS floor division in both
+    * engines. */
+  val RetentionDayUs: Long = 86400L * 1000000L
+
+  /** q87 — cohort retention by acquisition behavior: users are cohorted
+    * by the TYPE of their first event (first-touch attribution, the q82
+    * anchor rule — ties at the first timestamp break to the
+    * lexicographically smallest type) and each cohort's retention curve
+    * counts the distinct users active at each whole-day offset from
+    * their own first event. The shipped events fixture makes calendar
+    * cohorts vacuous (every user starts the same week), so behavioral
+    * cohorts are the non-degenerate instance: 3 cohorts × ~30 offsets.
+    * Exact integers end to end.
+    *
+    * Scale shape: the two chained window minima share ONE hash exchange
+    * on user_id (the q82 stacked-Window plan — the floor for any
+    * per-user derivation); the distinct + count then re-shuffle on the
+    * (cohort, offset) key, which no plan can avoid since the output key
+    * differs from the input key. Nothing driver-side. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    graft.Tables.events(s, dir)
+      .withColumn("first_ts", min($"ts_us").over(w))
+      .withColumn("cohort",
+        min(when($"ts_us" === $"first_ts", $"event_type")).over(w))
+      .select($"cohort", $"user_id",
+        (expr(s"ts_us div $RetentionDayUs") -
+          expr(s"first_ts div $RetentionDayUs")).as("day_offset"))
+      .distinct()
+      .groupBy($"cohort", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort", $"day_offset")
+  }
+
+  private val q87Sql =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |f AS (SELECT *, MIN(ts_us) OVER (PARTITION BY user_id) AS first_ts FROM e),
+       |c AS (SELECT *, MIN(CASE WHEN ts_us = first_ts THEN event_type END)
+       |        OVER (PARTITION BY user_id) AS cohort FROM f),
+       |d AS (SELECT DISTINCT cohort, user_id,
+       |    ts_us // $RetentionDayUs - first_ts // $RetentionDayUs AS day_offset FROM c)
+       |SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM d GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q38_asof_join", q38, Some(q38Sql), bench = true),
     GQuery("q39_range_join", q39, Some(q39Sql)),
@@ -394,5 +442,6 @@ object TemporalJoins {
     GQuery("q46_topk_aggregator", q46, Some(q46Sql)),
     GQuery("q49_cube", q49, Some(q49Sql)),
     GQuery("q82_funnel_stages", q82, Some(q82Sql)),
+    GQuery("q87_cohort_retention", q87, Some(q87Sql)),
   )
 }

@@ -441,6 +441,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set(1L, 2L, 3L).subsetOf(stages), s"fixture covers only stages $stages")
   }
 
+  test("cohort retention ≡ naive per-user walk; cohorts non-degenerate") {
+    import spark.implicits._
+    val D = graft.operators.TemporalJoins.RetentionDayUs
+    val byUser = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts_us")
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    val naive = byUser.toSeq.flatMap { case (u, evs) =>
+      val firstTs = evs.map(_._3).min
+      val cohort = evs.filter(_._3 == firstTs).map(_._2).min
+      evs.map(e => (cohort, u, e._3 / D - firstTs / D)).distinct
+    }.groupBy(t => (t._1, t._3)).map { case ((c, o), xs) => (c, o) -> xs.size.toLong }
+    val got = run("q87_cohort_retention").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === naive, "retention matrix diverged from the naive walk")
+    assert(got.keys.map(_._1).toSet.size >= 2, "only one cohort — vacuous fixture")
+    assert(got.keys.map(_._2).toSet.size >= 5, "fewer than 5 day offsets — vacuous")
+  }
+
   test("banded range join ≡ naive theta join") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
