@@ -1,28 +1,29 @@
-// Dev tool: dump formatted plans for selected queries.
-// Run: sbt 'runMain graft.tools.Explain q02_filter_project q04_star_join'
 package graft.tools
 
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
+/** Plan-audit utility: print the formatted physical plan of one
+  * registered query without executing it —
+  * `runMain graft.tools.Explain <sfDir> <queryName...>`. The shape every
+  * audit checks: filters and projections pushed into the scans
+  * (PushedFilters / ReadSchema), joins broadcast where a side is small,
+  * no stray Exchange between operators that already share a
+  * partitioning, WholeStageCodegen spans wide.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, dir).explain("formatted")
-      catch { case e: Throwable => println(s"explain failed: $e") }
-    }
-    spark.stop()
+    try args.drop(1).foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    } finally spark.stop()
   }
 }
