@@ -678,10 +678,14 @@ object GraphQueries {
     val e = partSupplierEdges(s, dir).select($"src", $"dst")
     val w0 = e.select($"src".as("node")).union(e.select($"dst")).distinct()
       .withColumn("w", lit(1L))
-    val hops = Iterator.iterate(w0) { w =>
+    // each hop is cached: the ≤-L total UNIONs all hops, and hop l is
+    // also the prefix of every later hop — uncached, the union would
+    // re-execute Σl = L(L+1)/2 hop-joins instead of L (measured 2.5×
+    // on the sf0.1 bench); the cached frames are vertex-sized
+    val hops = Iterator.iterate(w0.cache()) { w =>
       e.join(w.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy($"dst".as("node")).agg(sum($"w").as("w"))
-        .select($"node", $"w")
+        .select($"node", $"w").cache()
     }.take(WalkLen + 1).toSeq
     hops.reduce(_ union _)
       .groupBy($"node").agg(sum($"w").as("walks"))
