@@ -349,10 +349,15 @@ object TemporalJoins {
     * self-joins, state O(1) per row). The same plan at 100 TB is one
     * shuffle of the events table, which is the floor for any per-user
     * computation. */
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The funnel aggregation over any (user_id, event_type, ts_us) frame —
+    * single-sourced between the registered q82 and the streaming monitor
+    * ([[graft.streaming.FunnelStream]] recomputes exactly this over a
+    * touched user's full history). Unordered output (q82 adds the dump
+    * ordering). */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id")
-    graft.Tables.events(s, dir)
+    events
       .withColumn("v_us", min(when($"event_type" === "view", $"ts_us")).over(w))
       .withColumn("c_us", min(when($"event_type" === "click" &&
         $"ts_us" >= $"v_us" && $"ts_us" <= $"v_us" + FunnelWindowUs, $"ts_us")).over(w))
@@ -364,7 +369,11 @@ object TemporalJoins {
           .when($"v_us".isNotNull, 1L).otherwise(0L)).as("stage"),
         // null below stage 3 by construction: p_us is null there
         max($"p_us" - $"v_us").as("ttc_us"))
-      .orderBy($"user_id")
+  }
+
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelStages(graft.Tables.events(s, dir)).orderBy($"user_id")
   }
 
   private val q82Sql =

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance of the q82 funnel table — the DELTA-DRIVEN
+  * TARGETED-RECOMPUTE member of the streaming family, a pattern the other
+  * monitors don't need: the funnel is not a monoid. q82's greedy
+  * first-touch rule anchors at the user's FIRST view, so a late or
+  * out-of-order arrival (an earlier view, a click that beats the current
+  * one) can INVALIDATE previously derived state — no bounded per-user
+  * summary folds it associatively, and a watermark design would have to
+  * drop exactly the arrivals that change the answer.
+  *
+  * Instead, each micro-batch:
+  *   1. appends its events under `events/batch=<id>` (dynamic partition
+  *      overwrite — deterministic bytes, so redelivery converges);
+  *   2. recomputes [[TemporalJoins.funnelStages]] from FULL history for
+  *      ONLY the users the batch touched (a left-semi join of history
+  *      against the batch's distinct user ids; history is filtered to
+  *      `batch <= id`, the [[DedupStream]] discipline that keeps a
+  *      crashed later attempt from feeding an earlier replay);
+  *   3. writes the recomputed rows under `funnel/batch=<id>` — the
+  *      serving view takes each user's row from the LATEST batch, which
+  *      by construction reflects every event seen so far.
+  *
+  * Exactness under ANY arrival order and ANY batch split follows from
+  * (2): a touched user's row is always derived from the complete prefix,
+  * never folded from per-batch partials. Per batch the cost is the
+  * touched users' histories — the working set a funnel upsert pays in any
+  * system that maintains it exactly; untouched users are never read. At
+  * 100 TB the events store is bucketed by user in practice so the
+  * semi-join prunes to the touched buckets; here the layout keeps the
+  * batch-id partitioning the replay contract needs.
+  */
+object FunnelStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("ts_us", LongType, nullable = false)))
+
+  /** Ingest one micro-batch and refresh the funnel rows of every touched
+    * user. Idempotent under redelivery of the same `batchId`. */
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select($"user_id", $"event_type", $"ts_us")
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$storeDir/events")
+    val touched = batch.select($"user_id").distinct()
+    val hist = s.read.parquet(s"$storeDir/events")
+      .filter($"batch" <= batchId)
+      .join(touched, Seq("user_id"), "left_semi")
+      .select($"user_id", $"event_type", $"ts_us")
+    TemporalJoins.funnelStages(hist)
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$storeDir/funnel")
+  }
+
+  /** File-source stream over an events directory of (user_id, event_type,
+    * ts_us) parquet files; `maxFilesPerTrigger=1` keeps micro-batches
+    * file-sized. */
+  def start(s: SparkSession, eventsDir: String, storeDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, storeDir)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** The maintained funnel table: each user's row from the latest batch
+    * that touched them. */
+  def snapshot(s: SparkSession, storeDir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"batch".desc)
+    s.read.parquet(s"$storeDir/funnel")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"stage", $"ttc_us")
+  }
+}

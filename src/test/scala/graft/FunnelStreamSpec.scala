@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.FunnelStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintained funnel table must equal the batch q82 result over the
+  * union corpus under ANY batch split — including out-of-order arrival,
+  * the case that invalidates previously derived per-user state (an
+  * earlier view re-anchors the deadline; a better click re-opens the
+  * purchase window) and that a fold-based or watermark design gets
+  * wrong. Replaying a batch id must converge. */
+class FunnelStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def events: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select($"user_id", $"event_type", $"ts_us")
+  }
+
+  private def batchWant: Map[Long, (Long, Option[Long])] =
+    SparkEntry.queries("q82_funnel_stages")(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  private def snapshotOf(storeDir: String): Map[Long, (Long, Option[Long])] =
+    FunnelStream.snapshot(spark, storeDir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  private def streamSliced(slices: Seq[DataFrame]): String = {
+    val root = java.nio.file.Files.createTempDirectory("funnelstream").toString
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    new java.io.File(inDir).mkdirs()
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      sl.coalesce(1).write.parquet(s"$root/slice_$i")
+      val part = new java.io.File(s"$root/slice_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$inDir/ev_$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/slice_$i"))
+    }
+    FunnelStream.start(spark, inDir, storeDir).awaitTermination()
+    storeDir
+  }
+
+  test("streamed funnel ≡ batch q82, in-order and by-user splits") {
+    import spark.implicits._
+    val e = events.cache()
+    val want = batchWant
+    val mid = e.agg(expr("percentile_approx(ts_us, 0.5)")).head.getLong(0)
+    val inOrder = streamSliced(Seq(e.filter($"ts_us" <= mid), e.filter($"ts_us" > mid)))
+    val byUser = streamSliced(Seq(
+      e.filter($"user_id" % 3 === 0), e.filter($"user_id" % 3 === 1),
+      e.filter($"user_id" % 3 === 2)))
+    assert(snapshotOf(inOrder) === want, "time-split stream diverged from batch q82")
+    assert(snapshotOf(byUser) === want, "user-split stream diverged from batch q82")
+  }
+
+  test("out-of-order arrival: later slices re-anchor earlier state") {
+    import spark.implicits._
+    val e = events.cache()
+    val want = batchWant
+    val mid = e.agg(expr("percentile_approx(ts_us, 0.5)")).head.getLong(0)
+    // LATEST events arrive first, earliest last: the final slice contains
+    // every user's true first view, invalidating the anchor every touched
+    // user derived in earlier batches
+    val reversed = streamSliced(Seq(e.filter($"ts_us" > mid), e.filter($"ts_us" <= mid)))
+    assert(snapshotOf(reversed) === want, "out-of-order stream diverged from batch q82")
+    // non-vacuous: the reversed split must actually have re-anchored
+    // someone, i.e. some user appears in both slices
+    val both = e.filter($"ts_us" > mid).select($"user_id").distinct()
+      .join(e.filter($"ts_us" <= mid).select($"user_id").distinct(), "user_id").count()
+    assert(both > 0, "no user spans both slices — reversal exercised nothing")
+  }
+
+  test("batch replay is idempotent: snapshot identical after redelivery") {
+    import spark.implicits._
+    val e = events.cache()
+    val root = java.nio.file.Files.createTempDirectory("funnelreplay").toString
+    val store = s"$root/store"
+    val b0 = e.filter($"user_id" % 2 === 0)
+    val b1 = e.filter($"user_id" % 2 === 1)
+    FunnelStream.processBatch(b0, 0L, store)
+    FunnelStream.processBatch(b1, 1L, store)
+    val before = snapshotOf(store)
+    assert(before === batchWant, "two-batch snapshot diverged from batch q82")
+    FunnelStream.processBatch(b0, 0L, store) // redelivery
+    assert(snapshotOf(store) === before, "replay changed the funnel table")
+  }
+}
