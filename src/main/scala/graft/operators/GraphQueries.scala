@@ -588,7 +588,13 @@ object GraphQueries {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val deg = (e: DataFrame) => e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var cur = edges.localCheckpoint()
-    var nVerts = deg(cur).count()
+    // ONE driver action per round: the survivor count. Peeling is
+    // monotone (the survivor set only shrinks), so two consecutive equal
+    // keep-counts force keep_i = keep_{i-1} = nodes(cur_i) — i.e. the
+    // fixpoint — and a vertex isolated by an induce drops out of the
+    // NEXT count (it left the edge list), so convergence is never
+    // declared early.
+    var prevKeep = -1L
     var i = 0
     var converged = false
     while (i < rounds && !converged) {
@@ -597,14 +603,14 @@ object GraphQueries {
       // to recompute per reference (two semi-joins + the count action)
       val keep = deg(cur).filter(col("deg") >= k).select(col("src").as("node"))
       val nKeep = keep.count()
-      if (nKeep == nVerts) {
+      if (nKeep == prevKeep) {
         converged = true // nothing dropped: fixpoint, skip the re-induce
       } else {
         cur = cur
           .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .select(col("src"), col("dst")).localCheckpoint()
-        nVerts = deg(cur).count()
+        prevKeep = nKeep
       }
     }
     deg(cur).select(col("src").as("node"), col("deg"))
