@@ -226,10 +226,9 @@ object Dijkstra {
       delta: Double = 0.0, stats: Option[DeltaStats] = None): Graph[State, Double] = {
     import org.apache.spark.graphx.graftbridge.GraphXBridge
 
-    def mergeMsg(a: State, b: State): State =
-      if (a._1 < b._1) a
-      else if (b._1 < a._1) b
-      else if (a._2 <= b._2) a else b
+    // the (dist, pred) tie-break lives in ONE place — [[mergeState]] —
+    // which the documented sssp ≡ deltaSssp equality depends on
+    val mergeMsg: (State, State) => State = mergeState
 
     def improved(old: State, m: State): Boolean =
       m._1 < old._1 || (m._1 == old._1 && m._2 < old._2)

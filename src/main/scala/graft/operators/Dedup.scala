@@ -183,29 +183,36 @@ object Dedup {
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir).cache()
+    verifyPairs(jaccardCandidatePairs(s, dir).distinct(), sh, JaccardThreshold)
+  }
+
+  /** q24's candidate generation, pre-distinct — the prefix-store
+    * self-join with both prunes, exposed so the stage profiler
+    * ([[graft.tools.ProfileQ24]]) measures EXACTLY the shipped join.
+    *
+    * Length filter: jac ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+    * positional filter (PPJoin): a candidate generated at prefix positions
+    * (i, j) can reach overlap at most min(i−1, j−1) + 1 + min(|A|−i, |B|−j)
+    * — earlier common tokens, this one, later common tokens — which must
+    * meet the required overlap t/(1+t)·(|A|+|B|). The bound is valid for
+    * EVERY occurrence of a pair (not just the first shared token), so
+    * pruning occurrences independently never loses a true pair; both
+    * prunes fire inside the join, before the expensive intersection
+    * verify. */
+  def jaccardCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val prefixes = docJaccardPrefixes(s, dir)
-    // length filter: jac ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
-    // positional filter (PPJoin): a candidate generated at prefix positions
-    // (i, j) can reach overlap at most min(i−1, j−1) + 1 + min(|A|−i, |B|−j)
-    // — earlier common tokens, this one, later common tokens — which must
-    // meet the required overlap t/(1+t)·(|A|+|B|). The bound is valid for
-    // EVERY occurrence of a pair (not just the first shared token), so
-    // pruning occurrences independently never loses a true pair; both
-    // prunes fire inside the join, before the expensive intersection verify
     val requiredOverlap =
       lit(JaccardThreshold / (1.0 + JaccardThreshold)) * (col("x.n") + col("y.n")) - lit(1e-9)
     val overlapBound =
       least(col("x.rn"), col("y.rn")) - 1 +
         least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) + 1
-    val candidates = prefixes.as("x").join(prefixes.as("y"),
+    prefixes.as("x").join(prefixes.as("y"),
         col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
           col("x.doc_id") < col("y.doc_id") &&
           lit(JaccardThreshold) * greatest(col("x.n"), col("y.n")) <=
           least(col("x.n"), col("y.n")).cast("double") &&
           overlapBound.cast("double") >= requiredOverlap)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyPairs(candidates, sh, JaccardThreshold)
   }
 
   private val q24Sql =

@@ -693,9 +693,14 @@ object GraphQueries {
         .groupBy($"dst".as("node")).agg(sum($"w").as("w"))
         .select($"node", $"w").cache()
     }.take(WalkLen + 1).toSeq
-    hops.reduce(_ union _)
+    // materialize the (vertex-sized) total eagerly so the hop caches can
+    // be released before returning — otherwise each invocation pins L+1
+    // frames in storage memory for the session's lifetime
+    val total = hops.reduce(_ union _)
       .groupBy($"node").agg(sum($"w").as("walks"))
-      .orderBy($"node")
+      .localCheckpoint()
+    hops.foreach(_.unpersist(blocking = false))
+    total.orderBy($"node")
   }
 
   /** Oracle: the same L SpMV hops as chained single-reference CTEs

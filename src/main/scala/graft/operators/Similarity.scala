@@ -234,9 +234,12 @@ object Similarity {
     * representation (see [[trainCentroids]]). */
   def int8Codes(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
+    // zero-scale branch preserves the input vector's length (the oracle's
+    // per-element CASE does too) — a fixed-length literal would silently
+    // couple this helper to the shipped 64-dim corpus
     emb.withColumn("scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
       .withColumn("qs",
-        when($"scale" === 0.0, array_repeat(lit(0L), 64))
+        when($"scale" === 0.0, transform($"vec", _ => lit(0L)))
           .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
       .select($"vec_id", $"qs")
   }

@@ -94,8 +94,23 @@ object Materialized {
       stagingRoot(s) match {
         case Some(root) =>
           val out = s"$root/mat_${keyHash(key)}"
-          if (!isComplete(s, out))
-            build.write.mode(SaveMode.Overwrite).parquet(out)
+          if (!isComplete(s, out)) {
+            // concurrent first builds (two sessions or two JVMs) must not
+            // write the same directory — two Overwrite jobs share commit
+            // staging and can tear each other into a _SUCCESS-carrying
+            // mixed file set. Each builder writes a UNIQUE temp sibling
+            // and atomically renames it into place: the first completed
+            // build wins, a loser discards its copy and attaches to the
+            // winner (contents are deterministic, so any winner is
+            // equally correct). A torn store from a crashed PRIOR JVM
+            // (no _SUCCESS) is cleared before building.
+            deletePath(s, out)
+            val tmp = s"$root/.build_${keyHash(key)}_" +
+              java.util.UUID.randomUUID().toString.take(8)
+            build.write.mode(SaveMode.Overwrite).parquet(tmp)
+            val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (!fs.rename(new Path(tmp), new Path(out))) deletePath(s, tmp)
+          }
           out
         case None =>
           val out = s"${tempStore("graft-mat")}/rel"

@@ -82,42 +82,54 @@ object AnnStream {
       cells: Seq[Long], k: Int = Similarity.K): DataFrame =
     Similarity.queryIvfIndex(s, indexDir, qvec, cells, k)
 
-  /** Fold every ingested batch at or below `throughBatch` into one
-    * consolidated batch partition — the periodic maintenance job the
-    * ingest layout assumes: probe cost scales with nprobe × BATCH COUNT
-    * (one pruned directory per batch per probed cell), so an always-on
-    * stream needs old micro-batches squashed to keep file counts
-    * governed by corpus size, not ingest granularity.
+  /** Fold every ingested batch at or below `throughBatch` — plus any
+    * previous compaction generation — into one consolidated partition:
+    * the periodic maintenance job the ingest layout assumes. Probe cost
+    * scales with nprobe × BATCH COUNT (one pruned directory per batch per
+    * probed cell), so an always-on stream needs old micro-batches
+    * squashed to keep file counts governed by corpus size, not ingest
+    * granularity.
     *
-    * Content-neutral by construction: rows carry no batch provenance
-    * (the batch column exists only for replay idempotence), so rewriting
-    * them under `batch = throughBatch` changes nothing a probe can see.
-    * Crash-safe without a transaction log: the consolidated rows are
-    * STAGED under a fresh `batch = throughBatch + 1` partition first
-    * (dynamic overwrite, deterministic bytes — itself replay-idempotent),
-    * and only then are the source batch directories dropped; a crash
-    * between the two leaves duplicates that a re-run converges, and
-    * [[processBatch]] keeps writing strictly increasing live batch ids
-    * past the staging id. Ingest proceeds concurrently — compaction
-    * never touches a batch above `throughBatch`. */
+    * Consolidated generations live at strictly NEGATIVE batch ids (−1,
+    * −2, …, each compaction one lower): the streaming engine's live ids
+    * are non-negative and monotonically increasing, so a staged
+    * generation can never collide with a batch the stream has written or
+    * will write — ingest proceeds concurrently, and a checkpoint-resumed
+    * stream re-delivering old ids overwrites only its own non-negative
+    * partitions. (The first cut of this staged at `throughBatch + 1`,
+    * which is exactly the resumed stream's next id — a replay would have
+    * overwritten the consolidated corpus.)
+    *
+    * Content-neutral: rows carry no batch provenance, and probes never
+    * reference the column. Crash-safe without a transaction log: rows
+    * are staged first (deduplicated on vec_id, so the union of sources
+    * and a half-finished previous generation stages the same set), and
+    * the source directories are dropped only after; a crash between the
+    * two leaves duplicate rows visible to probes until the re-run —
+    * which, folding the leftover generation back in, converges. */
   def compact(s: SparkSession, indexDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    // localCheckpoint materializes the compacted slice BEFORE the write:
-    // Spark (rightly) refuses a plan that overwrites a path it is still
-    // reading, and compaction inherently pays one read of the old rows
-    val old = s.read.parquet(indexDir).filter($"batch" <= throughBatch)
-      .select($"vec_id", $"vec", $"cell").localCheckpoint()
-    val staged = old.select($"vec_id", $"vec", lit(throughBatch + 1).as("batch"), $"cell")
-    staged.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "cell").parquet(indexDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), s.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(indexDir)
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch=") &&
-          name.stripPrefix("batch=").toLong <= throughBatch)
-        fs.delete(st.getPath, true)
+    val batchIds = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
+    if (sources.nonEmpty) {
+      val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+      // localCheckpoint materializes the slice BEFORE the write: Spark
+      // (rightly) refuses a plan that overwrites a path it still reads,
+      // and compaction inherently pays one read of the old rows
+      val staged = s.read.parquet(indexDir)
+        .filter($"batch".isInCollection(sources))
+        .select($"vec_id", $"vec", $"cell")
+        .dropDuplicates("vec_id").localCheckpoint()
+      staged.select($"vec_id", $"vec", lit(stagingId).as("batch"), $"cell")
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell").parquet(indexDir)
+      sources.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
+      }
     }
   }
 }

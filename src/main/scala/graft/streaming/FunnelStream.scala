@@ -32,10 +32,13 @@ import org.apache.spark.sql.types._
   * (2): a touched user's row is always derived from the complete prefix,
   * never folded from per-batch partials. Per batch the cost is the
   * touched users' histories — the working set a funnel upsert pays in any
-  * system that maintains it exactly; untouched users are never read. At
-  * 100 TB the events store is bucketed by user in practice so the
-  * semi-join prunes to the touched buckets; here the layout keeps the
-  * batch-id partitioning the replay contract needs.
+  * system that maintains it exactly; untouched users are never read. The
+  * per-batch directory growth that the history read and the snapshot
+  * would otherwise pay (one partition per batch ever ingested) is bounded
+  * by periodic [[compact]]ion into negative-id generations. At 100 TB the
+  * events store is bucketed by user in practice so the semi-join prunes
+  * to the touched buckets; here the layout keeps the batch-id
+  * partitioning the replay contract needs.
   */
 object FunnelStream {
 
@@ -79,14 +82,71 @@ object FunnelStream {
       .trigger(trigger)
       .start()
 
-  /** The maintained funnel table: each user's row from the latest batch
-    * that touched them. */
+  /** The maintained funnel table: each user's freshest row. Live batches
+    * (non-negative ids) outrank compacted generations; among generations
+    * (negative ids, one LOWER per compaction) the newest — most negative
+    * — wins: a generation summarizes everything folded before it, so any
+    * leftover older generation a crashed compaction failed to delete
+    * carries staler rows. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"batch".desc)
+    val w = Window.partitionBy($"user_id")
+      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
     s.read.parquet(s"$storeDir/funnel")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"stage", $"ttc_us")
+  }
+
+  /** Fold every batch partition at or below `throughBatch` — plus prior
+    * compaction generations — of BOTH stores into one fresh generation
+    * (negative id, one lower per compaction; live stream ids are
+    * non-negative, so a staged generation never collides with anything
+    * the stream wrote or will write). Without it, every micro-batch's
+    * history read and every snapshot lists one directory per batch ever
+    * ingested, so an always-on stream degrades linearly in batch count
+    * from listing overhead alone.
+    *
+    * Crash-safety differs per store, and both are honest:
+    *   - events: [[TemporalJoins.funnelStages]] is pure MIN/MAX
+    *     aggregation, so DUPLICATE events are semantically invisible — a
+    *     crash between stage and delete leaves duplicates that change no
+    *     answer, and the re-run folds the leftover generation in and
+    *     converges.
+    *   - funnel rows: the staged generation holds each touched user's
+    *     FRESHEST row (the [[snapshot]] rule applied to the sources);
+    *     [[snapshot]]'s precedence makes a leftover older generation
+    *     inert, so the crash window at worst serves a row the store
+    *     already served before the compaction began. */
+  def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    def fold(sub: String)(stage: (DataFrame, Long) => DataFrame): Unit = {
+      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
+      val batchIds = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
+      if (sources.nonEmpty) {
+        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+        // localCheckpoint: materialize before overwriting a read path
+        val src = s.read.parquet(s"$storeDir/$sub")
+          .filter($"batch".isInCollection(sources))
+        stage(src, stagingId).localCheckpoint()
+          .withColumn("batch", lit(stagingId))
+          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$storeDir/$sub")
+        sources.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
+        }
+      }
+    }
+    fold("events") { (src, _) => src.select($"user_id", $"event_type", $"ts_us") }
+    fold("funnel") { (src, _) =>
+      val w = Window.partitionBy($"user_id")
+        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
+      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"stage", $"ttc_us")
+    }
   }
 }

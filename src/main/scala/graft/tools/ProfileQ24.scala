@@ -31,17 +31,9 @@ object ProfileQ24 {
 
     time("docShingles scan")(Dedup.docShingles(spark, dir).count())
     time("prefix store scan")(Dedup.docJaccardPrefixes(spark, dir).count())
-    val prefixes = Dedup.docJaccardPrefixes(spark, dir)
-    val t = Dedup.JaccardThreshold
-    val requiredOverlap = lit(t / (1.0 + t)) * (col("x.n") + col("y.n")) - lit(1e-9)
-    val overlapBound = least(col("x.rn"), col("y.rn")) - 1 +
-      least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) + 1
-    def candidates = prefixes.as("x").join(prefixes.as("y"),
-        col("x.h1") === col("y.h1") && col("x.h2") === col("y.h2") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          lit(t) * greatest(col("x.n"), col("y.n")) <= least(col("x.n"), col("y.n")).cast("double") &&
-          overlapBound.cast("double") >= requiredOverlap)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // the SHIPPED candidate join — shared with ngramJaccardPairs, so the
+    // profiler can never drift from the query it claims to measure
+    def candidates = Dedup.jaccardCandidatePairs(spark, dir)
     time("candidate self-join")(candidates.count())
     time("candidates distinct")(candidates.distinct().count())
     time("verify (full q24)")(Dedup.ngramJaccardPairs(spark, dir).count())

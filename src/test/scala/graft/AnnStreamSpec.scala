@@ -90,15 +90,23 @@ class AnnStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     AnnStream.compact(spark, streamed, throughBatch = 2L)
     assert(assignments(streamed) === before, "compaction changed index content")
-    val batches = new java.io.File(streamed).listFiles()
+    def batches = new java.io.File(streamed).listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
-    assert(batches === Set("batch=3"), s"expected one consolidated batch, got $batches")
+    assert(batches === Set("batch=-1"), s"expected one consolidated generation, got $batches")
     val probeAfter = AnnStream.query(spark, streamed, qvec, cells)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probeAfter === probeBefore, "probe diverged after compaction")
-    // a compaction re-run (crash replay) converges to the same content
-    AnnStream.compact(spark, streamed, throughBatch = 3L)
+    // a checkpoint-resumed stream re-delivering an already-compacted id
+    // must only overwrite its own (now absent) non-negative partition —
+    // the staged generation is out of its reach
+    val replaySlice = e.filter($"vec_id" % 3 === 0)
+    AnnStream.processBatch(replaySlice, 0L, streamed, cents)
+    assert(assignments(streamed) === before, "live redelivery clobbered the compacted corpus")
+    // and the next compaction folds the redelivered batch AND the prior
+    // generation into a fresh one, still content-neutral
+    AnnStream.compact(spark, streamed, throughBatch = 2L)
     assert(assignments(streamed) === before, "re-compaction changed index content")
+    assert(batches === Set("batch=-2"), s"expected generation -2, got $batches")
   }
 
   test("batch replay is idempotent: index content identical after redelivery") {

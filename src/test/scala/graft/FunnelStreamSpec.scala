@@ -73,6 +73,28 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(both > 0, "no user spans both slices — reversal exercised nothing")
   }
 
+  test("compaction: snapshot preserved, directories collapse, ingest continues") {
+    import spark.implicits._
+    val e = events.cache()
+    val want = batchWant
+    val mid = e.agg(expr("percentile_approx(ts_us, 0.5)")).head.getLong(0)
+    val store = streamSliced(Seq(e.filter($"ts_us" <= mid), e.filter($"ts_us" > mid)))
+    FunnelStream.compact(spark, store, throughBatch = 1L)
+    assert(snapshotOf(store) === want, "compaction changed the snapshot")
+    def dirs(sub: String) = new java.io.File(s"$store/$sub").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs("events") === Set("batch=-1"), s"events dirs: ${dirs("events")}")
+    assert(dirs("funnel") === Set("batch=-1"), s"funnel dirs: ${dirs("funnel")}")
+    // a resumed stream re-delivering an already-compacted id only touches
+    // its own non-negative partition; recompute reads compacted history
+    FunnelStream.processBatch(e.filter($"ts_us" <= mid), 0L, store)
+    assert(snapshotOf(store) === want, "post-compaction redelivery broke the snapshot")
+    // and the next compaction folds generation -1 with the new batch
+    FunnelStream.compact(spark, store, throughBatch = 1L)
+    assert(snapshotOf(store) === want, "re-compaction changed the snapshot")
+    assert(dirs("events") === Set("batch=-2"), s"events dirs: ${dirs("events")}")
+  }
+
   test("batch replay is idempotent: snapshot identical after redelivery") {
     import spark.implicits._
     val e = events.cache()
