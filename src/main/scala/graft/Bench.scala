@@ -77,9 +77,22 @@ object Bench {
     // never read as a speedup by dropping its own time out of the sum
     val failed = results.count(_.best < 0.0)
     val total = if (failed > 0) -1.0 else results.map(_.best).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
-      s""""runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+      s""""runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line has been truncated by output capture before (r6's
+    // artifact lost its warm map to a tail cut) — persist the full JSON to a
+    // file as well so the per-query maps always survive the run
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $outPath")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
