@@ -109,11 +109,22 @@ object HeavyTokenStream {
       .select(col("k").as("tok"), col("c").as("residual"), col("total"))
       .orderBy(col("tok"))
 
-  /** File-source wiring: new parquet document files fold into the state. */
+  /** File-source wiring: new parquet document files fold into the state.
+    *
+    * The checkpoint lives beside the state (`<stateDir>.ckpt`) and is as
+    * durable as the state itself — REQUIRED for the replay guard above: a
+    * fresh (temp) checkpoint restarts batch ids at 0 and re-lists every
+    * source file, so a restarted query over an existing stateDir would
+    * deliver new data at ids ≤ the persisted high-water mark and the
+    * guard would silently DROP it. With the durable checkpoint a
+    * restarted query resumes the id sequence and only ever delivers
+    * unseen files (or replays the genuinely-torn last batch, which the
+    * mark absorbs). Callers wanting a fresh run use a fresh stateDir. */
   def start(s: SparkSession, srcDir: String, stateDir: String,
       capacity: Int): StreamingQuery =
     s.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
+      .option("checkpointLocation", s"$stateDir.ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: DataFrame, batchId: Long) =>
         processBatch(s, batch, batchId, stateDir, capacity))

@@ -97,11 +97,21 @@ object KllStream {
   }
 
   /** File-source wiring: new parquet measurement files fold into the
-    * per-group KLL states. */
+    * per-group KLL states.
+    *
+    * The checkpoint lives beside the state (`<stateDir>.ckpt`) and is as
+    * durable as the state itself — REQUIRED for the replay guard above: a
+    * fresh (temp) checkpoint restarts batch ids at 0 and re-lists every
+    * source file, so a restarted query over an existing stateDir would
+    * deliver new data at ids ≤ the persisted high-water mark and the
+    * guard would silently DROP it. With the durable checkpoint a
+    * restarted query resumes the id sequence and only ever delivers
+    * unseen files. Callers wanting a fresh run use a fresh stateDir. */
   def start(s: SparkSession, srcDir: String, stateDir: String,
       k: Int = KllSketch.DefaultK): StreamingQuery =
     s.readStream.schema(rowSchema).parquet(srcDir)
       .writeStream
+      .option("checkpointLocation", s"$stateDir.ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: DataFrame, batchId: Long) =>
         processBatch(s, batch, batchId, stateDir, k))

@@ -70,6 +70,25 @@ class HeavyTokenStreamSpec extends AnyFunSuite {
     assertRecall(state)
   }
 
+  test("restarted query over the same stateDir folds NEW files (durable checkpoint)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("heavyrestart").toString
+    val (src, state) = (s"$root/src", s"$root/state")
+    docs.filter($"doc_id" < 250).write.mode("append").parquet(src)
+    HeavyTokenStream.start(spark, src, state, capacity).awaitTermination()
+    val t1 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
+    // a SECOND query lifetime over the same dirs: with a temp checkpoint
+    // the new files would land at batch 0 ≤ the persisted mark and be
+    // silently dropped; the durable checkpoint resumes the id sequence
+    docs.filter($"doc_id" >= 250).write.mode("append").parquet(src)
+    HeavyTokenStream.start(spark, src, state, capacity).awaitTermination()
+    val t2 = HeavyTokenStream.candidates(spark, state).collect().head.getLong(2)
+    assert(t2 === exact.values.sum,
+      "restart dropped the new files — checkpoint did not resume the id sequence")
+    assert(t2 > t1, "second lifetime folded nothing")
+    assertRecall(state)
+  }
+
   test("replay of an applied batch id is a no-op; a NEW id folds") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("heavystream3").toString + "/state"
