@@ -63,16 +63,18 @@ final case class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Lo
 final case class BudgetBottom(budget: Long)
     extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]] {
 
-  /** Ascending prefix with running sum ≤ budget; `withBarrier` also keeps
-    * the first overflowing element. */
-  private def prefix(a: Seq[(Long, Long, Long)], withBarrier: Boolean): Seq[(Long, Long, Long)] = {
-    val sorted = a.sortBy(e => (e._1, e._2))
+  private def before(x: (Long, Long, Long), y: (Long, Long, Long)): Boolean =
+    x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  /** Ascending prefix with running sum ≤ budget over an ALREADY-SORTED
+    * iterator; `withBarrier` also keeps the first overflowing element. */
+  private def prefixOf(sorted: Iterator[(Long, Long, Long)],
+      withBarrier: Boolean): Seq[(Long, Long, Long)] = {
     val out = Seq.newBuilder[(Long, Long, Long)]
     var cum = 0L
-    val it = sorted.iterator
     var open = true
-    while (open && it.hasNext) {
-      val e = it.next()
+    while (open && sorted.hasNext) {
+      val e = sorted.next()
       cum += e._3
       if (cum <= budget) out += e
       else { if (withBarrier) out += e; open = false }
@@ -80,10 +82,31 @@ final case class BudgetBottom(budget: Long)
     out.result()
   }
 
+  private def prefix(a: Seq[(Long, Long, Long)], withBarrier: Boolean): Seq[(Long, Long, Long)] =
+    prefixOf(a.sortBy(e => (e._1, e._2)).iterator, withBarrier)
+
   override def zero: Seq[(Long, Long, Long)] = Seq.empty
 
+  /** Per-row fold exploits the buffer invariant that every `prefix` output
+    * is already sorted (prefix + optional trailing barrier), so no re-sort
+    * is ever needed: an input sorting at-or-after the last element either
+    * appends in O(1) (it is admitted, or becomes the barrier) or — when a
+    * barrier is already present (running sum > budget) — is provably
+    * excluded and dropped outright; only an input landing strictly inside
+    * the buffer pays a linear merge-insert + prefix rescan. This keeps the
+    * per-row cost O(B) worst / O(1)-ish on ordered data instead of the
+    * O(B log B) full re-sort the first cut paid. */
   override def reduce(b: Seq[(Long, Long, Long)], in: (Long, Long, Long)): Seq[(Long, Long, Long)] =
-    prefix(b :+ in, withBarrier = true)
+    if (b.isEmpty) Seq(in)
+    else if (!before(in, b.last)) {
+      var cum = 0L
+      b.foreach(cum += _._3)
+      if (cum > budget) b // buffer ends in a barrier; `in` sorts at-or-after it
+      else b :+ in // admitted (cum+w ≤ budget) or the new barrier — kept either way
+    } else {
+      val (pre, post) = b.span(before(_, in))
+      prefixOf(pre.iterator ++ Iterator(in) ++ post.iterator, withBarrier = true)
+    }
 
   override def merge(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
     prefix(a ++ b, withBarrier = true)

@@ -49,6 +49,11 @@ object Materialized {
   private val stores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Corpus directory embedded in a store key (every call site keys as
+    * `name:<sf dir>[...]`) — the [[CorpusCaches]] eviction unit. */
+  private def corpusOf(key: String): Option[String] =
+    key.split(':').find(_.startsWith("/"))
+
   private def stagingRoot(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.stagingDir").orElse(sys.env.get("SPARK_GRAFT_STAGING"))
 
@@ -110,6 +115,18 @@ object Materialized {
             build.write.mode(SaveMode.Overwrite).parquet(tmp)
             val fs = new Path(out).getFileSystem(s.sparkContext.hadoopConfiguration)
             if (!fs.rename(new Path(tmp), new Path(out))) deletePath(s, tmp)
+            // Hadoop rename-onto-existing-directory is NOT a reliable
+            // failure: HDFS (and some local-FS paths) move src INTO the
+            // destination as a child and return true. Readers stay correct
+            // either way (the dot-prefixed name is hidden from parquet
+            // listings), but the loser's full copy would leak inside the
+            // store forever — sweep any .build_* children out of the
+            // winning store.
+            val outPath = new Path(out)
+            if (fs.exists(outPath))
+              fs.listStatus(outPath).map(_.getPath)
+                .filter(_.getName.startsWith(".build_"))
+                .foreach(p => fs.delete(p, true))
           }
           out
         case None =>
@@ -118,6 +135,11 @@ object Materialized {
           out
       }
     })
+    // LRU-governed per corpus: eviction drops only the cache entry — the
+    // next consumer rebuilds (temp) or re-attaches (staged); files are
+    // reclaimed by the shutdown hook / staging TTLs as before
+    corpusOf(key).foreach(d =>
+      CorpusCaches.retain(s, d, s"mat:$key")(() => { stores.remove((s, key)); () }))
     s.read.parquet(store)
   }
 
@@ -183,6 +205,14 @@ object Materialized {
       }
       n
     })
+    corpusOf(key).foreach(d =>
+      CorpusCaches.retain(s, d, s"matbkt:$key") { () =>
+        tables.remove((s, key))
+        // external table: DROP removes only the catalog entry; staged
+        // files re-attach on next use, temp files die with the JVM
+        try s.sql(s"DROP TABLE IF EXISTS $name") catch { case _: Throwable => () }
+        ()
+      })
     s.table(name)
   }
 

@@ -106,7 +106,18 @@ object AnnStream {
     * and a half-finished previous generation stages the same set), and
     * the source directories are dropped only after; a crash between the
     * two leaves duplicate rows visible to probes until the re-run —
-    * which, folding the leftover generation back in, converges. */
+    * which, folding the leftover generation back in, converges.
+    *
+    * CONTRACT — one compactor at a time (the [[graft.store.Materialized]]
+    * concurrent-build note, applied to maintenance): the staging id is
+    * derived from a directory listing with no mutual exclusion, so two
+    * compactions racing (two JVMs, or a re-run racing a crashed run's
+    * leftover delete) can pick the SAME generation id and dynamically
+    * overwrite each other's partitions. Compaction is a periodic
+    * single-owner maintenance job here and in any real deployment — a
+    * multi-maintainer deployment must serialize it externally (a lease
+    * on the index root). Ingest needs no such care: live batches touch
+    * only their own non-negative ids. */
   def compact(s: SparkSession, indexDir: String, throughBatch: Long): Unit = {
     import s.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(

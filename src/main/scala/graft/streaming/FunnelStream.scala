@@ -117,7 +117,16 @@ object FunnelStream {
     *     FRESHEST row (the [[snapshot]] rule applied to the sources);
     *     [[snapshot]]'s precedence makes a leftover older generation
     *     inert, so the crash window at worst serves a row the store
-    *     already served before the compaction began. */
+    *     already served before the compaction began.
+    *
+    * CONTRACT — one compactor at a time (the [[graft.store.Materialized]]
+    * concurrent-build note, applied to maintenance): the staging id is
+    * derived from a directory listing with no mutual exclusion, so two
+    * compactions racing can pick the SAME generation id and dynamically
+    * overwrite each other's partitions. Compaction is a periodic
+    * single-owner maintenance job; a multi-maintainer deployment must
+    * serialize it externally (a lease on the store root). Ingest needs
+    * no such care: live batches touch only their own non-negative ids. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
