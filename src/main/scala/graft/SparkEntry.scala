@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Sampling.all ++
       operators.Curate.all ++
       operators.Profile.all ++
-      streaming.EventsStream.all
+      streaming.EventsStream.all ++
+      streaming.StreamServe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own flagship: bootstrap the star map and answer

@@ -40,7 +40,7 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
 
@@ -136,8 +136,8 @@ object Similarity {
   private val indexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, Seq[(Long, Seq[Double])])]
 
-  private def ivfIndex(s: SparkSession, dir: String): (String, Seq[(Long, Seq[Double])]) =
-    indexes.getOrElseUpdate((s, dir), {
+  private def ivfIndex(s: SparkSession, dir: String): (String, Seq[(Long, Seq[Double])]) = {
+    val idx = indexes.getOrElseUpdate((s, dir), {
       val d = java.nio.file.Files.createTempDirectory("ivfindex")
       // temp indexes are process-scoped: reclaim them on JVM exit so a
       // long-lived harness doesn't accumulate orphaned directories
@@ -154,6 +154,17 @@ object Similarity {
         .parquet(d.toString)
       (d.toString, cents)
     })
+    graft.store.CorpusCaches.retain(s, dir, "sim:ivfindex")(() =>
+      indexes.remove((s, dir)).foreach { case (path, _) =>
+        // reclaim the temp index files now rather than at JVM exit
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
+            .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      })
+    idx
+  }
 
   /** q28 — ANN top-k for vector 0 via the persisted TRAINED IVF index:
     * probe the [[NProbe]] trained centroids nearest to the query,
@@ -162,9 +173,22 @@ object Similarity {
     * tiny rows; the corpus is only touched through the pruned index
     * scan. */
   private def q28(s: SparkSession, dir: String): DataFrame = {
+    val (idxDir, cents) = ivfIndex(s, dir)
+    ivfServeTopK(s, dir, idxDir, cents)
+  }
+
+  /** The q28 serving path against ANY persisted IVF index directory laid
+    * out by [[assignToCentroids]] partitioning (cell-partitioned parquet;
+    * extra partition columns such as a streamed index's `batch` ride along
+    * unreferenced): driver-side probe selection over the k centroids,
+    * partition-pruned scan of the probed cells, exact re-rank. Shared by
+    * q28 (batch-built index) and q89 ([[graft.streaming.AnnStream]]-built
+    * index) — one code path, so the streamed serve is oracle-comparable
+    * by construction. */
+  private[graft] def ivfServeTopK(s: SparkSession, dir: String, idxDir: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
-    val (idxDir, cents) = ivfIndex(s, dir)
     def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -188,7 +212,7 @@ object Similarity {
     * training unrolled (see [[lloydCtes]]), argmax cell assignment against
     * the TRAINED centroids, top-[[NProbe]] probe, exact re-rank within
     * probed cells. */
-  private def q28Sql =
+  private[graft] def q28Sql =
     s"""WITH ${lloydCtes(Centroids, TrainIters, TrainSampleMod)},
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT cent_id, cv FROM t_cent$TrainIters),
@@ -308,9 +332,13 @@ object Similarity {
   private val trainedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
 
-  def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    trainedCache.getOrElseUpdate((s, dir),
+  def trainedCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    val cents = trainedCache.getOrElseUpdate((s, dir),
       trainCentroids(embeddings(s, dir), Centroids, TrainIters, TrainSampleMod))
+    graft.store.CorpusCaches.retain(s, dir, "sim:centroids")(
+      () => { trainedCache.remove((s, dir)); () })
+    cents
+  }
 
   /** Mean best-centroid cosine over the corpus — the spherical k-means
     * objective; the training spec asserts it does not degrade. */
@@ -849,8 +877,12 @@ object Similarity {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
 
-  def pqBooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
-    pqCache.getOrElseUpdate((s, dir), trainPqBooks(embeddings(s, dir)))
+  def pqBooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+    val books = pqCache.getOrElseUpdate((s, dir), trainPqBooks(embeddings(s, dir)))
+    graft.store.CorpusCaches.retain(s, dir, "sim:pqbooks")(
+      () => { pqCache.remove((s, dir)); () })
+    books
+  }
 
   /** (vec_id, pq): the M 0-based codes per vector — one zero-shuffle
     * projection against the literal codebooks. */

@@ -376,7 +376,7 @@ object TemporalJoins {
     funnelStages(graft.Tables.events(s, dir)).orderBy($"user_id")
   }
 
-  private val q82Sql =
+  private[graft] val q82Sql =
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
        |v AS (SELECT user_id, event_type, ts_us,
        |  MIN(CASE WHEN event_type = 'view' THEN ts_us END)
