@@ -699,7 +699,11 @@ object GraphQueries {
     // memory stays bounded at L+1 vertex-sized frames per corpus, and
     // the warm query skips the whole SpMV chain (0.47 s vs 3.0 s at
     // sf0.1; an eager unpersist-after-materialize variant defeated the
-    // dedup and repaid the chain every call)
+    // dedup and repaid the chain every call). Corpus count is bounded by
+    // the LRU governor: a multi-corpus session evicting this dir
+    // unpersists the frames and the next q85 over it rebuilds cleanly.
+    graft.store.CorpusCaches.retain(s, dir, "q85:hops")(
+      () => hops.foreach(_.unpersist(false)))
     hops.reduce(_ union _)
       .groupBy($"node").agg(sum($"w").as("walks"))
       .orderBy($"node")
@@ -724,6 +728,88 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** q90's fixed-point scale (ranks carried as BIGINT multiples of 1e-15)
+    * and iteration count — both part of the operator's semantics, shared
+    * verbatim with the oracle SQL. */
+  val PrScale = 1000000000000000L
+  val PrIters = 10
+
+  /** q90 — PageRank at data scale, in EXACT FIXED-POINT integer
+    * arithmetic: the answer to "no centrality-with-damping at data scale"
+    * (round-6 verdict #3). Float PageRank cannot be hash-oracled off the
+    * 25-node fixture (q22): damped float sums accumulate in
+    * shuffle-completion order, so two runs — let alone two engines — need
+    * not agree bitwise. Carrying ranks as BIGINT multiples of 1e-15 with
+    * floored division makes every step integer arithmetic — sums are
+    * order-independent, truncation is deterministic and identical in
+    * Spark (`div`) and DuckDB (`//`, both floor for the non-negative
+    * values here) — so the full damped iteration IS hash-oracle-able on
+    * the part⟷supplier graph that grows with the data. Quantization
+    * error vs true double PageRank is ≤ in-degree·1e-15 per step,
+    * geometrically damped by 0.85 — PageRankFpSpec pins |Δ| ≤ 1e-9
+    * against an independent driver-local double reference (the round-6
+    * tolerance-gate ask, made strictly stronger by the bit-exact oracle).
+    *
+    * Update rule (d = 0.85 = 17/20, S = [[PrScale]], N = vertex count):
+    *   r₀(v) = S div N
+    *   mv(u) = (r(u)·17) div (20·deg(u))       — damped per-edge message
+    *   r'(v) = (3·S) div (20·N) + Σ_{(u,v)∈E} mv(u)
+    * No dangling mass: the symmetrized bipartite graph gives every vertex
+    * out-edges. Long-overflow-safe by construction: Σr ≈ S = 1e15, so
+    * r·17 < 1.7e16 and every in-sum ≤ 0.85·S.
+    *
+    * Scale shape: q85's SpMV discipline — per iteration one equi-join on
+    * the vertex key + one hash aggregate (the same exchange), `e`/`deg`
+    * cached once (vertex/edge-sized), ranks never collected; the one
+    * driver action is the N count. Linear plan growth (each iteration
+    * references its predecessor once), cached leaves keep re-execution
+    * per iteration, and the final frame is cached for warm re-serves
+    * under the [[graft.store.CorpusCaches]] LRU like q85's hops. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = partSupplierEdges(s, dir).select($"src", $"dst").cache()
+    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count()
+    val teleport = (3L * PrScale) / (20L * n)
+    var r = deg.select($"node", lit(PrScale / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val mv = r.join(deg, "node")
+        .select($"node".as("src"), expr("(r * 17) div (20 * deg)").as("mv"))
+      val sums = e.join(mv, "src").groupBy($"dst".as("node")).agg(sum($"mv").as("m"))
+      r = deg.select($"node").join(sums, Seq("node"), "left")
+        .select($"node", (coalesce($"m", lit(0L)) + teleport).as("r"))
+    }
+    val out = r.select($"node", $"r".as("rank_s15")).cache()
+    graft.store.CorpusCaches.retain(s, dir, "q90:pagerank")(() => {
+      out.unpersist(false); deg.unpersist(false); e.unpersist(false); ()
+    })
+    out.orderBy($"node")
+  }
+
+  /** Oracle: the identical fixed-point iteration unrolled as MATERIALIZED
+    * CTEs (q85's technique); `//` on non-negative BIGINTs floors exactly
+    * like Spark's `div`. */
+  private val q90Sql = {
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |    CAST((3 * $PrScale) // (20 * nn.n) + COALESCE(s.m, 0) AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS dnode, CAST(SUM((p.r * 17) // (20 * g.deg)) AS BIGINT) AS m
+         |    FROM edges e JOIN r${i - 1} p ON p.node = e.src JOIN deg g ON g.src = e.src
+         |    GROUP BY e.dst) s ON s.dnode = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem),
+       |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst FROM pairs),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS MATERIALIZED (SELECT src AS node, CAST($PrScale // nn.n AS BIGINT) AS r
+       |  FROM deg CROSS JOIN nn),
+       |$steps
+       |SELECT node, r AS rank_s15 FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q17_graph_sssp_hops", q17, Some(q17Sql), bench = true),
     GQuery("q18_graph_sssp_weighted", q18, Some(q18Sql)),
@@ -738,5 +824,6 @@ object GraphQueries {
     GQuery("q83_scale_triangles", q83, Some(q83Sql), bench = true),
     GQuery("q84_scale_kcore", q84, Some(q84Sql), bench = true),
     GQuery("q85_scale_walk_centrality", q85, Some(q85Sql), bench = true),
+    GQuery("q90_scale_pagerank_fp", q90, Some(q90Sql), bench = true),
   )
 }
