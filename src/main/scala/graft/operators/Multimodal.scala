@@ -457,11 +457,216 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Pure-JVM codec for QOI ("Quite OK Image" — the public one-page spec
+    * at qoiformat.org): the THIRD real format beside PPM (raw raster
+    * parse) and WAV (container chunk walk), and the first with actual
+    * compression state — a 64-slot hash-indexed color cache, wrapping
+    * delta ops (DIFF/LUMA), run-length ops, and a byte-exact end marker.
+    * Encoder and decoder both live here: q91 synthesizes each document's
+    * raster THROUGH the full op set and decodes it back, so an op
+    * implemented wrong on either side (hash formula, wrap arithmetic,
+    * run bias, index update discipline) shifts the decoded stats and
+    * fails the hash gate. Malformed payloads — bad magic, bad
+    * channels/colorspace, truncated stream, missing end marker — decode
+    * to None, the per-row skip policy (S8). RGB (channels=3) only; an
+    * alpha payload is rejected like a 2-byte-sample PPM. */
+  object Qoi {
+    final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+    private def hash(r: Int, g: Int, b: Int): Int =
+      (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+
+    /** QOI encoder (spec-complete for RGB): INDEX/DIFF/LUMA/RUN/RGB ops,
+      * 62-cap runs, index updated on every non-INDEX-emitting pixel —
+      * the reference qoi.c state machine. */
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      val out = new java.io.ByteArrayOutputStream(rgb.length + 32)
+      def u32be(v: Int): Unit = {
+        out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+        out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+      }
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      u32be(width); u32be(height); out.write(3); out.write(0)
+      // packed RGBA with alpha fixed 0xFF: a virgin slot (0) can never
+      // equal a live pixel, reproducing reference qoi.c's behavior where
+      // the initial {0,0,0,0} entries never INDEX-match an opaque pixel
+      val index = new Array[Int](64)
+      var pr = 0; var pg = 0; var pb = 0 // previous pixel (alpha fixed 255)
+      var run = 0
+      var p = 0
+      while (p < rgb.length) {
+        val r = rgb(p) & 0xFF; val g = rgb(p + 1) & 0xFF; val b = rgb(p + 2) & 0xFF
+        if (r == pr && g == pg && b == pb) {
+          run += 1
+          if (run == 62) { out.write(0xC0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(0xC0 | (run - 1)); run = 0 }
+          val h = hash(r, g, b)
+          val packed = (r << 24) | (g << 16) | (b << 8) | 0xFF
+          if (index(h) == packed) {
+            out.write(h) // QOI_OP_INDEX (tag 00)
+          } else {
+            index(h) = packed
+            val dr = ((r - pr) << 24) >> 24; val dg = ((g - pg) << 24) >> 24
+            val db = ((b - pb) << 24) >> 24 // wrapping signed byte diffs
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)) // DIFF
+            else if (dg >= -32 && dg <= 31 &&
+                dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+              out.write(0x80 | (dg + 32)) // LUMA
+              out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+            } else {
+              out.write(0xFE); out.write(r); out.write(g); out.write(b) // RGB
+            }
+          }
+        }
+        pr = r; pg = g; pb = b
+        p += 3
+      }
+      if (run > 0) out.write(0xC0 | (run - 1))
+      (0 until 7).foreach(_ => out.write(0))
+      out.write(1)
+      out.toByteArray
+    }
+
+    /** Decode; None on any malformation. Accepts only the RGB layout this
+      * library writes (channels=3, colorspace 0/1). */
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      if (bytes.length < 14 + 8) return None
+      if (bytes(0) != 'q' || bytes(1) != 'o' || bytes(2) != 'i' || bytes(3) != 'f') return None
+      def u32be(o: Int): Long =
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      val w = u32be(4); val h = u32be(8)
+      val channels = bytes(12) & 0xFF; val colorspace = bytes(13) & 0xFF
+      if (w <= 0 || h <= 0 || w * h > Int.MaxValue / 4) return None
+      if (channels != 3 || colorspace > 1) return None
+      // a RUN op covers ≤ 62 pixels per stream byte: a header whose pixel
+      // count exceeds that ceiling cannot be satisfied by the stream —
+      // reject BEFORE allocating the raster (a hostile header must not
+      // allocate gigabytes to be refused)
+      if (w * h > (bytes.length - 22).toLong * 62) return None
+      val n = (w * h).toInt
+      val px = new Array[Byte](n * 3)
+      val index = new Array[Int](64) // packed RGBA (alpha 0xFF), decoder mirror
+      var r = 0; var g = 0; var b = 0
+      var run = 0
+      var i = 14
+      var p = 0
+      while (p < n) {
+        if (run > 0) run -= 1
+        else {
+          if (i >= bytes.length - 8) return None // ran into the end marker
+          val b1 = bytes(i) & 0xFF; i += 1
+          if (b1 == 0xFE) { // RGB
+            if (i + 3 > bytes.length - 8) return None
+            r = bytes(i) & 0xFF; g = bytes(i + 1) & 0xFF; b = bytes(i + 2) & 0xFF; i += 3
+          } else if (b1 == 0xFF) { // RGBA: alpha not representable here
+            return None
+          } else (b1 >> 6) match {
+            case 0 => // INDEX
+              val v = index(b1 & 0x3F)
+              r = (v >>> 24) & 0xFF; g = (v >>> 16) & 0xFF; b = (v >>> 8) & 0xFF
+            case 1 => // DIFF
+              r = (r + ((b1 >> 4) & 3) - 2) & 0xFF
+              g = (g + ((b1 >> 2) & 3) - 2) & 0xFF
+              b = (b + (b1 & 3) - 2) & 0xFF
+            case 2 => // LUMA
+              if (i >= bytes.length - 8) return None
+              val b2 = bytes(i) & 0xFF; i += 1
+              val dg = (b1 & 0x3F) - 32
+              r = (r + dg - 8 + ((b2 >> 4) & 0xF)) & 0xFF
+              g = (g + dg) & 0xFF
+              b = (b + dg - 8 + (b2 & 0xF)) & 0xFF
+            case _ => // RUN (0..61 biased by -1)
+              run = b1 & 0x3F
+              if (run > 61) return None // 0xFE/0xFF handled above; paranoia
+          }
+          index(hash(r, g, b)) = (r << 24) | (g << 16) | (b << 8) | 0xFF
+        }
+        px(p * 3) = r.toByte; px(p * 3 + 1) = g.toByte; px(p * 3 + 2) = b.toByte
+        p += 1
+      }
+      // exact end marker, nothing else trailing
+      if (i != bytes.length - 8) return None
+      val marker = Seq(0, 0, 0, 0, 0, 0, 0, 1)
+      if ((0 until 8).exists(j => (bytes(i + j) & 0xFF) != marker(j))) return None
+      Some(Image(w.toInt, h.toInt, px))
+    }
+  }
+
+  val QoiW = 8
+  val QoiH = 4
+
+  final case class QoiStats(doc_id: Long, width: Int, height: Int, enc_len: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Wrap each document's UTF-8 bytes as a QoiW×QoiH RGB raster
+    * (zero-padded) and QOI-ENCODE it — the compressed synthesis q91
+    * decodes back. */
+  def synthesizeQoi(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, QoiW * QoiH * 3)
+      MediaRow(id, Qoi.encode(QoiW, QoiH, px), "image/qoi", QoiW, QoiH)
+    }
+
+  /** REAL decode → per-channel pixel means (q58's stats over the
+    * roundtripped raster) plus the encoded length — the one field only
+    * the real codec can produce, oracle-checked as > 0 via the row's
+    * payload size... kept Spark-side only: enc_len is NOT oracled (DuckDB
+    * cannot re-run the encoder), so it is excluded from q91's output. */
+  def decodeQoiStats(rows: Iterator[MediaRow]): Iterator[QoiStats] =
+    rows.flatMap { r =>
+      Qoi.decode(r.payload).map { img =>
+        val n = img.width * img.height
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < n * 3) { sums(p % 3) += img.pixels(p) & 0xFF; p += 1 }
+        QoiStats(r.doc_id, img.width, img.height, r.payload.length.toLong,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q91 — the decode pipeline on a COMPRESSED real format: synthesize a
+    * QOI image per document (raster = the document's bytes, deterministic
+    * for the oracle), roundtrip it through the full INDEX/DIFF/LUMA/RUN
+    * op set, emit decoded dimensions + channel means. Retires the q35
+    * stub's load-bearing slot: PPM covers raw-raster parsing, WAV covers
+    * container walking, QOI covers stateful compressed decode. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeQoiStats(synthesizeQoi(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  // single-byte-corpus assumption: see the q58Sql note. The oracle is the
+  // roundtrip identity — decode(encode(raster)) == raster — so it
+  // recomputes the stats from the raw bytes exactly like q58's.
+  private val q91Sql = {
+    val raster = QoiW * QoiH * 3
+    def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id, j,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j)),
+       |agg AS (SELECT doc_id, ${chSum(0)} AS sr, ${chSum(1)} AS sg, ${chSum(2)} AS sb
+       |  FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($QoiW AS INTEGER) AS width, CAST($QoiH AS INTEGER) AS height,
+       |  sr / ${QoiW * QoiH}.0 AS mean_r, sg / ${QoiW * QoiH}.0 AS mean_g,
+       |  sb / ${QoiW * QoiH}.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
     GQuery("q55_multimodal_resize", q55, Some(q55Sql)),
     GQuery("q58_ppm_decode", q58, Some(q58Sql)),
     GQuery("q77_wav_decode", q77, Some(q77Sql)),
+    GQuery("q91_qoi_decode", q91, Some(q91Sql)),
   )
 }
