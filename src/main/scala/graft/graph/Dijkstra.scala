@@ -69,6 +69,41 @@ object Dijkstra {
     (g2, vraw)
   }
 
+  /** Target edges per partition for the iterative engines — the knob that
+    * governs PER-SUPERSTEP FIXED COST. Every superstep is one Spark job
+    * whose latency floor is task scheduling + closure shipping per task;
+    * a graph inherited at the session's default parallelism (32 here)
+    * pays that floor 32× per superstep even when each task holds a few
+    * thousand edges. High-diameter graphs multiply it by thousands of
+    * supersteps: the r6 hidiam probe (400k edges, 3,373 supersteps, 32
+    * partitions) spent ~0.4 s/superstep almost entirely on fixed cost.
+    * The engines therefore COALESCE the working graph so each partition
+    * holds ≥ this many edges (never repartitioning upward, so a genuinely
+    * large graph keeps its parallelism — at 100 TB the edge count divided
+    * by 128Ki exceeds any cluster's cores and this is a no-op). The graph
+    * analog of AQE's small-shuffle-partition coalescing. */
+  val EdgesPerPartition: Long = 131072L
+
+  /** Coalesce `g0`'s edge and vertex RDDs down to edge-count/
+    * [[EdgesPerPartition]] partitions (narrow dependency, no shuffle);
+    * no-op when the graph is already at or below that width. The rebuilt
+    * graph is materialized before the parent is released. */
+  private def adaptParts(g0: Graph[State, Double]): Graph[State, Double] = {
+    val nE = g0.edges.count() // materializes g0's edges (cached by caller)
+    val parts = g0.edges.getNumPartitions
+    val target = math.max(1L, (nE + EdgesPerPartition - 1L) / EdgesPerPartition)
+    if (target >= parts) g0
+    else {
+      val e2 = g0.edges.map(e => Edge(e.srcId, e.dstId, e.attr)).coalesce(target.toInt)
+      val v2 = g0.vertices.map(v => v).coalesce(target.toInt)
+      val g2 = Graph(v2, e2, (Double.PositiveInfinity, -1L)).cache()
+      g2.vertices.count(); g2.edges.count()
+      g0.unpersistVertices(blocking = false)
+      g0.edges.unpersist(blocking = false)
+      g2
+    }
+  }
+
   private def mergeState(a: State, b: State): State =
     if (a._1 < b._1) a
     else if (b._1 < a._1) b
@@ -101,8 +136,8 @@ object Dijkstra {
       maxIterations: Int = Int.MaxValue): Graph[State, Double] = {
     require(g.edges != null)
     import org.apache.spark.graphx.graftbridge.GraphXBridge
-    var cur: Graph[State, Double] = g.mapVertices((id, _) =>
-      if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache()
+    var cur: Graph[State, Double] = adaptParts(g.mapVertices((id, _) =>
+      if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache())
 
     var edgeRaw: org.apache.spark.rdd.RDD[Edge[Double]] = null
     var lastRoot: Option[org.apache.spark.rdd.RDD[(VertexId, State)]] = None
@@ -233,8 +268,8 @@ object Dijkstra {
     def improved(old: State, m: State): Boolean =
       m._1 < old._1 || (m._1 == old._1 && m._2 < old._2)
 
-    var cur: Graph[State, Double] = g.mapVertices((id, _) =>
-      if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache()
+    var cur: Graph[State, Double] = adaptParts(g.mapVertices((id, _) =>
+      if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache())
     cur.vertices.count(); cur.edges.count()
 
     // Δ selection and the heavy-edge probe scan CUR (just cached), never
