@@ -767,7 +767,13 @@ object GraphQueries {
     * under the [[graft.store.CorpusCaches]] LRU like q85's hops. */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = partSupplierEdges(s, dir).select($"src", $"dst").cache()
+    // cached PRE-PARTITIONED on the per-iteration join keys: every
+    // iteration joins e on src and deg on node, so hashing them once at
+    // cache time lets all ten joins reuse the cached partitioning
+    // instead of re-exchanging the edge table per iteration (the cold
+    // chain drops ~2 exchanges x iterations; warm is unaffected)
+    val e = partSupplierEdges(s, dir).select($"src", $"dst")
+      .repartition($"src").cache()
     val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count()
     val teleport = (3L * PrScale) / (20L * n)
