@@ -61,7 +61,18 @@ object AnnStream {
 
   /** File-source stream over a vectors directory: every arriving parquet
     * file of (vec_id, vec) rows is assigned and indexed.
-    * `maxFilesPerTrigger=1` keeps micro-batches file-sized. */
+    * `maxFilesPerTrigger=1` keeps micro-batches file-sized.
+    *
+    * The checkpoint lives beside the index (`<indexDir>.ckpt`) and is as
+    * durable as the index — load-bearing once [[compact]] has run: a
+    * fresh (temp) checkpoint restarts ids at 0 and re-lists EVERY source
+    * file, re-creating the already-folded batch partitions beside the
+    * consolidated negative generation, so every compacted vector is
+    * present twice and probes return duplicate candidates until the next
+    * compaction dedups them. A durable checkpoint resumes after the last
+    * delivered id, so only genuinely new files index. (Pre-compaction a
+    * full re-delivery is merely wasteful — same ids, same bytes,
+    * idempotent overwrites.) */
   def start(s: SparkSession, vecsDir: String, indexDir: String,
       cents: Seq[(Long, Seq[Double])],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -69,6 +80,7 @@ object AnnStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(vecsDir)
       .writeStream
+      .option("checkpointLocation", s"$indexDir.ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) processBatch(batch, batchId, indexDir, cents)
       }

@@ -69,13 +69,23 @@ object FunnelStream {
 
   /** File-source stream over an events directory of (user_id, event_type,
     * ts_us) parquet files; `maxFilesPerTrigger=1` keeps micro-batches
-    * file-sized. */
+    * file-sized.
+    *
+    * The checkpoint lives beside the store (`<storeDir>.ckpt`) and is as
+    * durable as the store: a fresh (temp) checkpoint restarts ids at 0
+    * and re-lists every source file, re-appending already-compacted
+    * events beside their negative generation. The ANSWER survives that
+    * (funnelStages is MIN/MAX aggregation — duplicate events are
+    * semantically invisible, as the [[compact]] crash-safety note
+    * documents), but the store doubles; a durable checkpoint resumes the
+    * id sequence so only new files ingest. */
   def start(s: SparkSession, eventsDir: String, storeDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(eventsDir)
       .writeStream
+      .option("checkpointLocation", s"$storeDir.ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) processBatch(batch, batchId, storeDir)
       }

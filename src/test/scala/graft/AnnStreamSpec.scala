@@ -109,6 +109,36 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(batches === Set("batch=-2"), s"expected generation -2, got $batches")
   }
 
+  test("restart after compaction: durable checkpoint prevents re-indexing folded files") {
+    import spark.implicits._
+    val e = emb.cache()
+    val root = java.nio.file.Files.createTempDirectory("annrestart").toString
+    val (vecsDir, indexDir) = (s"$root/vecs", s"$root/index")
+    new java.io.File(vecsDir).mkdirs()
+    def addSlice(sl: DataFrame, i: Int): Unit = {
+      sl.coalesce(1).write.parquet(s"$root/slice_$i")
+      val part = new java.io.File(s"$root/slice_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$vecsDir/vec_$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/slice_$i"))
+    }
+    addSlice(e.filter($"vec_id" < 250), 0)
+    AnnStream.start(spark, vecsDir, indexDir, cents).awaitTermination()
+    AnnStream.compact(spark, indexDir, throughBatch = 0L)
+    // a SECOND query lifetime over the same dirs after compaction: with a
+    // temp checkpoint it would re-list vec_0 and re-create its batch
+    // partitions BESIDE generation -1, duplicating every folded vector
+    addSlice(e.filter($"vec_id" >= 250), 1)
+    AnnStream.start(spark, vecsDir, indexDir, cents).awaitTermination()
+    val rows = spark.read.parquet(indexDir).select($"vec_id")
+      .collect().map(_.getLong(0))
+    assert(rows.length === rows.distinct.length,
+      "restart re-indexed compacted files — duplicate vec_ids in the index")
+    val want = Similarity.assignToCentroids(e, cents)
+      .select($"vec_id", $"cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assignments(indexDir) === want, "post-restart index diverged from batch assignment")
+  }
+
   test("batch replay is idempotent: index content identical after redelivery") {
     import spark.implicits._
     val e = emb.cache()
