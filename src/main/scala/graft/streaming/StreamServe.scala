@@ -105,8 +105,44 @@ object StreamServe {
     Similarity.ivfServeTopK(s, dir, indexDir, cents)
   }
 
+  /** q92 — the EXACT component of the [[KllStream]] state served across
+    * TWO query lifetimes: events (event_type, value) split at the median
+    * timestamp, the first half drained by one start(), the second half
+    * arriving only after a RESTART over the same state/source dirs. The
+    * oracle (per-group COUNT over all events) is satisfiable only if the
+    * durable-checkpoint contract holds: a fresh temp checkpoint on the
+    * second lifetime would re-list the first file at batch 0 ≤ the
+    * persisted high-water mark and the replay guard would DROP the new
+    * data (halved counts); re-folding would double them. The approximate
+    * quantile estimates ride along spec-gated (KllStreamSpec's rank-error
+    * bound) — only the exact-count contract is SQL-expressible. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("kllserve")
+    val (inDir, stateDir) = (s"$root/in", s"$root/state")
+    val e = graft.Tables.events(s, dir)
+      .select($"event_type".as("grp"), $"value".cast("double").as("value"), $"ts_us")
+      .cache()
+    val mid = e.agg(expr("percentile_approx(ts_us, 0.5)")).head.getLong(0)
+    writeSlices(inDir, "m", Seq(e.filter($"ts_us" <= mid).drop("ts_us")))
+    KllStream.start(s, inDir, stateDir).awaitTermination()
+    // second lifetime: the late half arrives only now — a restarted query
+    // must resume the batch-id sequence to fold it exactly once
+    writeSlices(inDir, "late", Seq(e.filter($"ts_us" > mid).drop("ts_us")))
+    e.unpersist()
+    KllStream.start(s, inDir, stateDir).awaitTermination()
+    KllStream.estimates(s, stateDir)
+      .select(col("grp"), col("n"))
+      .orderBy(col("grp"))
+  }
+
+  private val q92Sql =
+    """SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY grp""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
+    GQuery("q92_stream_kll_serve", q92, Some(q92Sql)),
   )
 }

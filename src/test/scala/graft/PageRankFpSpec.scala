@@ -15,6 +15,25 @@ class PageRankFpSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("q90 plan: exchanges stay at the one-per-iteration floor") {
+    // e/deg are cached pre-partitioned on the join keys, so each of the
+    // 10 iterations needs exactly ONE exchange (the aggregate re-keys
+    // node → dst — unavoidable, the output key differs) and the joins
+    // are exchange-free; endpoints (initial repartition, final sort,
+    // count-side plans) add a constant handful. Audited at 17; a lost
+    // partitioning-reuse (e.g. dropping the repartition-at-cache or an
+    // alias Catalyst stops tracking) jumps this to ~27+.
+    val plan = SparkEntry.queries("q90_scale_pagerank_fp")(spark, dir)
+      .queryExecution.sparkPlan
+    // typed traversal of the OPERATOR tree: a text count over treeString
+    // also sweeps up the plans embedded in InMemoryRelation printouts
+    val n = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.size
+    assert(n <= 2 * GraphQueries.PrIters,
+      s"q90 plan has $n exchanges — partitioning reuse lost (expected ~${GraphQueries.PrIters + 7})")
+  }
+
   test("q90 fixed-point ranks within 1e-9 of double PageRank; mass conserved") {
     val edges = GraphQueries.partSupplierEdges(spark, dir)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
