@@ -439,7 +439,7 @@ object GraphQueries {
     * sf0.1, DuckDB 1.0.0); the single-reference shape still guarantees
     * linear inlining on engines that ignore the hint. Validated against
     * an independent driver-side simulation at all three shipped SFs. */
-  private val q80Sql = {
+  private[graft] val q80Sql = {
     val steps = (1 to ScaleCcRounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT e.dst AS node, MIN(p.label) AS label

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.GQuery
-import graft.operators.{Similarity, TemporalJoins}
+import graft.operators.{GraphQueries, Similarity, TemporalJoins}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,9 +140,39 @@ object StreamServe {
     """SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type ORDER BY grp""".stripMargin
 
+  /** q93 — q80's connected components SERVED FROM the [[CcStream]]-
+    * maintained label store: the sparse part⟷supplier pairs arrive in
+    * three micro-batches SLICED BY SUPPLIER, so a part whose suppliers
+    * land in different batches exists as separate provisional components
+    * until the merging batch arrives — the cross-batch component-merge
+    * path (the reason labels are not a monoid) is load-bearing, not
+    * incidental. Batches 0–1 are compacted into a negative generation
+    * with batch 2 live before serving. Oracle: q80's batch SQL verbatim
+    * — the final snapshot must equal the from-scratch min-label result
+    * exactly. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("ccserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select(($"l_partkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+      .distinct().cache()
+    writeSlices(inDir, "edges", Seq(
+      pairs.filter(expr("(dst div 2) % 3 = 0")),
+      pairs.filter(expr("(dst div 2) % 3 = 1")),
+      pairs.filter(expr("(dst div 2) % 3 = 2"))))
+    CcStream.start(s, inDir, storeDir).awaitTermination()
+    pairs.unpersist()
+    CcStream.compact(s, storeDir, throughBatch = 1L)
+    CcStream.snapshot(s, storeDir).orderBy($"node")
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
     GQuery("q92_stream_kll_serve", q92, Some(q92Sql)),
+    GQuery("q93_stream_cc_serve", q93, Some(GraphQueries.q80Sql)),
   )
 }
