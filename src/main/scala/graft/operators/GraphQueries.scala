@@ -345,7 +345,7 @@ object GraphQueries {
     * path of cost ≤ B has all prefixes ≤ B, so the enumeration finds the
     * true distance of every vertex inside the budget, and both engines
     * exclude vertices beyond it. Validated at sf0.01 in 0.6 s. */
-  private val q79Sql =
+  private[graft] val q79Sql =
     s"""WITH RECURSIVE pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem),
        |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst,
        |              CAST(1 + (p*3 + su*5) % 7 AS BIGINT) AS w FROM pairs),

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance of a bounded-cost single-source distance table
+  * under edge arrivals — the third maintained GRAPH/analytics store, and
+  * the MONOTONE member of the family: unlike component labels
+  * ([[CcStream]] — recompute-only) and funnels ([[FunnelStream]] — a
+  * late arrival can invalidate state), edge INSERTIONS only ever LOWER
+  * shortest-path distances. That monotonicity is the whole design: the
+  * current distance table is a valid set of upper bounds over the grown
+  * graph, so one Bellman–Ford relaxation pass seeded at the new edges'
+  * endpoints — improvements propagating through ALL edges until the
+  * fixpoint — is EXACT, with no recompute and no invalidation. This is
+  * the classical easy half of dynamic SSSP (insert-only ≡ decrease-only),
+  * expressed as bounded DataFrame relaxation rounds.
+  *
+  * Per micro-batch:
+  *   1. append the batch's undirected edges (symmetrized, weight kept
+  *      both ways) under `edges/batch=<id>` — idempotent dynamic
+  *      overwrite;
+  *   2. seed improvements: the source at distance 0 if unseen, plus
+  *      every relaxation of a NEW edge from the current table (old edges
+  *      were already at fixpoint against unchanged distances — relaxing
+  *      them again without an improved endpoint yields nothing);
+  *   3. propagate: while improvements exist, relax the improved
+  *      frontier's out-edges over the FULL edge set (one equi-join + one
+  *      min-aggregate per round — the SpMV shape; one bounded driver
+  *      count per round; `localCheckpoint` per round cuts the lineage);
+  *      integer distances in (0, budget] strictly decrease per node, so
+  *      termination is bounded by the budget even adversarially;
+  *   4. write ONLY the improved rows under `dists/batch=<id>`; serving
+  *      takes each node's freshest row — monotonicity makes freshest ≡
+  *      minimum, the [[FunnelStream]] window rule carrying the proof.
+  *
+  * Distances above `budget` are excluded exactly as the batch q79
+  * operator excludes them (part of the operator's semantics, and what
+  * bounds the relaxation frontier). SsspStreamSpec pins equality with
+  * batch q79 under splits where late edges SHORTEN already-served
+  * distances — the path that distinguishes maintenance from append.
+  */
+object SsspStream {
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("w", LongType, nullable = false)))
+
+  /** Freshest distance per node (≡ minimum, by monotonicity): live
+    * batches outrank compacted generations; newest generation wins. */
+  def snapshot(s: SparkSession, storeDir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"node")
+      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
+    s.read.parquet(s"$storeDir/dists")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"node", $"dist")
+  }
+
+  private def distsExist(s: SparkSession, storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/dists")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** min-merge two (node, dist) tables. */
+  private def merged(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+
+  /** rows of `cand` strictly better than `cur` (or for unseen nodes). */
+  private def improvements(cand: DataFrame, cur: DataFrame): DataFrame =
+    cand.join(cur.withColumnRenamed("dist", "old"), Seq("node"), "left")
+      .filter(col("old").isNull || col("dist") < col("old"))
+      .select(col("node"), col("dist"))
+
+  /** Ingest one micro-batch of UNDIRECTED weighted edge rows and relax
+    * every distance they improve. Idempotent under redelivery. */
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      source: Long, budget: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val sym = batch.select($"src", $"dst", $"w")
+      .union(batch.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    sym.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$storeDir/edges")
+    val allEdges = s.read.parquet(s"$storeDir/edges")
+      .filter($"batch" <= batchId)
+      .select($"src", $"dst", $"w")
+    val current =
+      if (distsExist(s, storeDir)) snapshot(s, storeDir)
+      else s.emptyDataset[(Long, Long)].toDF("node", "dist")
+    def relax(frontier: DataFrame, edges: DataFrame): DataFrame =
+      frontier.withColumnRenamed("node", "src")
+        .join(edges, "src")
+        .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
+        .filter($"dist" <= budget)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+    // seeds: the source if unseen + new-edge relaxations of current dists
+    val sourceRow = Seq((source, 0L)).toDF("node", "dist")
+      .join(current, Seq("node"), "left_anti")
+    var frontier = improvements(
+      merged(sourceRow, relax(merged(current, sourceRow), sym)), current)
+      .localCheckpoint()
+    var improvedAll = frontier
+    var cur = merged(current, frontier).localCheckpoint()
+    while (!frontier.isEmpty) {
+      val next = improvements(relax(frontier, allEdges), cur).localCheckpoint()
+      improvedAll = merged(improvedAll, next)
+      cur = merged(cur, next).localCheckpoint()
+      frontier = next
+    }
+    if (!improvedAll.isEmpty)
+      improvedAll
+        .withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$storeDir/dists")
+  }
+
+  /** File-source stream over an edges directory; durable checkpoint
+    * beside the store (`<storeDir>.ckpt`) keeps restarts incremental
+    * (re-delivery would converge — relaxation from a valid table is
+    * idempotent — but re-relax every batch). */
+  def start(s: SparkSession, edgesDir: String, storeDir: String,
+      source: Long, budget: Long,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    s.readStream.schema(edgeSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(edgesDir)
+      .writeStream
+      .option("checkpointLocation", s"$storeDir.ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, storeDir, source, budget)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Fold batches ≤ `throughBatch` (plus prior generations) into one
+    * negative generation: edges dedup, dists keep each node's freshest
+    * (= minimum) row. One compactor at a time. */
+  def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    def fold(sub: String)(stage: DataFrame => DataFrame): Unit = {
+      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
+      val batchIds = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
+      if (sources.nonEmpty) {
+        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+        val src = s.read.parquet(s"$storeDir/$sub")
+          .filter($"batch".isInCollection(sources))
+        stage(src).localCheckpoint()
+          .withColumn("batch", lit(stagingId))
+          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$storeDir/$sub")
+        sources.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
+        }
+      }
+    }
+    fold("edges")(_.select($"src", $"dst", $"w").distinct())
+    fold("dists") { src =>
+      val w = Window.partitionBy($"node")
+        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
+      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"node", $"dist")
+    }
+  }
+}

@@ -169,10 +169,41 @@ object StreamServe {
     CcStream.snapshot(s, storeDir).orderBy($"node")
   }
 
+  /** q94 — q79's bounded-cost distance table SERVED FROM the
+    * [[SsspStream]]-maintained store: the weighted part⟷supplier pairs
+    * arrive in three micro-batches SLICED BY SUPPLIER, so later batches
+    * carry edges that SHORTEN distances already served after earlier
+    * ones — the monotone-maintenance path (incremental relaxation, no
+    * recompute) is load-bearing. Batches 0–1 compacted, batch 2 live.
+    * Oracle: q79's bounded path-enumeration SQL verbatim. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("ssspserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+        (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"))
+      .cache()
+    val source = 2L * graft.Tables.t(s, dir, "lineitem")
+      .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
+    writeSlices(inDir, "edges", Seq(
+      pairs.filter(expr("(dst div 2) % 3 = 0")),
+      pairs.filter(expr("(dst div 2) % 3 = 1")),
+      pairs.filter(expr("(dst div 2) % 3 = 2"))))
+    SsspStream.start(s, inDir, storeDir, source, GraphQueries.ScaleSsspBudget)
+      .awaitTermination()
+    pairs.unpersist()
+    SsspStream.compact(s, storeDir, throughBatch = 1L)
+    SsspStream.snapshot(s, storeDir).orderBy($"node")
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
     GQuery("q92_stream_kll_serve", q92, Some(q92Sql)),
     GQuery("q93_stream_cc_serve", q93, Some(GraphQueries.q80Sql)),
+    GQuery("q94_stream_sssp_serve", q94, Some(GraphQueries.q79Sql)),
   )
 }
