@@ -661,6 +661,233 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Pure-JVM codec for PNG (RGB-8, color type 2) — the FOURTH real
+    * format, and the first with an industry-standard compression stack:
+    * zlib DEFLATE via `java.util.zip` (platform stdlib), per-chunk CRC32
+    * validation, and the five PNG scanline filters (None/Sub/Up/Average/
+    * Paeth). The encoder rotates the filter per row (`row % 5`), so a
+    * roundtrip exercises every filter's ENCODE and DECODE arithmetic —
+    * an off-by-one in the Paeth predictor or the Average floor shifts
+    * pixels and fails q95's hash gate. Malformed payloads — bad
+    * signature, CRC mismatch, non-RGB8 header, truncated or over-long
+    * inflate, bad filter byte — decode to None (S8). Interlace,
+    * palettes, alpha and 16-bit depths are rejected, not mis-decoded. */
+  object Png {
+    final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+    private val Signature =
+      Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+
+    private def crcOf(typeAndData: Array[Byte]): Long = {
+      val c = new java.util.zip.CRC32
+      c.update(typeAndData)
+      c.getValue
+    }
+
+    private def u32be(v: Long): Array[Byte] =
+      Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+        ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val td = ctype.getBytes("US-ASCII") ++ data
+      u32be(data.length.toLong) ++ td ++ u32be(crcOf(td))
+    }
+
+    /** Paeth predictor (the PNG spec's exact tie-breaking order). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode an RGB-8 raster; scanline r carries filter `r % 5`, so
+      * every filter type appears in any image of ≥ 5 rows. */
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      val stride = width * 3
+      val raw = new Array[Byte](height * (1 + stride))
+      var r = 0
+      while (r < height) {
+        val f = r % 5
+        raw(r * (1 + stride)) = f.toByte
+        var i = 0
+        while (i < stride) {
+          val cur = rgb(r * stride + i) & 0xFF
+          val left = if (i >= 3) rgb(r * stride + i - 3) & 0xFF else 0
+          val up = if (r > 0) rgb((r - 1) * stride + i) & 0xFF else 0
+          val ul = if (r > 0 && i >= 3) rgb((r - 1) * stride + i - 3) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => paeth(left, up, ul)
+          }
+          raw(r * (1 + stride) + 1 + i) = ((cur - pred) & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = u32be(width.toLong) ++ u32be(height.toLong) ++
+        Array[Byte](8, 2, 0, 0, 0) // depth 8, RGB, deflate, adaptive, no interlace
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+
+    /** Decode; None on any malformation. RGB-8 non-interlaced only. */
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      if (bytes.length < 8 + 25 + 12 || !bytes.take(8).sameElements(Signature)) return None
+      def be32(o: Int): Long =
+        ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+          ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+      var i = 8
+      var w = 0L; var h = 0L
+      var sawIhdr = false; var sawIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawIend) {
+        if (i + 12 > bytes.length) return None
+        val len = be32(i)
+        if (len > bytes.length - i - 12) return None
+        val ctype = new String(bytes, i + 4, 4, "US-ASCII")
+        val td = java.util.Arrays.copyOfRange(bytes, i + 4, i + 8 + len.toInt)
+        if (crcOf(td) != be32(i + 8 + len.toInt)) return None
+        ctype match {
+          case "IHDR" =>
+            if (sawIhdr || len != 13) return None
+            sawIhdr = true
+            w = be32(i + 8); h = be32(i + 12)
+            val (depth, color, comp, filt, inter) =
+              (bytes(i + 16), bytes(i + 17), bytes(i + 18), bytes(i + 19), bytes(i + 20))
+            if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+              comp != 0 || filt != 0 || inter != 0) return None
+            // inflate target is h*(1+w*3) bytes: refuse hostile headers
+            // before allocating (the q91 guard, PNG edition)
+            if (w * h > Int.MaxValue / 4 || h * (1 + w * 3) > bytes.length.toLong * 1032 + (1 << 20))
+              return None
+          case "IDAT" =>
+            if (!sawIhdr) return None
+            idat.write(bytes, i + 8, len.toInt)
+          case "IEND" =>
+            if (!sawIhdr || len != 0) return None
+            sawIend = true
+          case _ => () // ancillary chunks skipped (CRC still validated)
+        }
+        i += 12 + len.toInt
+      }
+      if (i != bytes.length) return None
+      val stride = (w * 3).toInt
+      val expect = (h * (1 + stride)).toInt
+      val raw = new Array[Byte](expect)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val got = try {
+        var off = 0
+        while (off < expect && !inflater.finished()) {
+          val n = inflater.inflate(raw, off, expect - off)
+          if (n == 0 && inflater.needsInput()) return None // truncated stream
+          off += n
+        }
+        // an over-long stream means the header lied about dimensions
+        if (!inflater.finished() && inflater.inflate(new Array[Byte](1)) > 0) return None
+        off
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inflater.end()
+      if (got != expect) return None
+      val px = new Array[Byte]((h * stride).toInt)
+      var r = 0
+      while (r < h) {
+        val f = raw(r * (1 + stride)) & 0xFF
+        if (f > 4) return None
+        var j = 0
+        while (j < stride) {
+          val x = raw(r * (1 + stride) + 1 + j) & 0xFF
+          val left = if (j >= 3) px(r * stride + j - 3) & 0xFF else 0
+          val up = if (r > 0) px((r - 1) * stride + j) & 0xFF else 0
+          val ul = if (r > 0 && j >= 3) px((r - 1) * stride + j - 3) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => paeth(left, up, ul)
+          }
+          px(r * stride + j) = ((x + pred) & 0xFF).toByte
+          j += 1
+        }
+        r += 1
+      }
+      Some(Image(w.toInt, h.toInt, px))
+    }
+  }
+
+  val PngW = 8
+  val PngH = 5 // ≥ 5 rows: the encoder's row-rotating filter hits all five
+
+  final case class PngStats(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Wrap each document's UTF-8 bytes as a PngW×PngH RGB raster
+    * (zero-padded) and PNG-ENCODE it through the rotating filters. */
+  def synthesizePng(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, PngW * PngH * 3)
+      MediaRow(id, Png.encode(PngW, PngH, px), "image/png", PngW, PngH)
+    }
+
+  /** REAL decode → per-channel pixel means (the q58/q91 stats over the
+    * roundtripped raster). */
+  def decodePngStats(rows: Iterator[MediaRow]): Iterator[PngStats] =
+    rows.flatMap { r =>
+      Png.decode(r.payload).map { img =>
+        val n = img.width * img.height
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < n * 3) { sums(p % 3) += img.pixels(p) & 0xFF; p += 1 }
+        PngStats(r.doc_id, img.width, img.height,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q95 — the decode pipeline on the INDUSTRY-STANDARD compressed
+    * format: synthesize a real PNG per document (zlib DEFLATE, CRC32
+    * chunks, all five scanline filters load-bearing via row rotation),
+    * decode it back with the chunk-walking + inflate + de-filter
+    * pipeline, emit decoded dimensions + channel means. Completes the
+    * format bracket: PPM (raw raster), WAV (container walk), QOI
+    * (stateful compressed ops), PNG (checksummed chunks over a real
+    * compression stack). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodePngStats(synthesizePng(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  // single-byte-corpus assumption: see the q58Sql note. Oracle = the
+  // roundtrip identity, stats recomputed from the raw bytes.
+  private val q95Sql = {
+    val raster = PngW * PngH * 3
+    def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id, j,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j)),
+       |agg AS (SELECT doc_id, ${chSum(0)} AS sr, ${chSum(1)} AS sg, ${chSum(2)} AS sb
+       |  FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($PngW AS INTEGER) AS width, CAST($PngH AS INTEGER) AS height,
+       |  sr / ${PngW * PngH}.0 AS mean_r, sg / ${PngW * PngH}.0 AS mean_g,
+       |  sb / ${PngW * PngH}.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -668,5 +895,6 @@ object Multimodal {
     GQuery("q58_ppm_decode", q58, Some(q58Sql)),
     GQuery("q77_wav_decode", q77, Some(q77Sql)),
     GQuery("q91_qoi_decode", q91, Some(q91Sql)),
+    GQuery("q95_png_decode", q95, Some(q95Sql)),
   )
 }
