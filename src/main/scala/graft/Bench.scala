@@ -80,7 +80,14 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
       s""""runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    // self-announcing headline on its own short line, BOTH before and after
+    // the big JSON: the driver's stdout capture has truncated the JSON two
+    // rounds running, and whichever end the capture keeps must still carry
+    // the verdict-relevant numbers
+    val headline = f"[bench] total=$total%.3fs failed=$failed queries=${results.length}"
+    println(headline)
     println(json)
+    println(headline)
     // the stdout line has been truncated by output capture before (r6's
     // artifact lost its warm map to a tail cut) — persist the full JSON to a
     // file as well so the per-query maps always survive the run

@@ -540,7 +540,11 @@ object Multimodal {
           ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
       val w = u32be(4); val h = u32be(8)
       val channels = bytes(12) & 0xFF; val colorspace = bytes(13) & 0xFF
-      if (w <= 0 || h <= 0 || w * h > Int.MaxValue / 4) return None
+      // each dimension is an unsigned 32-bit field (≤ 4.29e9): clamp BOTH
+      // before multiplying — the product of two such values can overflow
+      // even a Long and wrap past the w*h guard below
+      if (w <= 0 || h <= 0 || w > (1L << 24) || h > (1L << 24)) return None
+      if (w * h > Int.MaxValue / 4) return None
       if (channels != 3 || colorspace > 1) return None
       // a RUN op covers ≤ 62 pixels per stream byte: a header whose pixel
       // count exceeds that ceiling cannot be satisfied by the stream —
@@ -766,6 +770,10 @@ object Multimodal {
               (bytes(i + 16), bytes(i + 17), bytes(i + 18), bytes(i + 19), bytes(i + 20))
             if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
               comp != 0 || filt != 0 || inter != 0) return None
+            // each dimension is an unsigned 32-bit field: clamp BOTH before
+            // any product — w*h of two ~4e9 values overflows even a Long and
+            // would wrap past the guards below
+            if (w > (1L << 24) || h > (1L << 24)) return None
             // inflate target is h*(1+w*3) bytes: refuse hostile headers
             // before allocating (the q91 guard, PNG edition)
             if (w * h > Int.MaxValue / 4 || h * (1 + w * 3) > bytes.length.toLong * 1032 + (1 << 20))
@@ -790,7 +798,10 @@ object Multimodal {
         var off = 0
         while (off < expect && !inflater.finished()) {
           val n = inflater.inflate(raw, off, expect - off)
-          if (n == 0 && inflater.needsInput()) return None // truncated stream
+          // any zero-progress iteration is malformed: needsInput ⇒ truncated
+          // stream; otherwise (e.g. FDICT preset-dictionary header) inflate
+          // would return 0 forever and spin this loop — reject, don't hang
+          if (n == 0) return None
           off += n
         }
         // an over-long stream means the header lied about dimensions

@@ -27,12 +27,35 @@ import org.apache.spark.sql.SparkSession
   * slot. Thread-safe via a single lock; release closures run while it is
   * held, which is fine for the cache-map/unpersist work they do (none
   * re-enter [[retain]]).
+  *
+  * CONCURRENCY CONTRACT: eviction runs releasers eagerly, and some
+  * releasers destroy live artifacts (Similarity's deletes the on-disk IVF
+  * index files; q85's unpersists the hop frames). The governor therefore
+  * assumes queries over a session are issued one at a time (the harness's
+  * and the HTTP server's model): with concurrent queries spanning more
+  * than [[capacity]] corpora, retaining corpus N+1 could release an index
+  * another thread is actively probing. A deployment that needs concurrent
+  * multi-corpus serving should raise the capacity above its working set —
+  * entries within capacity are never touched.
+  *
+  * Entries whose session has been stopped are swept on the next
+  * [[retain]]/[[touch]]: a long-lived multi-session JVM no longer retains
+  * dead sessions' closures until live corpora happen to push them out.
   */
 object CorpusCaches {
 
-  /** Max distinct (session, corpus) entries held before LRU eviction. */
-  def capacity: Int =
-    math.max(1, sys.props.getOrElse("graft.cache.corpora", "4").toInt)
+  /** Max distinct (session, corpus) entries held before LRU eviction.
+    * Re-read per call (tests resize it at runtime); a malformed value
+    * falls back to the default rather than throwing mid-query. */
+  def capacity: Int = {
+    val raw = sys.props.getOrElse("graft.cache.corpora", "4")
+    math.max(1, scala.util.Try(raw.trim.toInt).getOrElse(4))
+  }
+
+  /** Stopped-session predicate — a seam so the sweep is spec-testable
+    * without tearing down the suite's shared SparkContext. */
+  private[graft] var stoppedCheck: SparkSession => Boolean =
+    s => s.sparkContext.isStopped
 
   // access-ordered: iteration starts at the least-recently-used entry
   private val order =
@@ -44,6 +67,7 @@ object CorpusCaches {
     * releaser per (corpus, slot). Evicts LRU corpora beyond [[capacity]]. */
   def retain(s: SparkSession, dir: String, slot: String)(release: () => Unit): Unit =
     synchronized {
+      sweepStoppedLocked()
       slots.getOrElseUpdate((s, dir), scala.collection.mutable.Map.empty)
         .update(slot, release)
       order.put((s, dir), true)
@@ -52,6 +76,7 @@ object CorpusCaches {
 
   /** Refresh recency of an already-held corpus without registering. */
   def touch(s: SparkSession, dir: String): Unit = synchronized {
+    sweepStoppedLocked()
     if (order.containsKey((s, dir))) { order.put((s, dir), true); () }
   }
 
@@ -64,6 +89,15 @@ object CorpusCaches {
   def held(s: SparkSession): Seq[String] = synchronized {
     import scala.jdk.CollectionConverters._
     order.keySet.asScala.toSeq.collect { case (`s`, d) => d }
+  }
+
+  // drop every corpus whose session has stopped: its releasers run (each
+  // guarded — unpersist on a dead context throws, harmlessly) and the dead
+  // session's closures stop occupying capacity a live session needs
+  private def sweepStoppedLocked(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dead = order.keySet.asScala.filter(k => stoppedCheck(k._1)).toList
+    dead.foreach(releaseLocked)
   }
 
   private def releaseLocked(k: (SparkSession, String)): Unit = {

@@ -42,6 +42,14 @@ import org.apache.spark.sql.types._
   * bounds the relaxation frontier). SsspStreamSpec pins equality with
   * batch q79 under splits where late edges SHORTEN already-served
   * distances — the path that distinguishes maintenance from append.
+  *
+  * PRECONDITION: edge weights must be NON-NEGATIVE. Every leg of the
+  * design — insert-only ≡ decrease-only monotonicity, freshest ≡ minimum
+  * serving, and the budget-bounded termination argument — holds only for
+  * w ≥ 0; [[processBatch]] enforces it by dropping negative-weight rows
+  * (matching the batch q79 operator, whose fixture weights are
+  * non-negative by construction) rather than silently serving wrong
+  * distances.
   */
 object SsspStream {
 
@@ -83,8 +91,11 @@ object SsspStream {
       source: Long, budget: Long): Unit = {
     val s = batch.sparkSession
     import s.implicits._
-    val sym = batch.select($"src", $"dst", $"w")
-      .union(batch.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    // negative weights void every invariant here (see scaladoc): drop them
+    // at the door so a bad feed cannot poison the monotone store
+    val valid = batch.filter($"w" >= 0)
+    val sym = valid.select($"src", $"dst", $"w")
+      .union(valid.select($"dst".as("src"), $"src".as("dst"), $"w"))
     sym.withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/edges")

@@ -24,16 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object StreamServe {
 
+  // ONE static shutdown hook draining a queue of temp roots: repeated
+  // invocations in a long session enqueue paths instead of accumulating
+  // one JVM hook each (hook count is constant; StreamServeHookSpec pins it)
+  private[graft] val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  // observable pin for the one-hook contract (StreamServeHookSpec)
+  private[graft] val hookRegistrations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  locally {
+    hookRegistrations.incrementAndGet()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = tempRoots.poll()
+      while (d != null) {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+        d = tempRoots.poll()
+      }
+    }))
+  }
+
   /** Fresh per-invocation working directory, reclaimed at JVM exit (the
     * Similarity.ivfIndex temp-store pattern). */
-  private def tempRoot(prefix: String): String = {
+  private[graft] def tempRoot(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
+    tempRoots.add(d)
     d.toString
   }
 

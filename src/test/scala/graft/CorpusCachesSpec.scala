@@ -45,6 +45,42 @@ class CorpusCachesSpec extends AnyFunSuite {
     }
   }
 
+  test("stopped session's corpora are swept on the next retain, live session's kept") {
+    withCapacity(4) {
+      val dead = spark.newSession() // distinct SparkSession object, shared context
+      CorpusCaches.held(spark).foreach(d => CorpusCaches.release(spark, d))
+      CorpusCaches.held(dead).foreach(d => CorpusCaches.release(dead, d))
+      var released = List.empty[String]
+      CorpusCaches.retain(dead, "/spec/dead1", "spec")(() => released ::= "dead1")
+      CorpusCaches.retain(spark, "/spec/live1", "spec")(() => released ::= "live1")
+      // mark the sibling session stopped through the spec seam (stopping it
+      // for real would tear down the suite's shared SparkContext)
+      val prevCheck = CorpusCaches.stoppedCheck
+      try {
+        CorpusCaches.stoppedCheck = s => s eq dead
+        CorpusCaches.retain(spark, "/spec/live2", "spec")(() => released ::= "live2")
+        assert(released === List("dead1"),
+          s"dead session's releaser must run, live ones must not: $released")
+        assert(CorpusCaches.held(dead).isEmpty, "dead session still holds corpora")
+        assert(CorpusCaches.held(spark).toSet === Set("/spec/live1", "/spec/live2"),
+          "live session's corpora must survive the sweep")
+      } finally {
+        CorpusCaches.stoppedCheck = prevCheck
+        CorpusCaches.held(spark).foreach(d => CorpusCaches.release(spark, d))
+      }
+    }
+  }
+
+  test("malformed capacity property falls back to the default instead of throwing") {
+    val prev = sys.props.get("graft.cache.corpora")
+    sys.props("graft.cache.corpora") = "not-a-number"
+    try assert(CorpusCaches.capacity === 4)
+    finally prev match {
+      case Some(v) => sys.props("graft.cache.corpora") = v
+      case None => sys.props -= "graft.cache.corpora"
+    }
+  }
+
   test("explicit release forces a clean rebuild with identical results") {
     import graft.operators.Similarity
     val before = Similarity.trainedCentroids(spark, dir)

@@ -101,4 +101,24 @@ class PngSpec extends AnyFunSuite {
     val short = png(2, 4, Array[Byte](0, 1, 2, 3, 4, 5, 6))
     assert(Png.decode(short).isEmpty, "raster shortfall")
   }
+
+  test("hostile header whose w*h overflows a Long is rejected without allocating") {
+    // w=0xFFFFFFFF, h=0x80000001: the unsigned product ≈ 9.2e18 wraps a
+    // signed Long negative, slipping past a product-only guard — the
+    // per-dimension clamp must refuse it (None, no multi-GB allocation)
+    val hostile = png(0xFFFFFFFF, 0x80000001, Array[Byte](0, 1, 2, 3, 4, 5, 6))
+    assert(Png.decode(hostile).isEmpty, "Long-overflow dimensions rejected")
+  }
+
+  test("zlib FDICT header terminates with None instead of spinning the inflate loop") {
+    // CMF=0x78, FLG=0x20: FDICT set, (0x78*256+0x20) % 31 == 0 so the
+    // header itself is valid zlib — Inflater then returns 0 forever with
+    // needsInput()==false until a preset dictionary is supplied; the
+    // decoder must treat the zero-progress round as malformed
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 9, 9, 9, 9)
+    val stream = sig ++ chunk("IHDR", u32be(2L) ++ u32be(2L) ++
+      Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.empty[Byte])
+    assert(Png.decode(stream).isEmpty, "FDICT stream must be refused, not hung")
+  }
 }

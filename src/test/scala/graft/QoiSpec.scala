@@ -102,4 +102,16 @@ class QoiSpec extends AnyFunSuite {
     val short = header(4, 4) ++ Array[Byte](0xFE.toByte, 1, 2, 3) ++ marker
     assert(Qoi.decode(short).isEmpty, "raster shortfall")
   }
+
+  test("hostile header whose w*h overflows a Long is rejected without allocating") {
+    // w=0xFFFFFFFF, h=0x80000001: unsigned 32-bit fields whose product
+    // ≈ 9.2e18 wraps a signed Long negative, slipping past a product-only
+    // guard — the per-dimension clamp must refuse it before allocation
+    val hostile = Array[Byte]('q', 'o', 'i', 'f',
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, // w = 0xFFFFFFFF
+      0x80.toByte, 0, 0, 1, // h = 0x80000001
+      3, 0) ++
+      Array[Byte](0xFE.toByte, 1, 2, 3) ++ marker
+    assert(Qoi.decode(hostile).isEmpty, "Long-overflow dimensions rejected")
+  }
 }

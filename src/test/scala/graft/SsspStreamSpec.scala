@@ -95,4 +95,16 @@ class SsspStreamSpec extends AnyFunSuite {
       source, GraphQueries.ScaleSsspBudget)
     assert(snapshotOf(store) === want, "post-compaction redelivery broke the snapshot")
   }
+
+  test("negative-weight edges are dropped at ingest (precondition enforced)") {
+    import spark.implicits._
+    val e = pairs.cache()
+    val want = batchWant
+    // poison rows: negative weights between real endpoints — if ingested
+    // they would lower served distances below the batch oracle
+    val poison = e.limit(5).select($"src", $"dst", ($"w" * -10).as("w"))
+    val store = ingest(Seq(e.union(poison)))
+    assert(snapshotOf(store) === want,
+      "negative-weight rows must be filtered, not relaxed into the store")
+  }
 }
