@@ -69,6 +69,31 @@ object Dijkstra {
     (g2, vraw)
   }
 
+  /** Max relaxation rounds chained lazily into ONE Spark job (superstep
+    * batching). After [[adaptParts]] the per-superstep cost on a
+    * high-diameter graph is almost pure per-JOB fixed cost — job
+    * submission, per-round cache materialization, the `count()` round
+    * trip — at ~0.07 s/superstep × 3,373 supersteps ≈ 230 s on the r7
+    * hidiam probe. GraphX's `outerJoinVertices` and
+    * `aggregateMessagesWithActiveSet` are pure RDD transformations, so k
+    * rounds of (join → relax) can be CHAINED LAZILY and materialized by a
+    * single action: job count drops ~k×, while per-round semantics are
+    * untouched (each chained round computes exactly the messages the
+    * unbatched superstep would — the fixpoint, including the min-pred
+    * tie-break, is identical; the engine-equality specs run entirely
+    * through this path). Batch size DOUBLES from 1 up to this cap, so
+    * shallow runs (every shipped query; the expander/wide GraphBench
+    * shapes) pay at most a handful of wasted no-op rounds inside one job
+    * — an empty active set costs one near-instant stage — while deep runs
+    * amortize the job overhead 32×. Rounds per batch are additionally
+    * bounded by the remaining [[CheckpointInterval]] budget so lineage
+    * truncation still lands on schedule, and by remaining
+    * `maxIterations` so bounded-propagation callers execute EXACTLY the
+    * same number of rounds as the unbatched loop. Chained intermediate
+    * graphs (whose vertex RDDs GraphX caches internally) are tracked and
+    * unpersisted as soon as the batch's one action lands. */
+  val SuperstepBatchMax: Int = 32
+
   /** Target edges per partition for the iterative engines — the knob that
     * governs PER-SUPERSTEP FIXED COST. Every superstep is one Spark job
     * whose latency floor is task scheduling + closure shipping per task;
@@ -123,15 +148,17 @@ object Dijkstra {
     *
     * This is Pregel's exact label-correcting loop written out (same
     * initial full gather, same receiver-only vprog, same
-    * `EdgeDirection.Out` active set, same per-superstep message count
-    * action Pregel itself pays) — explicit so the loop can truncate
-    * lineage every [[CheckpointInterval]] supersteps, which
-    * `Graph.pregel` cannot (the built-in overflowed the stack on the
-    * ~1,600-superstep hidiam probe). After a truncation the frontier is
-    * re-derived with one full-edge gather: `sendImprove`'s guard reads
-    * the CURRENT destination state, so exactly the still-improving
-    * messages regenerate — the fixpoint, including the min-pred
-    * tie-break, is unchanged. */
+    * `EdgeDirection.Out` active set) — explicit for two reasons
+    * `Graph.pregel` can't deliver: lineage truncation every
+    * [[CheckpointInterval]] supersteps (the built-in overflowed the stack
+    * on the ~1,600-superstep hidiam probe), and SUPERSTEP BATCHING
+    * ([[SuperstepBatchMax]]): up to 32 (join → relax) rounds chained
+    * lazily per Spark job instead of Pregel's one-job-one-count-per-
+    * superstep discipline. After a truncation the frontier is re-derived
+    * with one full-edge gather: `sendImprove`'s guard reads the CURRENT
+    * destination state, so exactly the still-improving messages
+    * regenerate — the fixpoint, including the min-pred tie-break, is
+    * unchanged. */
   def sssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
       maxIterations: Int = Int.MaxValue): Graph[State, Double] = {
     require(g.edges != null)
@@ -156,30 +183,50 @@ object Dijkstra {
     var n = msgs.count() // materializes cur too
     var iters = 0
     var sinceTrunc = 0
+    var batch = 1 // superstep-batching doubling, up to [[SuperstepBatchMax]]
     while (n > 0 && iters < maxIterations) {
-      iters += 1; sinceTrunc += 1
+      // chain `rounds` (join → active-set relax) steps lazily; ONE count
+      // materializes the whole chain (the final graph is cached, so the
+      // action populates it before any parent is released)
+      val rounds = math.max(1, math.min(batch,
+        math.min(maxIterations - iters, CheckpointInterval - sinceTrunc)))
       val prev = cur
-      cur = prev.outerJoinVertices(msgs) { (_, old, m) =>
-        m.map(mergeState(old, _)).getOrElse(old)
-      }.cache()
-      if (sinceTrunc >= CheckpointInterval) {
-        cur.vertices.count(); cur.edges.count()
-        prev.unpersistVertices(blocking = false)
-        prev.edges.unpersist(blocking = false)
+      val prevMsgs = msgs
+      val interim = scala.collection.mutable.ListBuffer.empty[Graph[State, Double]]
+      var cm: VertexRDD[State] = msgs
+      var i = 0
+      while (i < rounds) {
+        val joined = cur.outerJoinVertices(cm) { (_, old, m) =>
+          m.map(mergeState(old, _)).getOrElse(old)
+        }
+        if (i < rounds - 1) interim += joined else joined.cache()
+        cur = joined
+        cm = GraphXBridge.aggregateMessagesWithActiveSet[State, Double, State](
+          cur, sendImprove, mergeState, TripletFields.All, cm, EdgeDirection.Out)
+        i += 1
+      }
+      msgs = cm.cache()
+      n = msgs.count() // the one action per batch
+      iters += rounds; sinceTrunc += rounds
+      prevMsgs.unpersist(blocking = false)
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      // GraphX's outerJoinVertices caches each round's vertex RDD
+      // internally — release the intermediates now that the batch landed
+      interim.foreach { ig =>
+        ig.unpersistVertices(blocking = false)
+        ig.edges.unpersist(blocking = false)
+      }
+      if (sinceTrunc >= CheckpointInterval && n > 0 && iters < maxIterations) {
         msgs.unpersist(blocking = false)
         truncate()
         sinceTrunc = 0
+        // full gather re-derives the SAME frontier against the rebuilt
+        // graph (not an extra superstep: sendImprove reads current state)
         msgs = cur.aggregateMessages[State](sendImprove, mergeState).cache()
         n = msgs.count()
-      } else {
-        val next = GraphXBridge.aggregateMessagesWithActiveSet[State, Double, State](
-          cur, sendImprove, mergeState, TripletFields.All, msgs, EdgeDirection.Out).cache()
-        n = next.count() // the one action: materializes the joined cur
-        prev.unpersistVertices(blocking = false)
-        prev.edges.unpersist(blocking = false)
-        msgs.unpersist(blocking = false)
-        msgs = next
       }
+      batch = math.min(SuperstepBatchMax, batch << 1)
     }
     msgs.unpersist(blocking = false)
     cur
@@ -349,30 +396,57 @@ object Dijkstra {
       var n = msgs.count() // the one action: also materializes `cur`
       var iters = 1
       sinceTrunc += 1
+      var batch = 1 // superstep batching (see [[SuperstepBatchMax]])
       while (n > 0) {
-        iters += 1; sinceTrunc += 1
-        val prev = cur
-        cur = join(msgs)
         if (sinceTrunc >= CheckpointInterval) {
+          // fold the pending frontier, truncate lineage, then re-open the
+          // bucket — sendMsg's improvement guard reads the CURRENT dst
+          // state, so exactly the still-improving in-bucket messages
+          // (a superset of the pending frontier's effect) regenerate
+          val prev = cur
+          cur = join(msgs)
           cur.vertices.count(); cur.edges.count()
           prev.unpersistVertices(blocking = false)
           prev.edges.unpersist(blocking = false)
           msgs.unpersist(blocking = false)
           truncate()
-          // active sets must derive from the rebuilt graph: re-open the
-          // bucket — sendMsg's improvement guard reads the CURRENT dst
-          // state, so exactly the still-improving in-bucket messages
-          // (a superset of the pending frontier's effect) regenerate
           val reopened = cur.vertices.filter { case (_, (d, _)) => d >= lo && d < hi }
           msgs = relax(lo, hi, lightPhase = true, reopened).cache()
           n = msgs.count()
+          iters += 1; sinceTrunc += 1
         } else {
-          val next = relax(lo, hi, lightPhase = true, msgs).cache()
-          n = next.count() // materializes the joined `cur`
+          // chain `rounds` (join → in-bucket relax) steps lazily and
+          // materialize the whole chain with ONE count — job count per
+          // bucket drops from the superstep count to ~log₂ of it
+          val rounds = math.max(1, math.min(batch, CheckpointInterval - sinceTrunc))
+          val prev = cur
+          val prevMsgs = msgs
+          val interim = scala.collection.mutable.ListBuffer.empty[Graph[State, Double]]
+          var cm: VertexRDD[State] = msgs
+          var i = 0
+          while (i < rounds) {
+            val joined = cur.outerJoinVertices(cm) { (_, old, m) =>
+              m match {
+                case Some(msg) if improved(old, msg) => msg
+                case _ => old
+              }
+            }
+            if (i < rounds - 1) interim += joined else joined.cache()
+            cur = joined
+            cm = relax(lo, hi, lightPhase = true, cm)
+            i += 1
+          }
+          msgs = cm.cache()
+          n = msgs.count() // the one action per batch
+          iters += rounds; sinceTrunc += rounds
+          prevMsgs.unpersist(blocking = false)
           prev.unpersistVertices(blocking = false)
           prev.edges.unpersist(blocking = false)
-          msgs.unpersist(blocking = false)
-          msgs = next
+          interim.foreach { ig =>
+            ig.unpersistVertices(blocking = false)
+            ig.edges.unpersist(blocking = false)
+          }
+          batch = math.min(SuperstepBatchMax, batch << 1)
         }
       }
       msgs.unpersist(blocking = false)
@@ -396,7 +470,10 @@ object Dijkstra {
       if (sinceTrunc >= CheckpointInterval) truncate()
       stats.foreach { st =>
         st.buckets += 1
-        // the final empty light probe is a real superstep too
+        // counts ROUNDS EXECUTED: with superstep batching this is an
+        // upper bound on true supersteps, rounded up to batch boundaries
+        // (a fixpoint reached mid-batch still runs the chained no-op
+        // rounds; each costs one near-empty stage inside the same job)
         st.lightSupersteps += iters
         st.heavySupersteps += (if (anyHeavy) 1 else 0)
       }
