@@ -160,8 +160,10 @@ object Dijkstra {
     * regenerate — the fixpoint, including the min-pred tie-break, is
     * unchanged. */
   def sssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
-      maxIterations: Int = Int.MaxValue): Graph[State, Double] = {
+      maxIterations: Int = Int.MaxValue,
+      batchMax: Int = SuperstepBatchMax): Graph[State, Double] = {
     require(g.edges != null)
+    require(batchMax >= 1, s"batchMax must be >= 1, got $batchMax")
     import org.apache.spark.graphx.graftbridge.GraphXBridge
     var cur: Graph[State, Double] = adaptParts(g.mapVertices((id, _) =>
       if (id == source) (0.0, id) else (Double.PositiveInfinity, -1L)).cache())
@@ -190,6 +192,7 @@ object Dijkstra {
       // action populates it before any parent is released)
       val rounds = math.max(1, math.min(batch,
         math.min(maxIterations - iters, CheckpointInterval - sinceTrunc)))
+      // (rounds is also <= batchMax because batch never exceeds it)
       val prev = cur
       val prevMsgs = msgs
       val interim = scala.collection.mutable.ListBuffer.empty[Graph[State, Double]]
@@ -226,7 +229,7 @@ object Dijkstra {
         msgs = cur.aggregateMessages[State](sendImprove, mergeState).cache()
         n = msgs.count()
       }
-      batch = math.min(SuperstepBatchMax, batch << 1)
+      batch = math.min(batchMax, batch << 1)
     }
     msgs.unpersist(blocking = false)
     cur
@@ -305,8 +308,10 @@ object Dijkstra {
     *     graph/messages unpersist only after that job completes, so no job
     *     ever re-walks lineage. */
   def deltaSssp[V: ClassTag](g: Graph[V, Double], source: VertexId,
-      delta: Double = 0.0, stats: Option[DeltaStats] = None): Graph[State, Double] = {
+      delta: Double = 0.0, stats: Option[DeltaStats] = None,
+      batchMax: Int = SuperstepBatchMax): Graph[State, Double] = {
     import org.apache.spark.graphx.graftbridge.GraphXBridge
+    require(batchMax >= 1, s"batchMax must be >= 1, got $batchMax")
 
     // the (dist, pred) tie-break lives in ONE place — [[mergeState]] —
     // which the documented sssp ≡ deltaSssp equality depends on
@@ -395,6 +400,7 @@ object Dijkstra {
       var msgs = relax(lo, hi, lightPhase = true, members).cache()
       var n = msgs.count() // the one action: also materializes `cur`
       var iters = 1
+      var actions = 1L // materializing actions this bucket (≈ light jobs)
       sinceTrunc += 1
       var batch = 1 // superstep batching (see [[SuperstepBatchMax]])
       while (n > 0) {
@@ -413,7 +419,7 @@ object Dijkstra {
           val reopened = cur.vertices.filter { case (_, (d, _)) => d >= lo && d < hi }
           msgs = relax(lo, hi, lightPhase = true, reopened).cache()
           n = msgs.count()
-          iters += 1; sinceTrunc += 1
+          iters += 1; sinceTrunc += 1; actions += 1L
         } else {
           // chain `rounds` (join → in-bucket relax) steps lazily and
           // materialize the whole chain with ONE count — job count per
@@ -438,7 +444,7 @@ object Dijkstra {
           }
           msgs = cm.cache()
           n = msgs.count() // the one action per batch
-          iters += rounds; sinceTrunc += rounds
+          iters += rounds; sinceTrunc += rounds; actions += 1L
           prevMsgs.unpersist(blocking = false)
           prev.unpersistVertices(blocking = false)
           prev.edges.unpersist(blocking = false)
@@ -446,7 +452,7 @@ object Dijkstra {
             ig.unpersistVertices(blocking = false)
             ig.edges.unpersist(blocking = false)
           }
-          batch = math.min(SuperstepBatchMax, batch << 1)
+          batch = math.min(batchMax, batch << 1)
         }
       }
       msgs.unpersist(blocking = false)
@@ -476,6 +482,7 @@ object Dijkstra {
         // rounds; each costs one near-empty stage inside the same job)
         st.lightSupersteps += iters
         st.heavySupersteps += (if (anyHeavy) 1 else 0)
+        st.lightBatches += actions
       }
 
       // jump to the next non-empty bucket — ONE pass: fold to the minimum
@@ -494,16 +501,27 @@ object Dijkstra {
     cur
   }
 
-  /** Engine counters for one [[deltaSssp]] run — the per-phase "superstep"
-    * numbers a cluster operator watches (each light/heavy superstep is one
-    * Spark job over the edge partitions, so these bound job count). */
+  /** Engine counters for one [[deltaSssp]] run.
+    *
+    * With superstep batching, `lightSupersteps` counts ROUNDS EXECUTED —
+    * an upper bound on true (message-carrying) supersteps, rounded up to
+    * batch boundaries: a fixpoint reached mid-batch still runs the
+    * chained no-op rounds, each a near-empty stage inside the same job.
+    * It is therefore NOT a job count any more; `lightBatches` counts the
+    * materializing actions of the light phase (≈ light-phase job count,
+    * ~log₂ of the round count on deep buckets), and each heavy superstep
+    * remains one job. DijkstraSpec pins the accounting: batched
+    * lightSupersteps ≥ the unbatched (batchMax = 1) count and ≤ it plus
+    * one batch's padding per bucket. */
   final class DeltaStats {
     var delta: Double = 0.0
     var buckets: Long = 0L
     var lightSupersteps: Long = 0L
     var heavySupersteps: Long = 0L
+    /** Materializing actions in the light phase (the per-batch counts). */
+    var lightBatches: Long = 0L
     def json: String =
-      s"""{"delta":$delta,"buckets":$buckets,"light_supersteps":$lightSupersteps,"heavy_supersteps":$heavySupersteps}"""
+      s"""{"delta":$delta,"buckets":$buckets,"light_supersteps":$lightSupersteps,"heavy_supersteps":$heavySupersteps,"light_batches":$lightBatches}"""
   }
 
   /** Single-pair path as an ordered vertex-id list (source..target), or None

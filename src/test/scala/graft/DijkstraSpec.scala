@@ -204,6 +204,34 @@ class DijkstraSpec extends AnyFunSuite {
     assert(delta === local, "delta-stepping engine diverged across truncations")
   }
 
+  test("superstep batching accounting: rounds-executed bounds true supersteps") {
+    // VERDICT r8 directive 6: with batching, DeltaStats.lightSupersteps
+    // counts ROUNDS EXECUTED — an upper bound on true supersteps, rounded
+    // up to batch boundaries. Pin the accounting against the unbatched
+    // engine (batchMax = 1, whose count IS the true superstep count):
+    // batched count ≥ true, ≤ true + one batch's padding per bucket, and
+    // the materializing-action count (lightBatches) must actually drop.
+    val nPath = 48 // deep enough for several doublings, below CheckpointInterval
+    val edges = (0 until nPath).map(i => (i.toLong, i + 1L, 1.0))
+    val g = graphOf(edges)
+    val st1 = new Dijkstra.DeltaStats
+    val r1 = Dijkstra.deltaSssp(g, 0L, stats = Some(st1), batchMax = 1)
+      .vertices.filter(v => !v._2._1.isInfinite).collect().toMap
+    val stB = new Dijkstra.DeltaStats
+    val rB = Dijkstra.deltaSssp(g, 0L, stats = Some(stB), batchMax = 32)
+      .vertices.filter(v => !v._2._1.isInfinite).collect().toMap
+    assert(rB === r1, "batched engine diverged from unbatched")
+    assert(st1.lightBatches === st1.lightSupersteps,
+      "unbatched run must count one action per superstep")
+    assert(stB.lightSupersteps >= st1.lightSupersteps,
+      s"rounds-executed (${stB.lightSupersteps}) must be >= true supersteps (${st1.lightSupersteps})")
+    assert(stB.lightSupersteps <= st1.lightSupersteps + 32L * stB.buckets,
+      s"rounds-executed (${stB.lightSupersteps}) exceeds true + batch padding " +
+        s"(${st1.lightSupersteps} + 32*${stB.buckets})")
+    assert(stB.lightBatches < st1.lightBatches,
+      s"batching must reduce materializing actions (${stB.lightBatches} vs ${st1.lightBatches})")
+  }
+
   test("q80 data-scale CC: bounded propagation reaches the true component fixpoint") {
     // the registered q80 runs ScaleCcRounds-bounded min-label propagation;
     // at every shipped SF the budget exceeds the fixpoint, so the result
