@@ -521,7 +521,7 @@ object GraphQueries {
     * inner e3 join is equivalent to the Spark side's left-semi probe
     * because (ta, tc) matches at most one row of the distinct ordered
     * edge relation. */
-  private val q83Sql =
+  private[graft] val q83Sql =
     s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
        |  FROM lineitem WHERE l_quantity = 50),
        |ok AS (SELECT su FROM pairs GROUP BY su HAVING COUNT(*) <= $TriDegreeCap),
@@ -763,33 +763,42 @@ object GraphQueries {
     * cached once (vertex/edge-sized), ranks never collected; the one
     * driver action is the N count. Linear plan growth (each iteration
     * references its predecessor once), cached leaves keep re-execution
-    * per iteration, and the final frame is cached for warm re-serves
-    * under the [[graft.store.CorpusCaches]] LRU like q85's hops. */
+    * per iteration, and the final ranks are parquet-persisted through
+    * [[graft.store.Materialized]] — warm serves scan the store, and with
+    * a staging root a fresh session RE-ATTACHES instead of rebuilding
+    * (MaterializedSpec pins the attach). */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // cached PRE-PARTITIONED on the per-iteration join keys: every
-    // iteration joins e on src and deg on node, so hashing them once at
-    // cache time lets all ten joins reuse the cached partitioning
-    // instead of re-exchanging the edge table per iteration (the cold
-    // chain drops ~2 exchanges x iterations; warm is unaffected)
-    val e = partSupplierEdges(s, dir).select($"src", $"dst")
-      .repartition($"src").cache()
-    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")).cache()
-    val n = deg.count()
-    val teleport = (3L * PrScale) / (20L * n)
-    var r = deg.select($"node", lit(PrScale / n).as("r"))
-    for (_ <- 1 to PrIters) {
-      val mv = r.join(deg, "node")
-        .select($"node".as("src"), expr("(r * 17) div (20 * deg)").as("mv"))
-      val sums = e.join(mv, "src").groupBy($"dst".as("node")).agg(sum($"mv").as("m"))
-      r = deg.select($"node").join(sums, Seq("node"), "left")
-        .select($"node", (coalesce($"m", lit(0L)) + teleport).as("r"))
+    // the final ranks are PERSISTED through the [[graft.store.Materialized]]
+    // store (the q86/tri-projection pattern, VERDICT r8 directive 4): the
+    // first consumer pays the ten-iteration build visibly; every later
+    // consumer — including a FRESH SESSION over a staging root — runs a
+    // columnar scan of the store instead of re-paying the ~15–26 s chain
+    val ranks = graft.store.Materialized.relation(s, s"q90-pagerank:$dir") {
+      // cached PRE-PARTITIONED on the per-iteration join keys: every
+      // iteration joins e on src and deg on node, so hashing them once at
+      // cache time lets all ten joins reuse the cached partitioning
+      // instead of re-exchanging the edge table per iteration
+      val e = partSupplierEdges(s, dir).select($"src", $"dst")
+        .repartition($"src").cache()
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")).cache()
+      val n = deg.count()
+      val teleport = (3L * PrScale) / (20L * n)
+      var r = deg.select($"node", lit(PrScale / n).as("r"))
+      for (_ <- 1 to PrIters) {
+        val mv = r.join(deg, "node")
+          .select($"node".as("src"), expr("(r * 17) div (20 * deg)").as("mv"))
+        val sums = e.join(mv, "src").groupBy($"dst".as("node")).agg(sum($"mv").as("m"))
+        r = deg.select($"node").join(sums, Seq("node"), "left")
+          .select($"node", (coalesce($"m", lit(0L)) + teleport).as("r"))
+      }
+      // eager localCheckpoint materializes the chain NOW, so the build
+      // caches can be released before the store write scans the result
+      val out = r.select($"node", $"r".as("rank_s15")).localCheckpoint()
+      deg.unpersist(blocking = false); e.unpersist(blocking = false)
+      out
     }
-    val out = r.select($"node", $"r".as("rank_s15")).cache()
-    graft.store.CorpusCaches.retain(s, dir, "q90:pagerank")(() => {
-      out.unpersist(false); deg.unpersist(false); e.unpersist(false); ()
-    })
-    out.orderBy($"node")
+    ranks.orderBy($"node")
   }
 
   /** Oracle: the identical fixed-point iteration unrolled as MATERIALIZED

@@ -37,6 +37,14 @@ object KllStream {
     StructField("grp", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  /** Documented rank-error tolerance of every served estimate at
+    * [[KllSketch.DefaultK]]: the KLL construction's ε ≈ c/k (c ≈ 2.3
+    * single-sketch, ≤ ~7 under arbitrary merge orders — both ≪ 0.05 at
+    * k = 200) with headroom for tied-value rank jumps. ONE constant,
+    * shared by KllStreamSpec's gate and the q97 tolerance row, so the
+    * spec bound and the served bound cannot drift apart. */
+  val RankEps: Double = 0.05
+
   private val stateSchema = StructType(Seq(
     StructField("grp", StringType),
     StructField("state", BinaryType),

@@ -217,11 +217,85 @@ object StreamServe {
     SsspStream.snapshot(s, storeDir).orderBy($"node")
   }
 
+  /** q96 — q83's per-part triangle counts SERVED FROM the
+    * [[TriangleStream]]-maintained count store: the distinct
+    * part⟷supplier pairs arrive in three micro-batches SLICED BY
+    * SUPPLIER, so a triangle whose three projected edges are witnessed
+    * by suppliers in different batches closes only when the last edge
+    * arrives — the cross-batch wedge-closure path (the reason counts are
+    * maintained as per-batch deltas over an edge-delta store) is
+    * load-bearing. Batches 0–1 compacted into a negative generation,
+    * batch 2 live. Oracle: q83's batch SQL verbatim. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("triserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct().cache()
+    writeSlices(inDir, "pairs", Seq(
+      pairs.filter($"su" % 3 === 0),
+      pairs.filter($"su" % 3 === 1),
+      pairs.filter($"su" % 3 === 2)))
+    TriangleStream.start(s, inDir, storeDir).awaitTermination()
+    pairs.unpersist()
+    TriangleStream.compact(s, storeDir, throughBatch = 1L)
+    TriangleStream.snapshot(s, storeDir).orderBy($"part")
+  }
+
+  /** q97 — the APPROXIMATE component of the [[KllStream]] state, served
+    * as a TOLERANCE-GATED oracle row (VERDICT r8 directive 3): q92 gates
+    * the exact counts; this gates the quantile ESTIMATES. An estimate's
+    * value cannot be hash-compared (the compacting sketch's survivor set
+    * is merge-order-dependent by design), but its RANK CONTRACT can: for
+    * each (group, φ) the served estimate's possible-rank interval
+    * [rank_<, rank_≤] — computed EXACTLY over the same events in Spark —
+    * must intersect [φ − ε, φ + ε] with ε = [[KllStream.RankEps]], the
+    * same constant KllStreamSpec gates. The emitted row is the verdict
+    * boolean; the oracle pins every row TRUE from the exact data, so a
+    * sketch violating its documented bound hash-mismatches the round's
+    * correctness gate. Ingest is split in two value-disjoint slices so
+    * the gated state is a genuinely merged sketch, not one batch's. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("kllest")
+    val (inDir, stateDir) = (s"$root/in", s"$root/state")
+    val e = graft.Tables.events(s, dir)
+      .select($"event_type".as("grp"), $"value".cast("double").as("value"))
+      .cache()
+    val mid = e.agg(expr("percentile_approx(value, 0.5)")).head().getDouble(0)
+    writeSlices(inDir, "m", Seq(e.filter($"value" > mid), e.filter($"value" <= mid)))
+    KllStream.start(s, inDir, stateDir).awaitTermination()
+    val est = KllStream.estimates(s, stateDir)
+    val pts = est.select($"grp", lit(0.5).as("phi"), $"est_median".as("est"))
+      .union(est.select($"grp", lit(0.9).as("phi"), $"est_p90".as("est")))
+    val ranks = pts.join(e, Seq("grp"))
+      .groupBy($"grp", $"phi", $"est")
+      .agg(count(lit(1)).as("tot"),
+        sum(when($"value" <= $"est", 1L).otherwise(0L)).as("le"),
+        sum(when($"value" < $"est", 1L).otherwise(0L)).as("lt"))
+    e.unpersist()
+    ranks.select($"grp", $"phi",
+        (($"lt" / $"tot" <= $"phi" + KllStream.RankEps) &&
+          ($"le" / $"tot" >= $"phi" - KllStream.RankEps)).as("within_bound"))
+      .orderBy($"grp", $"phi")
+  }
+
+  private val q97Sql =
+    """SELECT event_type AS grp, phi, TRUE AS within_bound
+      |FROM (SELECT DISTINCT event_type FROM events) g
+      |CROSS JOIN (SELECT CAST(0.5 AS DOUBLE) AS phi
+      |            UNION ALL SELECT CAST(0.9 AS DOUBLE)) q
+      |ORDER BY grp, phi""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
     GQuery("q92_stream_kll_serve", q92, Some(q92Sql)),
     GQuery("q93_stream_cc_serve", q93, Some(GraphQueries.q80Sql)),
     GQuery("q94_stream_sssp_serve", q94, Some(GraphQueries.q79Sql)),
+    GQuery("q96_stream_triangle_serve", q96, Some(GraphQueries.q83Sql)),
+    GQuery("q97_stream_kll_estimates", q97, Some(q97Sql)),
   )
 }

@@ -1,0 +1,284 @@
+package graft.streaming
+
+import graft.operators.GraphQueries
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance of q83's per-part triangle counts under
+  * (part, supplier) pair arrivals — the triangle member of the
+  * maintained-store graph family ([[CcStream]] labels, [[SsspStream]]
+  * distances), and the DELTA-COUNTING member: unlike component labels
+  * (non-foldable, targeted recompute) triangle counts ARE foldable —
+  * the exact per-part count is the sum of per-batch count DELTAS, each
+  * computable from the batch's projected-edge delta alone plus the
+  * adjacency of the changed edges. Nothing is ever recounted.
+  *
+  * The maintained object is q83's semantics verbatim (`GraphQueries.q83`):
+  * distinct (p, su) pairs → suppliers of degree ≤ [[GraphQueries.TriDegreeCap]]
+  * project ordered part–part edges (a < b, distinct) → per-part corner
+  * counts of the wedge-closed triangles. Two things make the incremental
+  * edge delta non-monotone even though pairs only ever arrive:
+  *
+  *  - an edge is DISTINCT over witnesses: a new pair re-witnessing an
+  *    existing edge changes nothing;
+  *  - the degree cap: a supplier crossing the cap WITHDRAWS all its
+  *    witness contributions, which can remove edges (and triangles) —
+  *    the removal path exists even in an append-only stream.
+  *
+  * Per micro-batch (all deltas are pure functions of the pair-store
+  * PREFIX, so redelivery of a batch id rewrites identical bytes —
+  * replay-idempotent by construction, no high-water mark needed):
+  *   1. append the batch's distinct pairs under `pairs/batch=<id>`;
+  *   2. recompute the projected-edge contribution of the TOUCHED
+  *      suppliers only, before vs after the batch (old/new degree vs the
+  *      cap decides membership); an edge witnessed by an untouched
+  *      under-cap supplier is pinned regardless — candidates are checked
+  *      against those witnesses before being declared added or removed;
+  *   3. wedge-close the edge delta: triangles GAINED = canonical triples
+  *      through ≥1 added edge closed in E_new; LOST = through ≥1 removed
+  *      edge closed in E_old (a triple with one added and one removed
+  *      edge is in neither — correctly uncounted). Each enumeration
+  *      scans only the adjacency of the delta edges' endpoints;
+  *   4. write `edges/batch=<id>` (±1 edge rows) and `counts/batch=<id>`
+  *      (per-part count deltas); the serving view is a SUM.
+  *
+  * At 100 TB the per-batch cost is |touched suppliers| · cap² candidate
+  * edges plus the delta endpoints' adjacency — the working set any exact
+  * incremental triangle maintainer must read (the standard bounded-delta
+  * argument of incremental wedge counting); the full graph is never
+  * re-enumerated. TriangleStreamSpec pins equality with batch q83 under
+  * splits forcing cross-batch wedge closures and a cap-crossing removal;
+  * the q96 CORRECTNESS row serves the store against q83's SQL verbatim.
+  */
+object TriangleStream {
+
+  val pairSchema: StructType = StructType(Seq(
+    StructField("p", LongType, nullable = false),
+    StructField("su", LongType, nullable = false)))
+
+  private def exists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Distinct pairs of store batches `< upTo` (`Long.MaxValue` = all,
+    * negative generations always included). */
+  private def pairsBefore(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
+    import s.implicits._
+    if (!exists(s, s"$storeDir/pairs"))
+      s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su")).limit(0)
+    else s.read.parquet(s"$storeDir/pairs").filter($"batch" < upTo)
+      .select($"p", $"su").distinct()
+  }
+
+  /** Current projected edge set: net of the ±1 deltas. */
+  private def edgesAt(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
+    import s.implicits._
+    if (!exists(s, s"$storeDir/edges"))
+      s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
+    else s.read.parquet(s"$storeDir/edges").filter($"batch" < upTo)
+      .groupBy($"a", $"b").agg(sum($"op").as("net"))
+      .filter($"net" > 0).select($"a", $"b")
+  }
+
+  /** Ordered projected edges (a < b, distinct) contributed by `sus`-only
+    * witnesses within `pairs`, honoring the degree cap. */
+  private def projectionOf(pairs: DataFrame, cap: Long): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val ok = pairs.groupBy($"su").agg(count(lit(1)).as("d"))
+      .filter($"d" <= cap).select($"su")
+    val kept = pairs.join(ok, Seq("su"), "left_semi")
+    // per-side column renames, NOT dataset-alias self-join: on RDD-backed
+    // plans (the checkpointed frames here) `x.p < y.p` silently resolves
+    // both sides to the same attribute — p < p, an always-false join —
+    // whereas aliased projections carry fresh expression ids per side
+    val l = kept.select($"p".as("pa"), $"su")
+    val r = kept.select($"p".as("pb"), $"su".as("sub"))
+    l.join(r, $"su" === $"sub" && $"pa" < $"pb")
+      .select($"pa".as("a"), $"pb".as("b")).distinct()
+  }
+
+  /** Canonical (t1 < t2 < t3) triangles of `edges` that contain at least
+    * one `delta` edge — each triple once, no matter how many delta edges
+    * it spans. Scans only the adjacency of the delta endpoints. */
+  private def trianglesThrough(delta: DataFrame, edges: DataFrame): DataFrame = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val eps = delta.select($"a".as("n")).union(delta.select($"b")).distinct()
+    // edges incident to a delta endpoint — all the adjacency the wedge
+    // walk below can ever touch
+    // both branches re-select (a, b): using-column semi-joins reorder
+    // the join column first, and the union is positional
+    val adj = edges.join(eps.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      .select($"a", $"b")
+      .union(edges.join(eps.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select($"a", $"b"))
+      .distinct().localCheckpoint() // referenced 3× below (plan cut)
+    val sym = adj.select($"a".as("u"), $"b".as("v"))
+      .union(adj.select($"b".as("u"), $"a".as("v")))
+    // wedge from the delta edge's a-side: z ranges over neighbors of a
+    val wedges = delta.join(sym, $"a" === $"u")
+      .select($"a", $"b", $"v".as("z"))
+      .filter($"z" =!= $"b")
+    // closed iff (b, z) is an edge (canonical lookup into the same adj set)
+    val closed = wedges.join(
+      adj.select($"a".as("ca"), $"b".as("cb")),
+      least($"b", $"z") === $"ca" && greatest($"b", $"z") === $"cb",
+      "left_semi")
+    closed.select(
+      least($"a", $"b", $"z").as("t1"),
+      ($"a" + $"b" + $"z" - least($"a", $"b", $"z") - greatest($"a", $"b", $"z")).as("t2"),
+      greatest($"a", $"b", $"z").as("t3"))
+      .distinct()
+  }
+
+  private def cornerCounts(tri: DataFrame, sign: Int): DataFrame = {
+    val s = tri.sparkSession
+    import s.implicits._
+    tri.select($"t1".as("part")).union(tri.select($"t2")).union(tri.select($"t3"))
+      .groupBy($"part").agg((count(lit(1)) * sign).cast("long").as("delta"))
+  }
+
+  /** Fold one micro-batch of (p, su) pair rows into the stores. Pure
+    * function of the pair-store prefix `< batchId` plus the batch —
+    * idempotent under redelivery of identical batch content. */
+  def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
+      cap: Long = GraphQueries.TriDegreeCap): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    // every multiply-referenced intermediate below is EAGERLY
+    // localCheckpoint'ed, not cached: the wedge-closing joins reference
+    // the edge frames up to five times each, and an uncut logical plan
+    // re-nests the whole store-aggregation subtree per reference —
+    // Catalyst plan processing blows up multiplicatively (the q84
+    // plan-cut lesson; measured as minutes of TreeNode walking per
+    // batch before the cuts). The frames are delta-sized or
+    // edge-set-sized; blocks are reclaimed by the ContextCleaner as
+    // they go out of scope, the q84 precedent.
+    val prev = pairsBefore(s, storeDir, batchId).localCheckpoint()
+    batch.select($"p", $"su").distinct()
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$storeDir/pairs")
+
+    val touchedSu = batch.select($"su").distinct().localCheckpoint()
+    // using-column joins put the join column FIRST in the output — every
+    // union below is positional, so re-select (p, su) explicitly
+    val prevTouched = prev.join(touchedSu, Seq("su"), "left_semi")
+      .select($"p", $"su")
+    val newTouched = prevTouched
+      .union(batch.select($"p", $"su")).distinct()
+    val oldE = projectionOf(prevTouched, cap).localCheckpoint()
+    val newE = projectionOf(newTouched, cap).localCheckpoint()
+
+    // candidates settled by an UNTOUCHED under-cap witness stay put:
+    // untouched suppliers' degrees (over the full prefix) are unchanged
+    // by this batch, so one membership probe covers before and after
+    val cand = oldE.union(newE).distinct()
+    val candParts = cand.select($"a".as("p")).union(cand.select($"b")).distinct()
+    val otherPairs = prev.join(touchedSu, Seq("su"), "left_anti")
+      .join(candParts, Seq("p"), "left_semi").localCheckpoint()
+    val otherSus = otherPairs.select($"su").distinct()
+    val okOther = otherPairs.join(
+      prev.join(otherSus, Seq("su"), "left_semi")
+        .groupBy($"su").agg(count(lit(1)).as("d")).filter($"d" <= cap).select($"su"),
+      Seq("su"), "left_semi").localCheckpoint()
+    val witnessed = cand
+      .join(okOther.select($"p".as("a"), $"su"), Seq("a"))
+      .join(okOther.select($"p".as("b"), $"su"), Seq("b", "su"), "left_semi")
+      .select($"a", $"b").distinct().localCheckpoint()
+
+    val added = newE.except(oldE).except(witnessed).localCheckpoint()
+    val removed = oldE.except(newE).except(witnessed).localCheckpoint()
+
+    val eOld = edgesAt(s, storeDir, batchId).localCheckpoint()
+    val eNew = eOld.except(removed).union(added).localCheckpoint()
+
+    val gained = trianglesThrough(added, eNew)
+    val lost = trianglesThrough(removed, eOld)
+    val countDelta = cornerCounts(gained, 1).union(cornerCounts(lost, -1))
+      .groupBy($"part").agg(sum($"delta").cast("long").as("delta"))
+      .filter($"delta" =!= 0L)
+
+    // an all-_SUCCESS parquet root (zero-partition write) wedges later
+    // reads — a batch with no edge/count delta writes nothing (the store
+    // is a sum; absent partitions contribute zero, and redelivery of an
+    // empty batch id recomputes the same nothing)
+    def writeDelta(df: DataFrame, sub: String): Unit = {
+      val d = df.cache()
+      if (!d.isEmpty)
+        d.withColumn("batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$storeDir/$sub")
+      d.unpersist(blocking = false)
+    }
+    writeDelta(added.select($"a", $"b", lit(1).as("op"))
+      .union(removed.select($"a", $"b", lit(-1).as("op"))), "edges")
+    writeDelta(countDelta, "counts")
+  }
+
+  /** Served per-part triangle counts — q83's output shape (parts in at
+    * least one triangle, exact BIGINT counts). */
+  def snapshot(s: SparkSession, storeDir: String): DataFrame = {
+    import s.implicits._
+    if (!exists(s, s"$storeDir/counts"))
+      s.emptyDataFrame.select(lit(0L).as("part"), lit(0L).as("n_triangles")).limit(0)
+    else s.read.parquet(s"$storeDir/counts")
+      .groupBy($"part").agg(sum($"delta").cast("long").as("n_triangles"))
+      .filter($"n_triangles" > 0)
+  }
+
+  /** File-source wiring, the [[CcStream.start]] shape: durable checkpoint
+    * beside the store so a restart resumes the batch-id sequence and only
+    * ever delivers unseen files (delta stores double-fold otherwise). */
+  def start(s: SparkSession, pairsDir: String, storeDir: String,
+      cap: Long = GraphQueries.TriDegreeCap,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    s.readStream.schema(pairSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(pairsDir)
+      .writeStream
+      .option("checkpointLocation", s"$storeDir.ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, storeDir, cap)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Fold batches ≤ `throughBatch` (plus prior generations) of all three
+    * stores into one fresh negative generation — [[CcStream.compact]]'s
+    * fold verbatim: pairs dedup, edges keep net-positive rows as +1,
+    * counts keep non-zero per-part nets. One compactor at a time. */
+  def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    def fold(sub: String)(stage: DataFrame => DataFrame): Unit = {
+      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
+      if (!fs.exists(root)) return
+      val batchIds = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
+      if (sources.nonEmpty) {
+        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+        val src = s.read.parquet(s"$storeDir/$sub")
+          .filter($"batch".isInCollection(sources))
+        stage(src).localCheckpoint()
+          .withColumn("batch", lit(stagingId))
+          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$storeDir/$sub")
+        sources.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
+        }
+      }
+    }
+    fold("pairs")(_.select($"p", $"su").distinct())
+    fold("edges")(_.groupBy($"a", $"b").agg(sum($"op").as("net"))
+      .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
+    fold("counts")(_.groupBy($"part").agg(sum($"delta").cast("long").as("delta"))
+      .filter($"delta" =!= 0L).select($"part", $"delta"))
+  }
+}

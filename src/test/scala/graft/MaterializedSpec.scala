@@ -90,6 +90,28 @@ class MaterializedSpec extends AnyFunSuite {
     assert(builds === 2, "invalidate must force a bucketed rebuild")
   }
 
+  test("q90 ranks persist to the staged store; a second session re-attaches") {
+    // VERDICT r8 directive 4: the ~15–26 s fixed-point PageRank build must
+    // amortize across sessions — second-session cold ≈ warm. Behavioral
+    // pin: the staged store directory is untouched (same name + mtime) by
+    // the second session's serve, and the served rows are identical.
+    val root = java.nio.file.Files.createTempDirectory("graft-staging-q90").toString
+    val dir = "/root/testdata/sf0.001"
+    val s1 = stagedSession(root)
+    val r1 = SparkEntry.queries("q90_scale_pagerank_fp")(s1, dir)
+      .collect().map(_.toString).toSeq
+    def listing = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("mat_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = listing
+    assert(before.nonEmpty, "q90 must stage its rank store")
+    val s2 = stagedSession(root) // fresh session, same staging root
+    val r2 = SparkEntry.queries("q90_scale_pagerank_fp")(s2, dir)
+      .collect().map(_.toString).toSeq
+    assert(r2 === r1, "re-attached ranks diverged from the built ranks")
+    assert(listing === before, "second session must re-attach, not rebuild")
+  }
+
   test("torn staged build (no _SUCCESS) is rebuilt, not attached") {
     val root = java.nio.file.Files.createTempDirectory("graft-staging-torn").toString
     val key = "spec:mattorn:" + java.util.UUID.randomUUID()
