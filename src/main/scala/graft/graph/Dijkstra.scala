@@ -84,15 +84,29 @@ object Dijkstra {
     * through this path). Batch size DOUBLES from 1 up to this cap, so
     * shallow runs (every shipped query; the expander/wide GraphBench
     * shapes) pay at most a handful of wasted no-op rounds inside one job
-    * — an empty active set costs one near-instant stage — while deep runs
-    * amortize the job overhead 32×. Rounds per batch are additionally
-    * bounded by the remaining [[CheckpointInterval]] budget so lineage
-    * truncation still lands on schedule, and by remaining
-    * `maxIterations` so bounded-propagation callers execute EXACTLY the
-    * same number of rounds as the unbatched loop. Chained intermediate
-    * graphs (whose vertex RDDs GraphX caches internally) are tracked and
-    * unpersisted as soon as the batch's one action lands. */
-  val SuperstepBatchMax: Int = 32
+    * — an empty active set costs one near-instant stage. Rounds per batch
+    * are additionally bounded by the remaining [[CheckpointInterval]]
+    * budget so lineage truncation still lands on schedule, and by
+    * remaining `maxIterations` so bounded-propagation callers execute
+    * EXACTLY the same number of rounds as the unbatched loop. Chained
+    * intermediate graphs (whose vertex RDDs GraphX caches internally) are
+    * tracked and unpersisted as soon as the batch's one action lands.
+    *
+    * The cap is MEASURED, not theorized (`GRAPHBENCH_r09.json`, hidiam
+    * batchMax sweep {1, 8, 16, 32, 64}, every leg equality-checked): the
+    * win saturates at 8 and REVERSES past 16 — x8 169.9/163.7 s and x16
+    * 165.6/169.7 s (pregel/delta; 121/121 s in the calmest capture) vs
+    * x1's 224.1/203.3 s, but x32 189.9/208.1 s and x64 209.2/231.6 s.
+    * Two costs grow with the cap: batch-boundary PADDING (doubling past
+    * the fixpoint runs chained no-op rounds — 5.6% of rounds at x8 vs
+    * 31% at x32, 33% at x64, from the sweep's rounds-executed counters)
+    * and the peak cache footprint of the chained interim vertex RDDs
+    * (GraphX caches each round's until the batch's action lands — k× the
+    * unbatched working set, the r8 advisory's concern). 8 takes most of
+    * the job-count reduction (3,373 → 599 actions) at 1/4 the interim
+    * footprint of 32 and the least padding; wall-clock 8 vs 16 is a tie
+    * inside this box's noise band. */
+  val SuperstepBatchMax: Int = 8
 
   /** Target edges per partition for the iterative engines — the knob that
     * governs PER-SUPERSTEP FIXED COST. Every superstep is one Spark job

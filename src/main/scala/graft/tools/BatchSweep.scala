@@ -50,11 +50,13 @@ object BatchSweep {
 
     val json = mode match {
       case "hidiam" =>
+        val bms = if (args.length > 2) args(2).split(",").toSeq.map(_.toInt)
+          else Seq(1, 8, 16, 32, 64)
         val n = 100000L
         val g = Graph.fromEdges(circulant(n, Seq(1L, 31L), 5L), 0L).cache()
         val nEdges = g.edges.count()
         var baselineReach = -1L
-        val rows = Seq(1, 8, 16, 32, 64).map { bm =>
+        val rows = bms.map { bm =>
           val (pReach, tP) = time {
             Dijkstra.sssp(g, 0L, batchMax = bm)
               .vertices.filter(v => !v._2._1.isInfinite).count()
