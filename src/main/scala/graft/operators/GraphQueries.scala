@@ -681,32 +681,34 @@ object GraphQueries {
     * is no skew pivot beyond what AQE already handles. */
   private def q85(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = partSupplierEdges(s, dir).select($"src", $"dst")
-    val w0 = e.select($"src".as("node")).union(e.select($"dst")).distinct()
-      .withColumn("w", lit(1L))
-    // each hop is cached: the ≤-L total UNIONs all hops, and hop l is
-    // also the prefix of every later hop — uncached, the union would
-    // re-execute Σl = L(L+1)/2 hop-joins instead of L (measured 2.5×
-    // on the sf0.1 bench); the cached frames are vertex-sized
-    val hops = Iterator.iterate(w0.cache()) { w =>
-      e.join(w.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy($"dst".as("node")).agg(sum($"w").as("w"))
-        .select($"node", $"w").cache()
-    }.take(WalkLen + 1).toSeq
-    // the hop caches stay registered on purpose: CacheManager matches
-    // cached plans by canonicalization, so a re-invocation over the same
-    // dir rebuilds the identical hop plans and REUSES these frames —
-    // memory stays bounded at L+1 vertex-sized frames per corpus, and
-    // the warm query skips the whole SpMV chain (0.47 s vs 3.0 s at
-    // sf0.1; an eager unpersist-after-materialize variant defeated the
-    // dedup and repaid the chain every call). Corpus count is bounded by
-    // the LRU governor: a multi-corpus session evicting this dir
-    // unpersists the frames and the next q85 over it rebuilds cleanly.
-    graft.store.CorpusCaches.retain(s, dir, "q85:hops")(
-      () => hops.foreach(_.unpersist(false)))
-    hops.reduce(_ union _)
-      .groupBy($"node").agg(sum($"w").as("walks"))
-      .orderBy($"node")
+    // totals PERSISTED through the [[graft.store.Materialized]] store
+    // (round 9, the q90 pattern): the first consumer pays the L-hop SpMV
+    // chain visibly, every later serve — including a staged FRESH
+    // session — is a columnar scan. This replaces the round-6
+    // CacheManager-canonicalization warm-reuse of the hop frames:
+    // parquet-backed reuse survives session boundaries and frees the
+    // L+1 vertex-sized cached frames the old scheme pinned per corpus.
+    graft.store.Materialized.relation(s, s"q85-walks:$dir") {
+      val e = partSupplierEdges(s, dir).select($"src", $"dst")
+      val w0 = e.select($"src".as("node")).union(e.select($"dst")).distinct()
+        .withColumn("w", lit(1L))
+      // each hop is cached DURING THE BUILD: the ≤-L total UNIONs all
+      // hops, and hop l is also the prefix of every later hop —
+      // uncached, the union would re-execute Σl = L(L+1)/2 hop-joins
+      // instead of L (measured 2.5× on the sf0.1 bench)
+      val hops = Iterator.iterate(w0.cache()) { w =>
+        e.join(w.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy($"dst".as("node")).agg(sum($"w").as("w"))
+          .select($"node", $"w").cache()
+      }.take(WalkLen + 1).toSeq
+      // eager localCheckpoint materializes the totals NOW so the hop
+      // caches can be released before the store write scans the result
+      val out = hops.reduce(_ union _)
+        .groupBy($"node").agg(sum($"w").as("walks"))
+        .localCheckpoint()
+      hops.foreach(_.unpersist(false))
+      out
+    }.orderBy($"node")
   }
 
   /** Oracle: the same L SpMV hops as chained single-reference CTEs

@@ -91,7 +91,8 @@ class CorpusCachesSpec extends AnyFunSuite {
     // the exact integer centroids (training is deterministic)
     val after = Similarity.trainedCentroids(spark, dir)
     assert(after === before, "post-eviction retraining diverged")
-    // q85: hop frames were unpersisted; the rebuilt chain must agree
+    // q85: the Materialized walks store entry was evicted; the rebuilt
+    // SpMV chain (fresh store) must agree
     val q85After = SparkEntry.queries("q85_scale_walk_centrality")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(q85After === q85Before, "post-eviction q85 rebuild diverged")
