@@ -633,7 +633,7 @@ object GraphQueries {
     * `AS MATERIALIZED` to stop DuckDB's inliner from exponentiating the
     * 12-deep chain (the q80 lesson); rounds past the fixpoint re-induce
     * an unchanged relation, matching the Spark side's early exit. */
-  private val q84Sql = {
+  private[graft] val q84Sql = {
     val steps = (1 to KCoreRounds).map { i =>
       s"""k$i AS MATERIALIZED (SELECT src FROM c${i - 1} GROUP BY src HAVING COUNT(*) >= $KCoreK),
          |c$i AS MATERIALIZED (SELECT c.src, c.dst FROM c${i - 1} c

@@ -289,6 +289,32 @@ object StreamServe {
       |            UNION ALL SELECT CAST(0.9 AS DOUBLE)) q
       |ORDER BY grp, phi""".stripMargin
 
+  /** q98 — q84's bounded k-core SERVED FROM the [[KCoreStream]]-
+    * maintained result store: the sparse part⟷supplier edges arrive in
+    * three micro-batches SLICED BY SUPPLIER, so peel cascades re-run as
+    * later suppliers' edges raise degrees — nodes flip from tombstoned
+    * to alive and survivors' degrees move across batches (the
+    * targeted-recompute + tombstone path is load-bearing). Batches 0–1
+    * compacted with batch 2 live. Oracle: q84's batch SQL verbatim. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("kcoreserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select(($"l_partkey".cast("long") * 2).as("src"),
+        ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+      .distinct().cache()
+    writeSlices(inDir, "edges", Seq(
+      pairs.filter(expr("(dst div 2) % 3 = 0")),
+      pairs.filter(expr("(dst div 2) % 3 = 1")),
+      pairs.filter(expr("(dst div 2) % 3 = 2"))))
+    KCoreStream.start(s, inDir, storeDir).awaitTermination()
+    pairs.unpersist()
+    KCoreStream.compact(s, storeDir, throughBatch = 1L)
+    KCoreStream.snapshot(s, storeDir).orderBy($"node")
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -297,5 +323,6 @@ object StreamServe {
     GQuery("q94_stream_sssp_serve", q94, Some(GraphQueries.q79Sql)),
     GQuery("q96_stream_triangle_serve", q96, Some(GraphQueries.q83Sql)),
     GQuery("q97_stream_kll_estimates", q97, Some(q97Sql)),
+    GQuery("q98_stream_kcore_serve", q98, Some(GraphQueries.q84Sql)),
   )
 }
