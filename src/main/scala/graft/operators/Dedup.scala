@@ -490,7 +490,7 @@ object Dedup {
   /** Oracle: transitive closure of the q24 pair set as a recursive CTE
     * (UNION-dedup'd reachability), component label = min reachable id —
     * the same min-label semantics GraphX CC converges to. */
-  private[operators] def q63SqlShared: String = q63Sql
+  private[graft] def q63SqlShared: String = q63Sql
 
   private val q63Sql =
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q24Sql) q),

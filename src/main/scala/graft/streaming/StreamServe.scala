@@ -315,6 +315,33 @@ object StreamServe {
     KCoreStream.snapshot(s, storeDir).orderBy($"node")
   }
 
+  /** q99 — q63's near-dup cluster/canonical table SERVED FROM the
+    * [[DedupClusterStream]] composition: documents arrive in three
+    * doc-id-interleaved micro-batches, each deduped against the
+    * incrementally-maintained LSH index with the batch's verified new
+    * pairs folded into the nested [[CcStream]] cluster store — clusters
+    * whose members arrive in different batches exist as separate
+    * provisional clusters until the bridging pair's later doc arrives
+    * (the cross-batch CLUSTER-MERGE path is load-bearing). Cluster store
+    * compacted through batch 1 with batch 2 live. Oracle: q63's batch
+    * SQL verbatim (exact-Jaccard transitive closure). */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("dclserve")
+    val inDir = s"$root/in"
+    val store = s"$root/store"
+    val docs = graft.Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text").cache()
+    writeSlices(inDir, "docs", Seq(
+      docs.filter($"doc_id" % 3 === 0),
+      docs.filter($"doc_id" % 3 === 1),
+      docs.filter($"doc_id" % 3 === 2)))
+    DedupClusterStream.start(s, inDir, store).awaitTermination()
+    docs.unpersist()
+    DedupClusterStream.compact(s, store, throughBatch = 1L)
+    DedupClusterStream.snapshot(s, store).orderBy($"doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -324,5 +351,6 @@ object StreamServe {
     GQuery("q96_stream_triangle_serve", q96, Some(GraphQueries.q83Sql)),
     GQuery("q97_stream_kll_estimates", q97, Some(q97Sql)),
     GQuery("q98_stream_kcore_serve", q98, Some(GraphQueries.q84Sql)),
+    GQuery("q99_stream_dedup_cluster_serve", q99, Some(graft.operators.Dedup.q63SqlShared)),
   )
 }
