@@ -76,6 +76,51 @@ object BatchSweep {
         }
         s""""hidiam_w5_batch_sweep":{"vertices":$n,"edges":$nEdges,"reachable":$baselineReach,${rows.mkString(",")}}"""
 
+      case "heavy" =>
+        // the one engine path no committed artifact has ever TIMED: the
+        // delta heavy phase (w ≥ Δ). Every default shape's max weight
+        // sits far below Δ = 32×mean, so anyHeavy short-circuits and
+        // heavy_supersteps stays 0. A 0.1% heavy tail at 100,000 (vs a
+        // 1..5 body) puts mean ≈ 103 and Δ ≈ 3,300 ≪ 100,000 — the
+        // heavy relax pass runs once per settled bucket, the textbook
+        // delta-stepping discipline, finally measured.
+        val nPairs = if (args.length > 2) args(2).toInt else 2
+        val n = 400000L
+        val chords = Iterator.iterate(1L)(_ * 7L).takeWhile(_ < n / 2).toSeq
+        val edges = sc.range(0L, n, 1L, parts).flatMap { i =>
+          chords.flatMap { d =>
+            def w(seed: Long) =
+              if ((seed * 11 + d) % 1000 == 0) 100000.0
+              else (1L + (seed * 7L + d) % 5L).toDouble
+            Seq(Edge(i, (i + d) % n, w(i)), Edge(i, (i - d + n) % n, w(i + n)))
+          }
+        }
+        val g = Graph.fromEdges(edges, 0L).cache()
+        val nEdges = g.edges.count()
+        val dlt = Dijkstra.chooseDelta(g)
+        val nHeavy = g.edges.filter(_.attr >= dlt).count()
+        require(nHeavy > 0, "heavy shape has no heavy edge — probe is vacuous")
+        var reach0 = -1L
+        val pairRows = (1 to nPairs).map { i =>
+          val (pReach, tP) = time {
+            Dijkstra.sssp(g, 0L)
+              .vertices.filter(v => !v._2._1.isInfinite).count()
+          }
+          val st = new Dijkstra.DeltaStats
+          val (dReach, tD) = time {
+            Dijkstra.deltaSssp(g, 0L, stats = Some(st))
+              .vertices.filter(v => !v._2._1.isInfinite).count()
+          }
+          if (reach0 < 0) reach0 = pReach
+          require(pReach == reach0 && dReach == reach0,
+            s"engine disagreement on heavy pair $i: $pReach/$dReach vs $reach0")
+          require(st.heavySupersteps > 0,
+            s"heavy phase never ran (heavySupersteps=0, delta=${st.delta})")
+          System.err.println(f"[batchsweep] heavy pair $i: pregel $tP%.1f s, delta $tD%.1f s, stats ${st.json}")
+          s"""{"pregel_sec":$tP,"delta_sec":$tD,"delta_stats":${st.json}}"""
+        }
+        s""""heavy_tail_w100k":{"vertices":$n,"edges":$nEdges,"heavy_edges":$nHeavy,"chosen_delta":$dlt,"reachable":$reach0,"pairs":[${pairRows.mkString(",")}]}"""
+
       case "pairs" =>
         val nPairs = if (args.length > 2) args(2).toInt else 3
         val n = 400000L
