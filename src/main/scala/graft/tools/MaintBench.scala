@@ -1,0 +1,106 @@
+// Maintenance-cost probe for the maintained-store graph family: the
+// CORRECTNESS rows (q93/q94/q96/q98/q99) prove the streamed stores exact;
+// this measures what exactness COSTS per micro-batch, across scale
+// factors — the empirical check of the per-batch working-set claim
+// (touched components / delta adjacency / dup volume, not corpus volume).
+// Each maintainer ingests its standard three-slice split at each SF with
+// per-batch wall times; emits one JSON artifact.
+//
+// Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep]'
+package graft.tools
+
+import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspStream, TriangleStream}
+import graft.operators.GraphQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object MaintBench {
+
+  private def time[T](f: => T): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) Some(args(0)) else None
+    val sfDirs = (if (args.length > 1) args(1).split(",").toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def tmp(prefix: String) =
+      java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+    def sparsePairs(dir: String): DataFrame =
+      graft.Tables.t(spark, dir, "lineitem")
+        .filter($"l_quantity" === 50)
+        .select(($"l_partkey".cast("long") * 2).as("src"),
+          ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+        .distinct()
+
+    val sfJsons = sfDirs.map { dir =>
+      val sp = sparsePairs(dir).cache()
+      val spN = sp.count()
+      val rawPairs = graft.Tables.t(spark, dir, "lineitem")
+        .filter($"l_quantity" === 50)
+        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+        .distinct().cache()
+      val weighted = graft.Tables.t(spark, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+        .distinct()
+        .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+          (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"))
+        .cache()
+      val wN = weighted.count()
+      val source = 2L * graft.Tables.t(spark, dir, "lineitem")
+        .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
+      val docs = graft.Tables.t(spark, dir, "documents")
+        .select($"doc_id", $"text").cache()
+      val docN = docs.count()
+
+      def slices3(d: DataFrame, col_ : String): Seq[DataFrame] =
+        Seq(0, 1, 2).map(i => d.filter(expr(s"($col_) % 3 = $i")))
+
+      def run(name: String, slices: Seq[DataFrame])(step: (DataFrame, Long) => Unit): String = {
+        val ts = slices.zipWithIndex.map { case (sl, i) => time(step(sl, i.toLong)) }
+        System.err.println(f"[maintbench] $dir $name: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
+        s""""$name":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}}"""
+      }
+
+      val cc = tmp("mb-cc")
+      val sssp = tmp("mb-sssp")
+      val tri = tmp("mb-tri")
+      val kcore = tmp("mb-kcore")
+      val dcl = tmp("mb-dcl")
+      val rows = Seq(
+        run("cc", slices3(sp, "dst div 2"))(
+          (b, i) => CcStream.processBatch(b, i, cc)),
+        run("sssp", slices3(weighted, "dst div 2"))(
+          (b, i) => SsspStream.processBatch(b, i, sssp, source, GraphQueries.ScaleSsspBudget)),
+        run("triangle", slices3(rawPairs, "su"))(
+          (b, i) => TriangleStream.processBatch(b, i, tri)),
+        run("kcore", slices3(sp, "dst div 2"))(
+          (b, i) => KCoreStream.processBatch(b, i, kcore)),
+        run("dedup_cluster", slices3(docs, "doc_id"))(
+          (b, i) => DedupClusterStream.processBatch(spark, b, i, dcl)))
+      sp.unpersist(); rawPairs.unpersist(); weighted.unpersist(); docs.unpersist()
+      val sf = dir.split("/").last
+      s""""$sf":{"sparse_pairs":$spN,"weighted_edges":$wN,"documents":$docN,${rows.mkString(",")}}"""
+    }
+
+    val json = "{" + sfJsons.mkString(",") +
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does."}""" +
+      "}"
+    println(json)
+    out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
+    spark.stop()
+  }
+}
