@@ -97,8 +97,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does."}""" +
-      "}"
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
