@@ -137,28 +137,8 @@ object CcStream {
     * contract). */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    val conf = s.sparkContext.hadoopConfiguration
-    def fold(sub: String)(stage: DataFrame => DataFrame): Unit = {
-      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
-      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
-      val batchIds = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
-      if (sources.nonEmpty) {
-        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
-        val src = s.read.parquet(s"$storeDir/$sub")
-          .filter($"batch".isInCollection(sources))
-        stage(src).localCheckpoint()
-          .withColumn("batch", lit(stagingId))
-          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(s"$storeDir/$sub")
-        sources.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
-        }
-      }
-    }
-    fold("edges")(_.select($"src", $"dst").distinct())
-    fold("labels") { src =>
+    Stores.fold(s, s"$storeDir/edges", throughBatch)(_.select($"src", $"dst").distinct())
+    Stores.fold(s, s"$storeDir/labels", throughBatch) { src =>
       val w = Window.partitionBy($"node")
         .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
       src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)

@@ -46,6 +46,12 @@ object DedupClusterStream {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private val pairsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+
   /** Fold one micro-batch of (doc_id, text) documents: dedup against the
     * index, then fold the new verified pairs into the cluster store. */
   def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
@@ -54,7 +60,15 @@ object DedupClusterStream {
     import s.implicits._
     DedupStream.processBatch(s, batch, batchId,
       indexDir(rootDir), pairsDir(rootDir), family, threshold)
-    val newPairs = s.read.parquet(pairsDir(rootDir))
+    // explicit schema (no inference): a run prefix that never verified a
+    // pair leaves pairsDir missing or an all-_SUCCESS root with no data
+    // files — both must read as empty, not throw
+    val pairsSrc =
+      if (exists(s, pairsDir(rootDir)))
+        s.read.schema(pairsSchema).parquet(pairsDir(rootDir))
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairsSchema)
+    val newPairs = pairsSrc
       .filter($"batch" === batchId)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
     // a batch may verify no new pair — nothing for the cluster store

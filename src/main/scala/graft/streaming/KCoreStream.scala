@@ -53,9 +53,14 @@ object KCoreStream {
   private def ccDir(storeDir: String) = s"$storeDir/cc"
 
   /** Served k-core: freshest row per node (live > newest negative
-    * generation), alive rows only — q84's (node, deg) output shape. */
+    * generation), alive rows only — q84's (node, deg) output shape.
+    * A store no batch ever created serves the typed empty frame. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/results")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("deg")).limit(0)
     val w = Window.partitionBy($"node")
       .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
     s.read.parquet(s"$storeDir/results")
@@ -125,29 +130,11 @@ object KCoreStream {
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
     CcStream.compact(s, ccDir(storeDir), throughBatch)
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/results")
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(root.toUri, s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val batchIds = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
-    if (sources.nonEmpty) {
-      val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+    Stores.fold(s, s"$storeDir/results", throughBatch) { src =>
       val w = Window.partitionBy($"node")
         .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-      val folded = s.read.parquet(s"$storeDir/results")
-        .filter($"batch".isInCollection(sources))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
         .select($"node", $"deg", $"alive")
-      folded.localCheckpoint()
-        .withColumn("batch", lit(stagingId))
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(s"$storeDir/results")
-      sources.foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
-      }
     }
   }
 }

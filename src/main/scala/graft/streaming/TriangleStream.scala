@@ -44,11 +44,18 @@ import org.apache.spark.sql.types._
   *   4. write `edges/batch=<id>` (±1 edge rows) and `counts/batch=<id>`
   *      (per-part count deltas); the serving view is a SUM.
   *
-  * At 100 TB the per-batch cost is |touched suppliers| · cap² candidate
-  * edges plus the delta endpoints' adjacency — the working set any exact
-  * incremental triangle maintainer must read (the standard bounded-delta
-  * argument of incremental wedge counting); the full graph is never
-  * re-enumerated. TriangleStreamSpec pins equality with batch q83 under
+  * At 100 TB the per-batch SHUFFLE/compute volume is |touched suppliers|
+  * · cap² candidate edges plus the delta endpoints' adjacency — the
+  * working set any exact incremental triangle maintainer must read (the
+  * standard bounded-delta argument of incremental wedge counting); the
+  * full graph is never re-enumerated, and every store read is restricted
+  * by a semi/anti join BEFORE any shuffle or distinct (nothing
+  * corpus-sized is ever shuffled or materialized per batch). The
+  * restricted scans still LIST the store's files; a production
+  * deployment buckets `pairs` on su and `edges` on endpoint so the
+  * restriction prunes I/O too — the same note as [[CcStream]]'s
+  * component-bucketed edge store. TriangleStreamSpec pins equality with
+  * batch q83 under
   * splits forcing cross-batch wedge closures and a cap-crossing removal;
   * the q96 CORRECTNESS row serves the store against q83's SQL verbatim.
   */
@@ -63,14 +70,19 @@ object TriangleStream {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Distinct pairs of store batches `< upTo` (`Long.MaxValue` = all,
-    * negative generations always included). */
-  private def pairsBefore(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
+  /** RAW (possibly duplicate-carrying) pairs of store batches `< upTo` —
+    * a LAZY scan, deliberately not distinct'd or materialized: every
+    * consumer restricts it with a semi/anti join FIRST and applies
+    * distinct on the restricted slice (distinct commutes with a
+    * key-subset restriction), so no batch ever pays a corpus-wide
+    * distinct shuffle (review finding: the previous whole-store
+    * distinct + localCheckpoint made every batch corpus-sized). */
+  private def rawPairsBefore(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
     import s.implicits._
     if (!exists(s, s"$storeDir/pairs"))
       s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su")).limit(0)
     else s.read.parquet(s"$storeDir/pairs").filter($"batch" < upTo)
-      .select($"p", $"su").distinct()
+      .select($"p", $"su")
   }
 
   /** Current projected edge set: net of the ±1 deltas. */
@@ -158,7 +170,7 @@ object TriangleStream {
     // batch before the cuts). The frames are delta-sized or
     // edge-set-sized; blocks are reclaimed by the ContextCleaner as
     // they go out of scope, the q84 precedent.
-    val prev = pairsBefore(s, storeDir, batchId).localCheckpoint()
+    val prev = rawPairsBefore(s, storeDir, batchId)
     batch.select($"p", $"su").distinct()
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
@@ -166,9 +178,11 @@ object TriangleStream {
 
     val touchedSu = batch.select($"su").distinct().localCheckpoint()
     // using-column joins put the join column FIRST in the output — every
-    // union below is positional, so re-select (p, su) explicitly
+    // union below is positional, so re-select (p, su) explicitly.
+    // Distinct lands AFTER the touched-supplier restriction: only the
+    // touched slice is shuffled/materialized, never the whole store
     val prevTouched = prev.join(touchedSu, Seq("su"), "left_semi")
-      .select($"p", $"su")
+      .select($"p", $"su").distinct().localCheckpoint()
     val newTouched = prevTouched
       .union(batch.select($"p", $"su")).distinct()
     val oldE = projectionOf(prevTouched, cap).localCheckpoint()
@@ -180,10 +194,12 @@ object TriangleStream {
     val cand = oldE.union(newE).distinct()
     val candParts = cand.select($"a".as("p")).union(cand.select($"b")).distinct()
     val otherPairs = prev.join(touchedSu, Seq("su"), "left_anti")
-      .join(candParts, Seq("p"), "left_semi").localCheckpoint()
+      .join(candParts, Seq("p"), "left_semi")
+      .select($"p", $"su").distinct().localCheckpoint()
     val otherSus = otherPairs.select($"su").distinct()
     val okOther = otherPairs.join(
       prev.join(otherSus, Seq("su"), "left_semi")
+        .select($"p", $"su").distinct()
         .groupBy($"su").agg(count(lit(1)).as("d")).filter($"d" <= cap).select($"su"),
       Seq("su"), "left_semi").localCheckpoint()
     val witnessed = cand
@@ -249,36 +265,17 @@ object TriangleStream {
       .start()
 
   /** Fold batches ≤ `throughBatch` (plus prior generations) of all three
-    * stores into one fresh negative generation — [[CcStream.compact]]'s
-    * fold verbatim: pairs dedup, edges keep net-positive rows as +1,
-    * counts keep non-zero per-part nets. One compactor at a time. */
+    * stores into one fresh negative generation ([[Stores.fold]]): pairs
+    * dedup, edges keep net-positive rows as +1, counts keep non-zero
+    * per-part nets. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    val conf = s.sparkContext.hadoopConfiguration
-    def fold(sub: String)(stage: DataFrame => DataFrame): Unit = {
-      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
-      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
-      if (!fs.exists(root)) return
-      val batchIds = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
-      if (sources.nonEmpty) {
-        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
-        val src = s.read.parquet(s"$storeDir/$sub")
-          .filter($"batch".isInCollection(sources))
-        stage(src).localCheckpoint()
-          .withColumn("batch", lit(stagingId))
-          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(s"$storeDir/$sub")
-        sources.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
-        }
-      }
-    }
-    fold("pairs")(_.select($"p", $"su").distinct())
-    fold("edges")(_.groupBy($"a", $"b").agg(sum($"op").as("net"))
-      .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
-    fold("counts")(_.groupBy($"part").agg(sum($"delta").cast("long").as("delta"))
-      .filter($"delta" =!= 0L).select($"part", $"delta"))
+    Stores.fold(s, s"$storeDir/pairs", throughBatch)(_.select($"p", $"su").distinct())
+    Stores.fold(s, s"$storeDir/edges", throughBatch)(
+      _.groupBy($"a", $"b").agg(sum($"op").as("net"))
+        .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
+    Stores.fold(s, s"$storeDir/counts", throughBatch)(
+      _.groupBy($"part").agg(sum($"delta").cast("long").as("delta"))
+        .filter($"delta" =!= 0L).select($"part", $"delta"))
   }
 }

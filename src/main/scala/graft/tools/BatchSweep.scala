@@ -12,8 +12,9 @@
 //    the shipped batchMax, reported individually (min-of-N is computed by
 //    the reader) — the calm-box band VERDICT r8 directive 1 folds in.
 //
-// Run: sbt 'runMain graft.tools.BatchSweep hidiam GRAPHBENCH_r09_hidiam.json'
+// Run: sbt 'runMain graft.tools.BatchSweep hidiam GRAPHBENCH_r09_hidiam.json [bmaxList]'
 //      sbt 'runMain graft.tools.BatchSweep pairs GRAPHBENCH_r09_pairs.json [nPairs]'
+//      sbt 'runMain graft.tools.BatchSweep heavy GRAPHBENCH_r09_heavy.json [nPairs]'
 package graft.tools
 
 import graft.graph.Dijkstra
@@ -152,6 +153,10 @@ object BatchSweep {
           s""""$name":{"reachable":$reach0,"pairs":[${pairRows.mkString(",")}]}"""
         }
         s""""repeat_pairs_batched":{${rows.mkString(",")}}"""
+
+      case other =>
+        spark.stop()
+        sys.error(s"unknown mode '$other' — expected one of: hidiam, heavy, pairs")
     }
 
     val wrapped = "{" + json + "}"
