@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * Per micro-batch:
   *   1. append the batch's edges under `edges/batch=<id>` (dynamic
   *      partition overwrite — deterministic bytes, redelivery converges);
-  *   2. find the AFFECTED set: current labels of the batch's endpoints,
-  *      then every vertex carrying one of those labels (plus endpoints
-  *      never labeled — new vertices). An edge of the store always joins
+  *   2. find the AFFECTED set RESTRICTION-FIRST: current labels of the
+  *      batch's endpoints via a node-restricted freshest-row window, then
+  *      every vertex carrying one of those labels via a component-
+  *      restricted semi-join ([[membersOf]] — no store-sized window or
+  *      aggregate runs per batch; the store SCAN remains and is pruned by
+  *      component bucketing in a production layout). Endpoints never
+  *      labeled are new vertices. An edge of the store always joins
   *      same-component vertices, so filtering store edges by src-side
   *      membership captures exactly the affected components' subgraph;
   *   3. rerun [[GraphQueries.minLabelPropagation]] (the q80 engine,
@@ -55,10 +59,47 @@ object CcStream {
     import s.implicits._
     val w = Window.partitionBy($"node")
       .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    s.read.parquet(s"$storeDir/labels")
+    Stores.read(s, s"$storeDir/labels")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"node", $"component")
+  }
+
+  /** Freshest label rows of `nodes` ONLY — [[snapshot]]'s window run over
+    * a node-restricted slice (row_number partitions by node, so the
+    * restriction commutes with the window): the per-batch shuffle is
+    * touched-volume, not store-volume. */
+  private[graft] def labelsOf(s: SparkSession, storeDir: String,
+      nodes: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"node")
+      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
+    Stores.read(s, s"$storeDir/labels")
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"node", $"component")
+  }
+
+  /** Every current member of the components the `touched` nodes belong
+    * to, restriction-first — NO store-sized window or aggregate runs.
+    * Soundness rests on the min-label merge invariant (at fixpoint within
+    * the round budget, where every registered scale lands — the same
+    * assumption the affected-set recompute itself makes): labels only
+    * merge downward and a merge relabels EVERY member of the absorbed
+    * component, so a dead label never resurfaces as anyone's current
+    * label. Hence a store row (n, c) with c still current for anyone
+    * implies c is n's current label too — membership is exactly the
+    * component-restricted semi-join + distinct, with no per-node
+    * freshest-row arbitration needed. */
+  private[graft] def membersOf(s: SparkSession, storeDir: String,
+      touched: DataFrame): DataFrame = {
+    import s.implicits._
+    val touchedComps = labelsOf(s, storeDir, touched)
+      .select($"component").distinct()
+    Stores.read(s, s"$storeDir/labels")
+      .join(touchedComps, Seq("component"), "left_semi")
+      .select($"node").distinct()
   }
 
   private def labelsExist(s: SparkSession, storeDir: String): Boolean = {
@@ -75,6 +116,11 @@ object CcStream {
       rounds: Int = GraphQueries.ScaleCcRounds): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // an empty batch would dynamic-overwrite ZERO partitions into a fresh
+    // store — an all-_SUCCESS root that wedges every later read (start()'s
+    // foreachBatch filters empties, but MaintBench and the specs call
+    // processBatch directly)
+    if (batch.isEmpty) return
     batch.select($"src", $"dst")
       .union(batch.select($"dst".as("src"), $"src".as("dst")))
       .withColumn("batch", lit(batchId))
@@ -82,22 +128,17 @@ object CcStream {
       .partitionBy("batch").parquet(s"$storeDir/edges")
     val touched = batch.select($"src".as("node"))
       .union(batch.select($"dst")).distinct()
-    val edges = s.read.parquet(s"$storeDir/edges")
+    val edges = Stores.read(s, s"$storeDir/edges")
       .filter($"batch" <= batchId)
       .select($"src", $"dst")
+    // restriction-first (round 10): the affected set is derived without
+    // any store-sized window — touched endpoints' freshest labels from a
+    // node-restricted window, members from a component-restricted
+    // semi-join (endpoints with no label yet are new vertices — they join
+    // via their own edges below)
     val affectedNodes =
       if (!labelsExist(s, storeDir)) touched
-      else {
-        val current = snapshot(s, storeDir)
-        // components the batch touches (endpoints with no label yet are
-        // new vertices — they join via their own edges below)
-        val touchedComps = current.join(touched, Seq("node"), "left_semi")
-          .select($"component").distinct()
-        current.join(touchedComps, Seq("component"), "left_semi")
-          .select($"node")
-          .union(touched)
-          .distinct()
-      }
+      else membersOf(s, storeDir, touched).union(touched).distinct()
     // store edges join same-component vertices, and batch edges have both
     // endpoints in `touched` — src-side membership captures the full
     // induced subgraph of the affected components

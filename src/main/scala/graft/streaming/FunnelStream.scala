@@ -52,12 +52,15 @@ object FunnelStream {
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // empty-batch guard (the CcStream note): a zero-partition dynamic
+    // overwrite on a fresh store leaves an all-_SUCCESS events root
+    if (batch.isEmpty) return
     batch.select($"user_id", $"event_type", $"ts_us")
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/events")
     val touched = batch.select($"user_id").distinct()
-    val hist = s.read.parquet(s"$storeDir/events")
+    val hist = Stores.read(s, s"$storeDir/events")
       .filter($"batch" <= batchId)
       .join(touched, Seq("user_id"), "left_semi")
       .select($"user_id", $"event_type", $"ts_us")
@@ -102,7 +105,7 @@ object FunnelStream {
     import s.implicits._
     val w = Window.partitionBy($"user_id")
       .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    s.read.parquet(s"$storeDir/funnel")
+    Stores.read(s, s"$storeDir/funnel")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"stage", $"ttc_us")
@@ -117,51 +120,27 @@ object FunnelStream {
     * ingested, so an always-on stream degrades linearly in batch count
     * from listing overhead alone.
     *
-    * Crash-safety differs per store, and both are honest:
-    *   - events: [[TemporalJoins.funnelStages]] is pure MIN/MAX
-    *     aggregation, so DUPLICATE events are semantically invisible — a
-    *     crash between stage and delete leaves duplicates that change no
-    *     answer, and the re-run folds the leftover generation in and
-    *     converges.
-    *   - funnel rows: the staged generation holds each touched user's
-    *     FRESHEST row (the [[snapshot]] rule applied to the sources);
-    *     [[snapshot]]'s precedence makes a leftover older generation
-    *     inert, so the crash window at worst serves a row the store
-    *     already served before the compaction began.
+    * Crash-safety is [[Stores.fold]]'s manifest contract (round 10): the
+    * staged generation becomes visible — and its sources excluded — in
+    * one atomic manifest rename, so readers never see staging and
+    * sources together and a crash at any point is repaired by the next
+    * fold's cleanup pass. (This store's MIN/MAX semantics tolerated the
+    * old overlap window anyway; the shared fold makes that tolerance
+    * unnecessary rather than load-bearing.)
     *
     * CONTRACT — one compactor at a time (the [[graft.store.Materialized]]
     * concurrent-build note, applied to maintenance): the staging id is
     * derived from a directory listing with no mutual exclusion, so two
-    * compactions racing can pick the SAME generation id and dynamically
-    * overwrite each other's partitions. Compaction is a periodic
-    * single-owner maintenance job; a multi-maintainer deployment must
-    * serialize it externally (a lease on the store root). Ingest needs
-    * no such care: live batches touch only their own non-negative ids. */
+    * compactions racing can pick the SAME generation id and overwrite
+    * each other. Compaction is a periodic single-owner maintenance job; a
+    * multi-maintainer deployment must serialize it externally (a lease on
+    * the store root). Ingest needs no such care: live batches touch only
+    * their own non-negative ids. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    val conf = s.sparkContext.hadoopConfiguration
-    def fold(sub: String)(stage: (DataFrame, Long) => DataFrame): Unit = {
-      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
-      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
-      val batchIds = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
-      if (sources.nonEmpty) {
-        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
-        // localCheckpoint: materialize before overwriting a read path
-        val src = s.read.parquet(s"$storeDir/$sub")
-          .filter($"batch".isInCollection(sources))
-        stage(src, stagingId).localCheckpoint()
-          .withColumn("batch", lit(stagingId))
-          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(s"$storeDir/$sub")
-        sources.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
-        }
-      }
-    }
-    fold("events") { (src, _) => src.select($"user_id", $"event_type", $"ts_us") }
-    fold("funnel") { (src, _) =>
+    Stores.fold(s, s"$storeDir/events", throughBatch)(
+      _.select($"user_id", $"event_type", $"ts_us"))
+    Stores.fold(s, s"$storeDir/funnel", throughBatch) { src =>
       val w = Window.partitionBy($"user_id")
         .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
       src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)

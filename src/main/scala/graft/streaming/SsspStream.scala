@@ -64,10 +64,30 @@ object SsspStream {
     import s.implicits._
     val w = Window.partitionBy($"node")
       .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    s.read.parquet(s"$storeDir/dists")
+    Stores.read(s, s"$storeDir/dists")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"node", $"dist")
+  }
+
+  /** Freshest (= minimum) distances of `nodes` ONLY — [[snapshot]]'s
+    * window over a node-restricted slice (restriction commutes with the
+    * per-node window), so each relaxation round shuffles its candidate
+    * set's volume, never the store's. Returns the typed empty frame for a
+    * store no batch ever created. */
+  private def distsOf(s: SparkSession, storeDir: String, nodes: DataFrame): DataFrame = {
+    import s.implicits._
+    if (!distsExist(s, storeDir))
+      s.emptyDataset[(Long, Long)].toDF("node", "dist")
+    else {
+      val w = Window.partitionBy($"node")
+        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
+      Stores.read(s, s"$storeDir/dists")
+        .join(nodes.select($"node"), Seq("node"), "left_semi")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"node", $"dist")
+    }
   }
 
   private def distsExist(s: SparkSession, storeDir: String): Boolean = {
@@ -91,40 +111,55 @@ object SsspStream {
       source: Long, budget: Long): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // empty-batch guard (the CcStream note): a zero-partition dynamic
+    // overwrite on a fresh store leaves an all-_SUCCESS edges root
+    if (batch.isEmpty) return
     // negative weights void every invariant here (see scaladoc): drop them
     // at the door so a bad feed cannot poison the monotone store
     val valid = batch.filter($"w" >= 0)
     val sym = valid.select($"src", $"dst", $"w")
       .union(valid.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      .localCheckpoint()
     sym.withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/edges")
-    val allEdges = s.read.parquet(s"$storeDir/edges")
+    val allEdges = Stores.read(s, s"$storeDir/edges")
       .filter($"batch" <= batchId)
       .select($"src", $"dst", $"w")
-    val current =
-      if (distsExist(s, storeDir)) snapshot(s, storeDir)
-      else s.emptyDataset[(Long, Long)].toDF("node", "dist")
     def relax(frontier: DataFrame, edges: DataFrame): DataFrame =
       frontier.withColumnRenamed("node", "src")
         .join(edges, "src")
         .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
         .filter($"dist" <= budget)
         .groupBy($"node").agg(min($"dist").as("dist"))
-    // seeds: the source if unseen + new-edge relaxations of current dists
-    val sourceRow = Seq((source, 0L)).toDF("node", "dist")
-      .join(current, Seq("node"), "left_anti")
-    var frontier = improvements(
-      merged(sourceRow, relax(merged(current, sourceRow), sym)), current)
+    // restriction-first (round 10): the store's freshest-row window never
+    // runs store-wide — each lookup restricts to the nodes it arbitrates
+    // (new-edge endpoints, then each round's candidate set), so per-batch
+    // SHUFFLE volume is frontier-adjacency-sized. `improvedAll` carries
+    // this batch's improvements; best-known for a candidate set is the
+    // min of its restricted store rows and its restricted improvements.
+    var improvedSoFar = s.emptyDataset[(Long, Long)].toDF("node", "dist")
       .localCheckpoint()
-    var improvedAll = frontier
-    var cur = merged(current, frontier).localCheckpoint()
+    def knownFor(cand: DataFrame): DataFrame = {
+      val nodes = cand.select($"node").distinct()
+      merged(distsOf(s, storeDir, nodes),
+        improvedSoFar.join(nodes, Seq("node"), "left_semi"))
+    }
+    // seeds: the source if unseen + new-edge relaxations of the current
+    // dists of the new edges' src endpoints
+    val sourceRow = Seq((source, 0L)).toDF("node", "dist")
+      .join(distsOf(s, storeDir, Seq(source).toDF("node")), Seq("node"), "left_anti")
+    val epCur = distsOf(s, storeDir, sym.select($"src".as("node")).distinct())
+    val seedCand = merged(sourceRow, relax(merged(epCur, sourceRow), sym))
+    var frontier = improvements(seedCand, knownFor(seedCand)).localCheckpoint()
+    improvedSoFar = frontier
     while (!frontier.isEmpty) {
-      val next = improvements(relax(frontier, allEdges), cur).localCheckpoint()
-      improvedAll = merged(improvedAll, next)
-      cur = merged(cur, next).localCheckpoint()
+      val cand = relax(frontier, allEdges)
+      val next = improvements(cand, knownFor(cand)).localCheckpoint()
+      improvedSoFar = merged(improvedSoFar, next).localCheckpoint()
       frontier = next
     }
+    val improvedAll = improvedSoFar
     if (!improvedAll.isEmpty)
       improvedAll
         .withColumn("batch", lit(batchId))
@@ -155,28 +190,9 @@ object SsspStream {
     * (= minimum) row. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    val conf = s.sparkContext.hadoopConfiguration
-    def fold(sub: String)(stage: DataFrame => DataFrame): Unit = {
-      val root = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
-      val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, conf)
-      val batchIds = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-      val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
-      if (sources.nonEmpty) {
-        val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
-        val src = s.read.parquet(s"$storeDir/$sub")
-          .filter($"batch".isInCollection(sources))
-        stage(src).localCheckpoint()
-          .withColumn("batch", lit(stagingId))
-          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(s"$storeDir/$sub")
-        sources.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
-        }
-      }
-    }
-    fold("edges")(_.select($"src", $"dst", $"w").distinct())
-    fold("dists") { src =>
+    Stores.fold(s, s"$storeDir/edges", throughBatch)(
+      _.select($"src", $"dst", $"w").distinct())
+    Stores.fold(s, s"$storeDir/dists", throughBatch) { src =>
       val w = Window.partitionBy($"node")
         .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
       src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)

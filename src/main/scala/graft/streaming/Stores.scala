@@ -1,40 +1,156 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shared negative-generation fold for the maintained batch-partitioned
-  * stores — ONE implementation of the list-batches → stage-fold →
-  * write-staging-generation → delete-sources sequence that CcStream,
-  * TriangleStream, and KCoreStream each previously hand-rolled (the
-  * copies had already diverged on the missing-store guard; a review
-  * caught compact() crashing on stores no batch had ever created). */
-private[streaming] object Stores {
+/** Shared negative-generation fold + read for the maintained
+  * batch-partitioned stores — ONE implementation of the compaction
+  * sequence CcStream, TriangleStream, KCoreStream, SsspStream and
+  * FunnelStream previously hand-rolled (the copies had already diverged
+  * on the missing-store guard before round 9 unified three of them).
+  *
+  * ATOMICITY (round 10): the round-9 fold wrote the staging generation
+  * into the live root and only then deleted its sources — any reader in
+  * that window saw BOTH and, for SUM-semantics stores (TriangleStream's
+  * ±1 edge deltas and per-part count deltas), double-counted; a crash
+  * between the write and the deletes left the store permanently folding
+  * staging plus sources into a doubled next generation. Freshest-row and
+  * distinct-fold stores tolerated the overlap (row_number/distinct pick
+  * one); the sum stores made it load-bearing. The fix is a per-generation
+  * COVER MANIFEST making the switch a single atomic file rename:
+  *
+  *   1. the staged fold is written to a temp SIBLING of the root and
+  *      renamed in as `batch=<stagingId>` — readers IGNORE a negative
+  *      generation with no manifest, so the half-landed generation is
+  *      invisible;
+  *   2. `_cover_<g>` (underscore-prefixed — invisible to parquet
+  *      listings) is renamed into place, naming every source batch the
+  *      generation folded. From this instant — one atomic rename —
+  *      readers see the generation AND exclude its covered sources;
+  *   3. the covered source directories (and folded-away older
+  *      generations' manifests) are deleted, purely as space/listing
+  *      reclamation: they were already invisible after step 2.
+  *
+  * A crash anywhere leaves a state the next [[fold]] repairs in its
+  * cleanup pass (delete stale temps, finish interrupted deletions, drop
+  * unmanifested generations — their rows still live in their sources)
+  * and that [[read]] already serves correctly. Every reader of a folded
+  * store must go through [[read]]; a raw `spark.read.parquet` over the
+  * root would double-count exactly the windows the manifest closes.
+  *
+  * The staged generation always contains at least one real parquet file
+  * (an empty fold result is written through a single reserved task, whose
+  * writer creates its file eagerly), so a store whose entire content
+  * folds to nothing still has a readable schema — the "all-_SUCCESS root
+  * wedges later reads" failure cannot be produced by compaction.
+  *
+  * One compactor at a time (the documented single-maintainer contract of
+  * every caller); ingest is unaffected — live batches touch only their
+  * own non-negative ids.
+  */
+private[graft] object Stores {
 
-  /** Fold batches ≤ `throughBatch` (plus prior negative generations) of
-    * the batch-partitioned store at `path` into one fresh negative
-    * generation, staging the rows through `stage`. No-op if the store
-    * was never created. One compactor at a time (the documented
-    * single-maintainer contract of every caller). */
+  private def fsOf(s: SparkSession, root: Path): FileSystem =
+    FileSystem.get(root.toUri, s.sparkContext.hadoopConfiguration)
+
+  private case class Survey(present: Set[Long], validGens: Set[Long],
+      covered: Set[Long], staleManifests: Seq[Path], tmps: Seq[Path])
+
+  /** One listing of the store root: batch directories, manifested
+    * (= visible) negative generations, the union of their covered source
+    * ids, plus the debris a crashed fold can leave. */
+  private def survey(fs: FileSystem, root: Path): Survey = {
+    val entries = fs.listStatus(root)
+    val present = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).toSet
+    val manifests = entries.filter(!_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("_cover_"))
+      .map(p => (p, -p.getName.stripPrefix("_cover_").toLong))
+    val (valid, stale) = manifests.partition { case (_, gen) => present(gen) }
+    val covered = valid.flatMap { case (p, _) =>
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split(",").filter(_.nonEmpty).map(_.trim.toLong)
+    }.toSet
+    val tmps = entries.filter(!_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("_tmpcover_"))
+    Survey(present, valid.map(_._2).toSet, covered,
+      stale.map(_._1).toSeq, tmps.toSeq)
+  }
+
+  /** Live batch ids of the store: present directories minus sources
+    * covered by a manifested generation; negative ids count only when
+    * manifested (an unmanifested generation is a crashed fold's
+    * half-landed write — its rows still live in its sources). */
+  private def liveBatches(fs: FileSystem, root: Path): Set[Long] = {
+    val st = survey(fs, root)
+    st.present.filter(b => !st.covered(b) && (b >= 0 || st.validGens(b)))
+  }
+
+  /** The store's rows at its live batch set — the one sanctioned read
+    * path over a folded store (see the atomicity note above). The caller
+    * is responsible for the root's existence (every caller already
+    * guards with its typed-empty-frame fallback). */
+  def read(s: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val live = liveBatches(fsOf(s, root), root)
+    s.read.parquet(path).filter(col("batch").isInCollection(live))
+  }
+
+  /** Fold batches ≤ `throughBatch` (plus prior generations) of the
+    * batch-partitioned store at `path` into one fresh manifested negative
+    * generation, staging the rows through `stage` (whose output must NOT
+    * carry the `batch` column — the generation directory supplies it).
+    * No-op if the store was never created. */
   def fold(s: SparkSession, path: String, throughBatch: Long)(
       stage: DataFrame => DataFrame): Unit = {
-    import s.implicits._
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(root.toUri, s.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = fsOf(s, root)
     if (!fs.exists(root)) return
-    val batchIds = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    val sources = batchIds.filter(b => b < 0 || b <= throughBatch)
+
+    // repair pass: finish whatever a crashed fold left behind
+    val parent = root.getParent
+    fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(root.getName + ".foldtmp-"))
+      .foreach(p => fs.delete(p, true))
+    val st0 = survey(fs, root)
+    st0.tmps.foreach(p => fs.delete(p, false))
+    st0.staleManifests.foreach(p => fs.delete(p, false))
+    st0.present.filter(st0.covered).foreach { b =>
+      fs.delete(new Path(root, s"batch=$b"), true)
+      if (b < 0) fs.delete(new Path(root, s"_cover_${-b}"), false)
+    }
+    st0.present.filter(b => b < 0 && !st0.validGens(b))
+      .foreach(b => fs.delete(new Path(root, s"batch=$b"), true))
+
+    val live = liveBatches(fs, root)
+    val sources = live.filter(b => b < 0 || b <= throughBatch)
     if (sources.isEmpty) return
-    val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
-    val src = s.read.parquet(path).filter($"batch".isInCollection(sources))
-    stage(src).localCheckpoint()
-      .withColumn("batch", lit(stagingId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(path)
+    val stagingId = live.filter(_ < 0).minOption.getOrElse(0L) - 1L
+
+    val src = s.read.parquet(path).filter(col("batch").isInCollection(sources))
+    val staged = stage(src).localCheckpoint()
+    // a single reserved task creates its parquet file eagerly even with
+    // zero rows, keeping the generation's schema readable
+    val out = if (staged.isEmpty) staged.repartition(1) else staged
+    val tmp = new Path(parent,
+      root.getName + ".foldtmp-" + java.util.UUID.randomUUID().toString.take(8))
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(tmp, new Path(root, s"batch=$stagingId")))
+      throw new java.io.IOException(s"fold: rename $tmp -> batch=$stagingId failed")
+
+    val manifestTmp = new Path(root, s"_tmpcover_${-stagingId}")
+    val o = fs.create(manifestTmp, true)
+    try o.write(sources.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+    finally o.close()
+    if (!fs.rename(manifestTmp, new Path(root, s"_cover_${-stagingId}")))
+      throw new java.io.IOException(s"fold: manifest rename failed for $path")
+
     sources.foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
+      fs.delete(new Path(root, s"batch=$b"), true)
+      if (b < 0) fs.delete(new Path(root, s"_cover_${-b}"), false)
     }
   }
 }

@@ -81,18 +81,39 @@ object TriangleStream {
     import s.implicits._
     if (!exists(s, s"$storeDir/pairs"))
       s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su")).limit(0)
-    else s.read.parquet(s"$storeDir/pairs").filter($"batch" < upTo)
+    else Stores.read(s, s"$storeDir/pairs").filter($"batch" < upTo)
       .select($"p", $"su")
   }
 
-  /** Current projected edge set: net of the ±1 deltas. */
-  private def edgesAt(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
+  /** Net-positive projected edges INCIDENT TO `endpoints` (one column
+    * `n`) at store prefix `< upTo` — restriction-first (round 10): the
+    * endpoint semi-joins run BEFORE the net aggregate (summing ±op per
+    * (a, b) commutes with an (a, b)-key restriction), so the per-batch
+    * shuffle is delta-adjacency-sized, not store-sized. Downstream only
+    * ever consults delta-endpoint-adjacent membership
+    * ([[trianglesThrough]] restricts to exactly that adjacency, and
+    * except/union with the ±delta commutes with the restriction), so the
+    * restricted set is equivalent to the full one for every consumer.
+    * The two branches are DISJOINT by construction (the b-side keeps only
+    * a∉EP rows) — a union of two plain semi-joins would double-count the
+    * ±rows of edges with both endpoints touched, corrupting the net. */
+  private[graft] def edgesTouching(s: SparkSession, storeDir: String, upTo: Long,
+      endpoints: DataFrame): DataFrame = {
     import s.implicits._
     if (!exists(s, s"$storeDir/edges"))
       s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
-    else s.read.parquet(s"$storeDir/edges").filter($"batch" < upTo)
-      .groupBy($"a", $"b").agg(sum($"op").as("net"))
-      .filter($"net" > 0).select($"a", $"b")
+    else {
+      val raw = Stores.read(s, s"$storeDir/edges").filter($"batch" < upTo)
+      val restricted = raw
+        .join(endpoints.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .select($"a", $"b", $"op")
+        .union(raw
+          .join(endpoints.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .join(endpoints.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+          .select($"a", $"b", $"op"))
+      restricted.groupBy($"a", $"b").agg(sum($"op").as("net"))
+        .filter($"net" > 0).select($"a", $"b")
+    }
   }
 
   /** Ordered projected edges (a < b, distinct) contributed by `sus`-only
@@ -161,6 +182,10 @@ object TriangleStream {
       cap: Long = GraphQueries.TriDegreeCap): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // empty-batch guard (the CcStream note): a zero-partition dynamic
+    // overwrite on a fresh store leaves an all-_SUCCESS pairs root that
+    // wedges every later read
+    if (batch.isEmpty) return
     // every multiply-referenced intermediate below is EAGERLY
     // localCheckpoint'ed, not cached: the wedge-closing joins reference
     // the edge frames up to five times each, and an uncut logical plan
@@ -210,7 +235,12 @@ object TriangleStream {
     val added = newE.except(oldE).except(witnessed).localCheckpoint()
     val removed = oldE.except(newE).except(witnessed).localCheckpoint()
 
-    val eOld = edgesAt(s, storeDir, batchId).localCheckpoint()
+    // store read restricted to the ±delta's endpoint adjacency — the only
+    // membership the wedge closures below ever consult
+    val deltaEps = added.select($"a".as("n")).union(removed.select($"a"))
+      .union(added.select($"b")).union(removed.select($"b"))
+      .distinct().localCheckpoint()
+    val eOld = edgesTouching(s, storeDir, batchId, deltaEps).localCheckpoint()
     val eNew = eOld.except(removed).union(added).localCheckpoint()
 
     val gained = trianglesThrough(added, eNew)
@@ -242,7 +272,7 @@ object TriangleStream {
     import s.implicits._
     if (!exists(s, s"$storeDir/counts"))
       s.emptyDataFrame.select(lit(0L).as("part"), lit(0L).as("n_triangles")).limit(0)
-    else s.read.parquet(s"$storeDir/counts")
+    else Stores.read(s, s"$storeDir/counts")
       .groupBy($"part").agg(sum($"delta").cast("long").as("n_triangles"))
       .filter($"n_triangles" > 0)
   }
