@@ -534,8 +534,14 @@ object Dijkstra {
     var heavySupersteps: Long = 0L
     /** Materializing actions in the light phase (the per-batch counts). */
     var lightBatches: Long = 0L
+    // `light_rounds` (r10): renamed from `light_supersteps`, whose meaning
+    // silently changed in r9 from job count to rounds-executed (padded to
+    // batch boundaries) — the old key under the new semantics made r7-era
+    // artifact comparisons read as apples-to-apples when they weren't.
+    // `note` records the break for anyone diffing historical GRAPHBENCH
+    // artifacts.
     def json: String =
-      s"""{"delta":$delta,"buckets":$buckets,"light_supersteps":$lightSupersteps,"heavy_supersteps":$heavySupersteps,"light_batches":$lightBatches}"""
+      s"""{"delta":$delta,"buckets":$buckets,"light_rounds":$lightSupersteps,"heavy_supersteps":$heavySupersteps,"light_batches":$lightBatches,"note":"light_rounds = rounds executed incl. batch padding (pre-r9 artifacts report this field as light_supersteps = jobs; not comparable)"}"""
   }
 
   /** Single-pair path as an ordered vertex-id list (source..target), or None

@@ -39,8 +39,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * build — is rebuilt with a full overwrite. [[invalidate]] DELETES
   * staged stores so it still forces a rebuild. Without a staging root
   * the stores are per-JVM temp directories reclaimed by a shutdown hook,
-  * the local-test default; a long-lived multi-tenant service would point
-  * the root at a managed staging location with TTLs. Concurrent FIRST
+  * the local-test default. The staging root itself is GOVERNED (round
+  * 10): every build/attach stamps recency and evicts the least-recently-
+  * attached stores beyond `spark.graft.stagingMaxStores` (default 256)
+  * / `spark.graft.stagingMaxBytes` (default unbounded); stores held by
+  * this JVM's live sessions are exempt, and an evicted store simply
+  * rebuilds on next use. Concurrent FIRST
   * builds of one key from separate JVMs race benignly only if they
   * compute identical bytes (they do — pure functions of the snapshot);
   * the harness serializes sbt JVMs anyway.
@@ -69,6 +73,95 @@ object Materialized {
   private def isComplete(s: SparkSession, dir: String): Boolean = {
     val p = new Path(dir, "_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---- staged-store governor (round 10) -------------------------------
+  // Staged stores outlive every session BY DESIGN (re-attach is the whole
+  // point), which left the staging root growing without bound as corpora
+  // came and went. The governor bounds it: each build/attach stamps the
+  // store with a monotonic recency marker and then evicts the LEAST
+  // RECENTLY ATTACHED stores beyond the configured budget. Stores held by
+  // THIS JVM's live sessions are never evicted (the CorpusCaches wiring:
+  // a corpus evicted from the session cache drops its map entries and
+  // thereby becomes governable); an evicted store simply rebuilds on next
+  // use — the invalidate() contract, applied by age. Like compaction,
+  // governance assumes one writer JVM at a time over a staging root; a
+  // multi-writer deployment sizes the budget above its working set.
+
+  /** Max staged stores kept under a staging root (count budget). */
+  private def maxStagedStores(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.stagingMaxStores")
+      .orElse(sys.props.get("graft.staging.maxStores"))
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(256)
+
+  /** Max total bytes kept under a staging root (size budget; default
+    * unbounded — counting stores is the cheap first-order control). */
+  private def maxStagedBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.stagingMaxBytes")
+      .orElse(sys.props.get("graft.staging.maxBytes"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(Long.MaxValue)
+
+  private val TouchMarker = "_graft_touched"
+
+  /** Stamp recency with an explicit monotonic value (file mtime is
+    * second-granular on some filesystems — too coarse to order builds in
+    * one test run, let alone one pipeline stage). */
+  private def touchStaged(s: SparkSession, dir: String): Unit =
+    try {
+      val p = new Path(dir, TouchMarker)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val o = fs.create(p, true)
+      try o.write(System.nanoTime().toString.getBytes("UTF-8")) finally o.close()
+    } catch { case _: Throwable => () }
+
+  private def touchStamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long =
+    try {
+      val p = new Path(dir, TouchMarker)
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body.trim.toLong
+      }
+    } catch { case _: Throwable => 0L }
+
+  /** Evict least-recently-attached staged stores until the root fits the
+    * budgets. `keepName` (the store just touched) and every store a live
+    * session of this JVM currently maps are exempt. */
+  private def governStaged(s: SparkSession, root: String, keepName: String): Unit = {
+    val maxN = maxStagedStores(s)
+    val maxB = maxStagedBytes(s)
+    if (maxN == Int.MaxValue && maxB == Long.MaxValue) return
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val heldNames: Set[String] =
+      stores.values.map(p => new Path(p).getName).toSet ++
+        tables.keys.flatMap { case (ss, key) =>
+          stagingRoot(ss).map(r => new Path(stagedBucketPath(r, key)).getName)
+        }
+    val entries = fs.listStatus(rootP).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("mat_") || p.getName.startsWith("matbkt_"))
+    var total = entries.length
+    var totalBytes =
+      if (maxB == Long.MaxValue) 0L
+      else entries.map(p => try fs.getContentSummary(p).getLength catch {
+        case _: Throwable => 0L
+      }).sum
+    val evictable = entries
+      .filterNot(p => p.getName == keepName || heldNames(p.getName))
+      .sortBy(p => touchStamp(fs, p))
+    evictable.foreach { p =>
+      if (total > maxN || totalBytes > maxB) {
+        val bytes = if (maxB == Long.MaxValue) 0L
+          else try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+        if (fs.delete(p, true)) { total -= 1; totalBytes -= bytes }
+      }
+    }
   }
 
   private def deletePath(s: SparkSession, dir: String): Unit = {
@@ -128,6 +221,8 @@ object Materialized {
                 .filter(_.getName.startsWith(".build_"))
                 .foreach(p => fs.delete(p, true))
           }
+          touchStaged(s, out)
+          governStaged(s, root, new Path(out).getName)
           out
         case None =>
           val out = s"${tempStore("graft-mat")}/rel"
@@ -194,6 +289,8 @@ object Materialized {
           case Some(root) =>
             val path = stagedBucketPath(root, key)
             register(path, rebuild = !isComplete(s, path))
+            touchStaged(s, path)
+            governStaged(s, root, new Path(path).getName)
           case None =>
             // EXTERNAL table at a fresh temp path: a managed table's
             // warehouse location outlives the (in-memory) catalog that

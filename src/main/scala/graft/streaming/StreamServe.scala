@@ -342,6 +342,58 @@ object StreamServe {
     DedupClusterStream.snapshot(s, store).orderBy($"doc_id")
   }
 
+  /** q100 — DECREMENTAL SSSP served from the [[SsspDeltaStream]] store:
+    * the q94 weighted graph arrives as two insert batches, then a DELETE
+    * batch removing every (p + su) % 5 == 0 pair (the reference's
+    * wormhole-expiry path — edges genuinely leave the graph), then a
+    * partial RE-INSERT batch restoring the % 10 == 0 half. The store is
+    * compacted THROUGH the delete batch (tombstones and dead edges fold
+    * away) with the re-insert batch live — so serving exercises damaged-
+    * cone recompute, tombstoning, fold-of-deletions, and resurrection
+    * against a negative generation in one row. Oracle: q79's bounded
+    * path-enumeration SQL on the SURVIVING pair set. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("ssspdeltaserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+        (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"),
+        (($"p" + $"su") % 5 === 0).as("del"),
+        (($"p" + $"su") % 10 === 0).as("reins"))
+      .cache()
+    val source = 2L * graft.Tables.t(s, dir, "lineitem")
+      .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
+    writeSlices(inDir, "ev", Seq(
+      pairs.filter(expr("(dst div 2) % 2 = 0"))
+        .select($"src", $"dst", $"w", lit(1).as("op")),
+      pairs.filter(expr("(dst div 2) % 2 = 1"))
+        .select($"src", $"dst", $"w", lit(1).as("op")),
+      pairs.filter($"del").select($"src", $"dst", lit(0L).as("w"), lit(-1).as("op")),
+      pairs.filter($"reins").select($"src", $"dst", $"w", lit(1).as("op"))))
+    SsspDeltaStream.start(s, inDir, storeDir, source, GraphQueries.ScaleSsspBudget)
+      .awaitTermination()
+    pairs.unpersist()
+    SsspDeltaStream.compact(s, storeDir, throughBatch = 2L)
+    SsspDeltaStream.snapshot(s, storeDir).orderBy($"node")
+  }
+
+  private val q100Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem),
+       |surv AS (SELECT p, su FROM pairs WHERE (p + su) % 5 <> 0 OR (p + su) % 10 = 0),
+       |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst,
+       |              CAST(1 + (p*3 + su*5) % 7 AS BIGINT) AS w FROM surv),
+       |edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+       |s AS (SELECT CAST(MIN(l_suppkey)*2+1 AS BIGINT) AS v FROM lineitem),
+       |r(node, dist) AS (
+       |  SELECT v, CAST(0 AS BIGINT) FROM s
+       |  UNION
+       |  SELECT e.dst, r.dist + e.w FROM r JOIN edges e ON e.src = r.node
+       |  WHERE r.dist + e.w <= ${graft.operators.GraphQueries.ScaleSsspBudget})
+       |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node ORDER BY node""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -352,5 +404,6 @@ object StreamServe {
     GQuery("q97_stream_kll_estimates", q97, Some(q97Sql)),
     GQuery("q98_stream_kcore_serve", q98, Some(GraphQueries.q84Sql)),
     GQuery("q99_stream_dedup_cluster_serve", q99, Some(graft.operators.Dedup.q63SqlShared)),
+    GQuery("q100_stream_sssp_delta_serve", q100, Some(q100Sql)),
   )
 }

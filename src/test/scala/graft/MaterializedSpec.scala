@@ -112,6 +112,46 @@ class MaterializedSpec extends AnyFunSuite {
     assert(listing === before, "second session must re-attach, not rebuild")
   }
 
+  test("staging governor: least-recently-attached store evicted beyond budget; survivor re-attaches; evictee rebuilds") {
+    import graft.store.CorpusCaches
+    val root = java.nio.file.Files.createTempDirectory("graft-staging-gov").toString
+    def corpus(i: Int) = s"/graft-gov-corpus-$i" // a "/"-segment makes the key corpus-keyed
+    def key(i: Int) = s"gov:${corpus(i)}"
+    val builds = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    def build(s: SparkSession, i: Int) = {
+      import s.implicits._
+      builds(i) += 1
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+    }
+    def stagedDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("mat_")).map(_.getName).toSet
+
+    val s1 = stagedSession(root)
+    s1.conf.set("spark.graft.stagingMaxStores", "2")
+    Materialized.relation(s1, key(1))(build(s1, 1)).collect()
+    CorpusCaches.release(s1, corpus(1)) // un-hold: the store becomes governable
+    Materialized.relation(s1, key(2))(build(s1, 2)).collect()
+    CorpusCaches.release(s1, corpus(2))
+    assert(stagedDirs.size === 2)
+    val dirsBeforeThird = stagedDirs
+    // third build exceeds the budget: the LEAST RECENTLY ATTACHED
+    // unheld store (key 1) must be evicted; key 2 and the fresh key 3 stay
+    Materialized.relation(s1, key(3))(build(s1, 3)).collect()
+    assert(stagedDirs.size === 2, "governor must hold the root at the store budget")
+    assert(stagedDirs.intersect(dirsBeforeThird).size === 1,
+      "exactly one prior store (the LRU one) must be evicted")
+    // the surviving within-budget store re-attaches with zero rebuild
+    val s2 = stagedSession(root)
+    s2.conf.set("spark.graft.stagingMaxStores", "2")
+    val r2 = Materialized.relation(s2, key(2))(build(s2, 2)).collect().map(_.toString).toSeq
+    assert(builds(2) === 1, "within-budget store must re-attach, not rebuild")
+    assert(r2 === Seq("[2,v2]"))
+    // the evicted store rebuilds cleanly on next use
+    val r1 = Materialized.relation(s2, key(1))(build(s2, 1)).collect().map(_.toString).toSeq
+    assert(builds(1) === 2, "evicted store must rebuild on next use")
+    assert(r1 === Seq("[1,v1]"))
+  }
+
   test("torn staged build (no _SUCCESS) is rebuilt, not attached") {
     val root = java.nio.file.Files.createTempDirectory("graft-staging-torn").toString
     val key = "spec:mattorn:" + java.util.UUID.randomUUID()
