@@ -79,35 +79,38 @@ object SsspDeltaStream {
   private def freshWindow = Window.partitionBy(col("node"))
     .orderBy((col("batch") >= 0).desc, abs(col("batch")).desc)
 
-  /** Freshest NON-TOMBSTONE (node, dist, pred) rows of `nodes` only at
-    * the store prefix `< upTo` — node-restricted before the window (the
-    * round-10 discipline). The prefix bound is what makes redelivery
-    * rewrite identical bytes: every in-batch read sees the PRE-batch
-    * state, never a previous delivery's own write (the TriangleStream
-    * `rawPairsBefore` rule). */
-  private def freshRowsOf(s: SparkSession, storeDir: String, upTo: Long,
-      nodes: DataFrame): DataFrame = {
-    import s.implicits._
-    if (!exists(s, s"$storeDir/dists"))
-      s.emptyDataset[(Long, Long, Long)].toDF("node", "dist", "pred")
-    else Stores.read(s, s"$storeDir/dists")
-      .filter($"batch" < upTo)
-      .join(nodes.select($"node"), Seq("node"), "left_semi")
-      .withColumn("rn", row_number().over(freshWindow))
-      .filter($"rn" === 1 && $"dist".isNotNull)
-      .select($"node", $"dist", $"pred")
-  }
+  /** Freshest NON-TOMBSTONE (node, dist, pred) rows of `nodes` only,
+    * over the per-batch `store` frame (already prefix-bounded to
+    * `batch < id` — the bound is what makes redelivery rewrite identical
+    * bytes: every in-batch read sees the PRE-batch state, never a
+    * previous delivery's own write, the TriangleStream `rawPairsBefore`
+    * rule). Node-restricted BEFORE the window (the round-10 discipline);
+    * one frame per batch shares its file index across rounds. */
+  private def freshRowsOf(store: Option[DataFrame], nodes: DataFrame): DataFrame =
+    store match {
+      case None =>
+        val s = nodes.sparkSession
+        import s.implicits._
+        s.emptyDataset[(Long, Long, Long)].toDF("node", "dist", "pred")
+      case Some(df) =>
+        val s = df.sparkSession
+        import s.implicits._
+        df.join(nodes.select($"node"), Seq("node"), "left_semi")
+          .withColumn("rn", row_number().over(freshWindow))
+          .filter($"rn" === 1 && $"dist".isNotNull)
+          .select($"node", $"dist", $"pred")
+    }
 
-  /** LIVE out-edges of `nodes` at prefix ≤ `upTo`: the ±event store
-    * resolved per (src, dst[, w]) — latest insert vs the pair's latest
-    * delete, insert winning ties — AFTER an src-side semi-join (the
-    * store is symmetrized, so src-restriction also serves in-edge
-    * lookups via the mirrored rows). */
-  private def liveEdgesFrom(s: SparkSession, storeDir: String, upTo: Long,
-      nodes: DataFrame): DataFrame = {
+  /** LIVE out-edges of `nodes` over the per-batch `eventsDf` frame
+    * (prefix ≤ id): the ±event store resolved per (src, dst[, w]) —
+    * latest insert vs the pair's latest delete, insert winning ties —
+    * AFTER an src-side semi-join (the store is symmetrized, so
+    * src-restriction also serves in-edge lookups via the mirrored
+    * rows). */
+  private def liveEdgesFrom(eventsDf: DataFrame, nodes: DataFrame): DataFrame = {
+    val s = eventsDf.sparkSession
     import s.implicits._
-    val ev = Stores.read(s, s"$storeDir/events")
-      .filter($"batch" <= upTo)
+    val ev = eventsDf
       .join(nodes.select($"node".as("src")), Seq("src"), "left_semi")
     val del = ev.filter($"op" === -1)
       .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
@@ -142,11 +145,18 @@ object SsspDeltaStream {
     events.withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/events")
+    // one store frame each per batch, shared across rounds (file index
+    // resolved once — per-round cost is a restricted scan, not a listing)
+    val distStore =
+      if (exists(s, s"$storeDir/dists"))
+        Some(Stores.read(s, s"$storeDir/dists").filter($"batch" < batchId))
+      else None
+    val eventsDf = Stores.read(s, s"$storeDir/events").filter($"batch" <= batchId)
 
     // ---- damaged cone: tree edge deleted, then tree descendants ----
     val delPairs = events.filter($"op" === -1)
       .select($"src", $"dst").distinct().localCheckpoint()
-    val damaged0 = freshRowsOf(s, storeDir, batchId, delPairs.select($"dst".as("node")))
+    val damaged0 = freshRowsOf(distStore, delPairs.select($"dst".as("node")))
       .join(delPairs.select($"src".as("pred"), $"dst".as("node")),
         Seq("node", "pred"), "left_semi")
       .select($"node").localCheckpoint()
@@ -155,11 +165,10 @@ object SsspDeltaStream {
     while (!dFrontier.isEmpty) {
       // nodes with ANY row pointing at the frontier (superset), then the
       // freshest-row check — both restricted
-      val candNodes = Stores.read(s, s"$storeDir/dists")
-        .filter($"batch" < batchId)
+      val candNodes = distStore.get
         .join(dFrontier.select($"node".as("pred")), Seq("pred"), "left_semi")
         .select($"node").distinct()
-      val next = freshRowsOf(s, storeDir, batchId, candNodes)
+      val next = freshRowsOf(distStore, candNodes)
         .join(dFrontier.select($"node".as("pred")), Seq("pred"), "left_semi")
         .select($"node")
         .join(damaged, Seq("node"), "left_anti")
@@ -175,7 +184,7 @@ object SsspDeltaStream {
     def knownFor(cand: DataFrame): DataFrame = {
       val nodes = cand.select($"node").distinct()
       minByDist(
-        freshRowsOf(s, storeDir, batchId, nodes).join(damaged, Seq("node"), "left_anti")
+        freshRowsOf(distStore, nodes).join(damaged, Seq("node"), "left_anti")
           .union(improvedSoFar.join(nodes, Seq("node"), "left_semi")))
     }
     def improvements(cand: DataFrame, known: DataFrame): DataFrame =
@@ -198,7 +207,7 @@ object SsspDeltaStream {
       knownFor(insertEps).join(damaged, Seq("node"), "left_anti"), newLive)
     // boundary: live in-edges of damaged vertices from settled neighbors
     // (mirrored rows: out-edges OF the damaged set, known dist at dst)
-    val boundary = liveEdgesFrom(s, storeDir, batchId, damaged)
+    val boundary = liveEdgesFrom(eventsDf, damaged)
       .select($"dst".as("node"), $"src".as("into"), $"w")
     val boundarySeeds = boundary
       .join(knownFor(boundary.select($"node")).join(damaged, Seq("node"), "left_anti")
@@ -212,7 +221,7 @@ object SsspDeltaStream {
     // ---- propagate to fixpoint within the budget ----
     while (!frontier.isEmpty) {
       val cand = relaxFrom(frontier,
-        liveEdgesFrom(s, storeDir, batchId, frontier.select($"node")))
+        liveEdgesFrom(eventsDf, frontier.select($"node")))
       val next = improvements(cand, knownFor(cand)).localCheckpoint()
       improvedSoFar = minByDist(improvedSoFar.union(next)).localCheckpoint()
       frontier = next

@@ -70,25 +70,29 @@ object SsspStream {
       .select($"node", $"dist")
   }
 
-  /** Freshest (= minimum) distances of `nodes` ONLY — [[snapshot]]'s
-    * window over a node-restricted slice (restriction commutes with the
-    * per-node window), so each relaxation round shuffles its candidate
-    * set's volume, never the store's. Returns the typed empty frame for a
-    * store no batch ever created. */
-  private def distsOf(s: SparkSession, storeDir: String, nodes: DataFrame): DataFrame = {
-    import s.implicits._
-    if (!distsExist(s, storeDir))
-      s.emptyDataset[(Long, Long)].toDF("node", "dist")
-    else {
-      val w = Window.partitionBy($"node")
-        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-      Stores.read(s, s"$storeDir/dists")
-        .join(nodes.select($"node"), Seq("node"), "left_semi")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"node", $"dist")
+  /** Freshest (= minimum) distances of `nodes` ONLY over the ONE
+    * per-batch store frame `store` — [[snapshot]]'s window over a
+    * node-restricted slice (restriction commutes with the per-node
+    * window), so each relaxation round shuffles its candidate set's
+    * volume, never the store's. `store` is resolved once per batch and
+    * reused across rounds: every call shares its cached file index, so
+    * the per-round cost is one restricted scan, not a re-listing. */
+  private def distsOf(store: Option[DataFrame], nodes: DataFrame): DataFrame =
+    store match {
+      case None =>
+        val s = nodes.sparkSession
+        import s.implicits._
+        s.emptyDataset[(Long, Long)].toDF("node", "dist")
+      case Some(df) =>
+        val s = df.sparkSession
+        import s.implicits._
+        val w = Window.partitionBy($"node")
+          .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
+        df.join(nodes.select($"node"), Seq("node"), "left_semi")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"node", $"dist")
     }
-  }
 
   private def distsExist(s: SparkSession, storeDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$storeDir/dists")
@@ -140,16 +144,19 @@ object SsspStream {
     // min of its restricted store rows and its restricted improvements.
     var improvedSoFar = s.emptyDataset[(Long, Long)].toDF("node", "dist")
       .localCheckpoint()
+    val store =
+      if (distsExist(s, storeDir)) Some(Stores.read(s, s"$storeDir/dists"))
+      else None
     def knownFor(cand: DataFrame): DataFrame = {
       val nodes = cand.select($"node").distinct()
-      merged(distsOf(s, storeDir, nodes),
+      merged(distsOf(store, nodes),
         improvedSoFar.join(nodes, Seq("node"), "left_semi"))
     }
     // seeds: the source if unseen + new-edge relaxations of the current
     // dists of the new edges' src endpoints
     val sourceRow = Seq((source, 0L)).toDF("node", "dist")
-      .join(distsOf(s, storeDir, Seq(source).toDF("node")), Seq("node"), "left_anti")
-    val epCur = distsOf(s, storeDir, sym.select($"src".as("node")).distinct())
+      .join(distsOf(store, Seq(source).toDF("node")), Seq("node"), "left_anti")
+    val epCur = distsOf(store, sym.select($"src".as("node")).distinct())
     val seedCand = merged(sourceRow, relax(merged(epCur, sourceRow), sym))
     var frontier = improvements(seedCand, knownFor(seedCand)).localCheckpoint()
     improvedSoFar = frontier

@@ -57,7 +57,9 @@ object BatchSweep {
         val g = Graph.fromEdges(circulant(n, Seq(1L, 31L), 5L), 0L).cache()
         val nEdges = g.edges.count()
         var baselineReach = -1L
-        val rows = bms.map { bm =>
+        // key carries the leg index so an INTERLEAVED list (e.g.
+        // "8,16,8,16,8,16" — the r10 A/B) emits distinct JSON keys
+        val rows = bms.zipWithIndex.map { case (bm, idx) =>
           val (pReach, tP) = time {
             Dijkstra.sssp(g, 0L, batchMax = bm)
               .vertices.filter(v => !v._2._1.isInfinite).count()
@@ -72,8 +74,9 @@ object BatchSweep {
           }
           require(dReach == baselineReach,
             s"delta reachable set changed at batchMax=$bm: $dReach vs $baselineReach")
-          System.err.println(f"[batchsweep] hidiam batchMax=$bm: pregel $tP%.1f s, delta $tD%.1f s")
-          s""""x$bm":{"pregel_sec":$tP,"delta_sec":$tD,"delta_stats":${st.json}}"""
+          System.err.println(f"[batchsweep] hidiam leg=$idx batchMax=$bm: pregel $tP%.1f s, delta $tD%.1f s")
+          val key = if (bms.distinct.size == bms.size) s"x$bm" else s"leg${idx}_x$bm"
+          s""""$key":{"pregel_sec":$tP,"delta_sec":$tD,"delta_stats":${st.json}}"""
         }
         s""""hidiam_w5_batch_sweep":{"vertices":$n,"edges":$nEdges,"reachable":$baselineReach,${rows.mkString(",")}}"""
 

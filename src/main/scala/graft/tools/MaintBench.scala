@@ -9,7 +9,7 @@
 // Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep]'
 package graft.tools
 
-import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspStream, TriangleStream}
+import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream}
 import graft.operators.GraphQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,7 +25,7 @@ object MaintBench {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) Some(args(0)) else None
     val sfDirs = (if (args.length > 1) args(1).split(",").toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,29 +75,61 @@ object MaintBench {
         s""""$name":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}}"""
       }
 
+      // skewed component distribution for the k-core honesty probe: ~90%
+      // of edges in ONE giant component (a ring with chords — every node
+      // degree 4, so peeling genuinely cascades), the rest in disjoint
+      // 4-cycles. Sized to the sparse-pair lane so the rows read
+      // side-by-side. Every batch (node-sliced) touches the giant.
+      val nSkew = math.max(60L, spN)
+      val g = nSkew * 9 / 10
+      val giant = spark.range(g).select(
+        $"id".as("src"), (($"id" + 1) % g).as("dst"))
+        .union(spark.range(g).select($"id".as("src"), (($"id" + g / 3) % g).as("dst")))
+      // disjoint 4-cycles: dst = same group's next position (integer
+      // arithmetic via - and %, NOT `/` — Column division is double)
+      val fringe = spark.range(g, nSkew).select($"id".as("src"),
+        (lit(g) + ($"id" - g) - (($"id" - g) % 4) + (($"id" - g + 1) % 4)).as("dst"))
+      val skew = giant.union(fringe).filter($"src" =!= $"dst").cache()
+      val skewN = skew.count()
+
       val cc = tmp("mb-cc")
       val sssp = tmp("mb-sssp")
+      val ssspd = tmp("mb-ssspd")
       val tri = tmp("mb-tri")
       val kcore = tmp("mb-kcore")
+      val kskew = tmp("mb-kskew")
       val dcl = tmp("mb-dcl")
+      // sssp_delta's third batch DELETES every (p+su)%5==0 pair — the
+      // damaged-cone maintenance path, not an insert relaxation
+      val delta = weighted
+        .withColumn("del", ((($"src" / 2) + (($"dst" - 1) / 2)) % 5 === 0))
+      val deltaSlices = Seq(
+        delta.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", $"w", lit(1).as("op")),
+        delta.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", $"w", lit(1).as("op")),
+        delta.filter($"del").select($"src", $"dst", lit(0L).as("w"), lit(-1).as("op")))
       val rows = Seq(
         run("cc", slices3(sp, "dst div 2"))(
           (b, i) => CcStream.processBatch(b, i, cc)),
         run("sssp", slices3(weighted, "dst div 2"))(
           (b, i) => SsspStream.processBatch(b, i, sssp, source, GraphQueries.ScaleSsspBudget)),
+        run("sssp_delta", deltaSlices)(
+          (b, i) => SsspDeltaStream.processBatch(b, i, ssspd, source, GraphQueries.ScaleSsspBudget)),
         run("triangle", slices3(rawPairs, "su"))(
           (b, i) => TriangleStream.processBatch(b, i, tri)),
         run("kcore", slices3(sp, "dst div 2"))(
           (b, i) => KCoreStream.processBatch(b, i, kcore)),
+        run("kcore_skew", slices3(skew, "src"))(
+          (b, i) => KCoreStream.processBatch(b, i, kskew)),
         run("dedup_cluster", slices3(docs, "doc_id"))(
           (b, i) => DedupClusterStream.processBatch(spark, b, i, dcl)))
       sp.unpersist(); rawPairs.unpersist(); weighted.unpersist(); docs.unpersist()
+      skew.unpersist()
       val sf = dir.split("/").last
-      s""""$sf":{"sparse_pairs":$spN,"weighted_edges":$wN,"documents":$docN,${rows.mkString(",")}}"""
+      s""""$sf":{"sparse_pairs":$spN,"weighted_edges":$wN,"documents":$docN,"skew_edges":$skewN,${rows.mkString(",")}}"""
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a ~90%-giant component every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc)."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
