@@ -104,8 +104,10 @@ object Dijkstra {
     * (GraphX caches each round's until the batch's action lands — k× the
     * unbatched working set, the r8 advisory's concern). 8 takes most of
     * the job-count reduction (3,373 → 599 actions) at 1/4 the interim
-    * footprint of 32 and the least padding; wall-clock 8 vs 16 is a tie
-    * inside this box's noise band. */
+    * footprint of 32 and the least padding; the round-10 interleaved
+    * same-JVM A/B (`GRAPHBENCH_r10_ab.json`) broke the 8-vs-16 tie:
+    * pregel still ties, delta-stepping prefers 8 on median and min —
+    * the default stands on data. */
   val SuperstepBatchMax: Int = 8
 
   /** Target edges per partition for the iterative engines — the knob that

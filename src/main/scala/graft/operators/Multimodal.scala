@@ -899,6 +899,298 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Pure-JVM codec for GIF89a (single frame, 256-entry global color
+    * table) — the FIFTH real format, bringing the one mainstream
+    * compression algorithm the bracket lacked: VARIABLE-WIDTH LZW with
+    * GIF's exact code-size schedule (clear/EOI codes, width growth when
+    * the running code count exceeds 2^width — the giflib counting, which
+    * keeps encoder and decoder widening between the same two codes —
+    * 12-bit cap, clear-and-reset on a full table), packed LSB-first into
+    * 255-byte sub-blocks. Encoder and decoder are an exact pair; the
+    * decoder additionally handles the KwKwK self-referencing code and
+    * walks entries as prefix-link/suffix arrays (O(1) per entry, output
+    * unwound via a stack). Malformed payloads — bad signature, missing
+    * global table, interlace flag, truncated sub-blocks, a code beyond
+    * the table, pixel overflow/underflow, missing trailer — decode to
+    * None (the S8 rule), never to wrong pixels. Extensions (0x21 blocks)
+    * are skipped, not rejected: real GIFs carry graphic-control blocks. */
+  object Gif {
+    final case class Image(width: Int, height: Int,
+        palette: Array[Byte], indices: Array[Byte])
+
+    private val MinCode = 8 // 256-entry table ⇒ literal codes are bytes
+    private val Clear = 1 << MinCode
+    private val Eoi = Clear + 1
+    private val Base = Eoi + 1
+    private val MaxSlots = 4096
+
+    private def u16le(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+    private final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0L
+      private var nbits = 0
+      def put(code: Int, width: Int): Unit = {
+        acc |= code.toLong << nbits
+        nbits += width
+        while (nbits >= 8) {
+          out.write((acc & 0xFF).toInt)
+          acc >>>= 8; nbits -= 8
+        }
+      }
+      def bytes: Array[Byte] = {
+        if (nbits > 0) { out.write((acc & 0xFF).toInt); acc = 0; nbits = 0 }
+        out.toByteArray
+      }
+    }
+
+    /** GIF-variant LZW over byte indices: emits clear first, resets on a
+      * full table, widens when the running count EXCEEDS 2^width. */
+    private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val bits = new BitWriter
+      var width = MinCode + 1
+      var counter = Base
+      var dict = new java.util.HashMap[Int, Int]() // (prefix<<8 | byte) -> code
+      bits.put(Clear, width)
+      if (data.isEmpty) { bits.put(Eoi, width); return bits.bytes }
+      var prefix = data(0) & 0xFF
+      var i = 1
+      while (i < data.length) {
+        val b = data(i) & 0xFF
+        val k = (prefix << 8) | b
+        val hit = dict.getOrDefault(k, -1)
+        if (hit >= 0) prefix = hit
+        else {
+          bits.put(prefix, width)
+          if (counter >= MaxSlots) {
+            // table full: clear and restart (decoder mirrors on the code)
+            bits.put(Clear, width)
+            dict = new java.util.HashMap[Int, Int]()
+            counter = Base; width = MinCode + 1
+          } else {
+            dict.put(k, counter)
+            counter += 1
+            if (counter > (1 << width) && width < 12) width += 1
+          }
+          prefix = b
+        }
+        i += 1
+      }
+      bits.put(prefix, width)
+      // the final data code counts toward the width schedule like any
+      // other (the decoder cannot tell it is final): in the exact
+      // boundary case the decoder widens between it and EOI, so the
+      // encoder must too
+      if (counter < MaxSlots) {
+        counter += 1
+        if (counter > (1 << width) && width < 12) width += 1
+      }
+      bits.put(Eoi, width)
+      bits.bytes
+    }
+
+    /** Encode an index raster over a grayscale palette (entry i = i,i,i). */
+    def encode(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+      require(indices.length == width * height, "raster size mismatch")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(u16le(width)); out.write(u16le(height))
+      out.write(0xF7) // global table present, 8-bit resolution, 256 entries
+      out.write(0); out.write(0)
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      out.write(0x2C)
+      out.write(u16le(0)); out.write(u16le(0))
+      out.write(u16le(width)); out.write(u16le(height))
+      out.write(0) // no local table, NOT interlaced
+      out.write(MinCode)
+      val data = lzwEncode(indices)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0)
+      out.write(0x3B)
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      var pos = 0
+      def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
+      def u16(): Int = { val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
+      try {
+        if (bytes.length < 13) return None
+        val sig = new String(bytes, 0, 6, "US-ASCII")
+        if (sig != "GIF89a" && sig != "GIF87a") return None
+        pos = 6
+        val w = u16(); val h = u16()
+        val packed = u8(); u8(); u8() // bg index, aspect
+        if ((packed & 0x80) == 0) return None // global table required here
+        val tableLen = 3 * (2 << (packed & 0x07))
+        if (pos + tableLen > bytes.length) return None
+        val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + tableLen)
+        pos += tableLen
+        // skip extension blocks to the image descriptor
+        while ((bytes(pos) & 0xFF) == 0x21) {
+          pos += 2 // introducer + label
+          var n = u8()
+          while (n != 0) { pos += n; n = u8() }
+        }
+        if (u8() != 0x2C) return None
+        u16(); u16() // left, top
+        val iw = u16(); val ih = u16()
+        val ipacked = u8()
+        if (iw != w || ih != h) return None
+        if ((ipacked & 0x40) != 0) return None // interlace: reject, not mis-decode
+        if ((ipacked & 0x80) != 0) return None // local table unsupported
+        val minCode = u8()
+        if (minCode != MinCode) return None
+        // join the data sub-blocks
+        val data = new java.io.ByteArrayOutputStream()
+        var n = u8()
+        while (n != 0) {
+          if (pos + n > bytes.length) return None
+          data.write(bytes, pos, n); pos += n
+          n = u8()
+        }
+        if (u8() != 0x3B) return None
+        lzwDecode(data.toByteArray, w * h).map(Image(w, h, palette, _))
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
+    private def lzwDecode(data: Array[Byte], nPixels: Int): Option[Array[Byte]] = {
+      val out = new Array[Byte](nPixels)
+      var outN = 0
+      val prefix = new Array[Int](MaxSlots)
+      val suffix = new Array[Byte](MaxSlots)
+      val stack = new Array[Byte](MaxSlots + 1)
+      var width = MinCode + 1
+      var counter = Base
+      var prev = -1
+      var acc = 0L
+      var nbits = 0
+      var pos = 0
+      def firstByte(code0: Int): Int = {
+        var c = code0
+        while (c >= Clear) c = prefix(c)
+        c
+      }
+      def emit(code0: Int): Boolean = {
+        var sp = 0
+        var c = code0
+        while (c >= Clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c.toByte; sp += 1
+        if (outN + sp > nPixels) return false // overflow: malformed
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        true
+      }
+      while (true) {
+        while (nbits < width) {
+          if (pos >= data.length) return None // ran out before EOI
+          acc |= (data(pos) & 0xFFL) << nbits
+          nbits += 8; pos += 1
+        }
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; nbits -= width
+        if (code == Clear) {
+          counter = Base; width = MinCode + 1; prev = -1
+        } else if (code == Eoi) {
+          return if (outN == nPixels) Some(out) else None
+        } else if (prev == -1) {
+          if (code >= Clear) return None // first code must be a literal
+          if (!emit(code)) return None
+          counter += 1 // the giflib phantom slot: count the first code too
+          if (counter > (1 << width) && width < 12) width += 1
+          prev = code
+        } else {
+          val slot = counter - 1 // entry defined by THIS code's arrival
+          if (code > slot || (code > Eoi && code < Base)) return None
+          val kwkwk = code == slot
+          if (kwkwk && slot >= MaxSlots) return None
+          val sourceFirst = firstByte(if (kwkwk) prev else code)
+          if (slot < MaxSlots) {
+            prefix(slot) = prev
+            suffix(slot) = sourceFirst.toByte
+          }
+          if (!emit(if (kwkwk) slot else code)) return None
+          if (counter < MaxSlots) {
+            counter += 1
+            if (counter > (1 << width) && width < 12) width += 1
+          }
+          prev = if (kwkwk) slot else code
+        }
+      }
+      None
+    }
+  }
+
+  val GifW = 8
+  val GifH = 4
+
+  final case class GifStats(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Wrap each document's UTF-8 bytes as a GifW×GifH INDEX raster over
+    * the grayscale palette (zero-padded) and GIF-ENCODE it through LZW. */
+  def synthesizeGif(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, GifW * GifH)
+      MediaRow(id, Gif.encode(GifW, GifH, px), "image/gif", GifW, GifH)
+    }
+
+  /** REAL decode → per-channel means THROUGH THE PALETTE (the decoder's
+    * actual color path, not a shortcut over indices). */
+  def decodeGifStats(rows: Iterator[MediaRow]): Iterator[GifStats] =
+    rows.flatMap { r =>
+      Gif.decode(r.payload).map { img =>
+        val n = img.width * img.height
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < n) {
+          val idx = img.indices(p) & 0xFF
+          sums(0) += img.palette(idx * 3) & 0xFF
+          sums(1) += img.palette(idx * 3 + 1) & 0xFF
+          sums(2) += img.palette(idx * 3 + 2) & 0xFF
+          p += 1
+        }
+        GifStats(r.doc_id, img.width, img.height,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q101 — the decode pipeline on the LZW member of the format bracket:
+    * synthesize a GIF89a per document (indices = the document's bytes),
+    * roundtrip through variable-width LZW + sub-block packing + palette
+    * lookup, emit decoded dimensions + channel means. The bracket now
+    * spans PPM (raw raster), WAV (container walk), QOI (stateful
+    * byte-op compression), PNG (DEFLATE + checksummed chunks), GIF
+    * (dictionary compression with an adaptive code size). */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeGifStats(synthesizeGif(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  // single-byte-corpus assumption: see the q58Sql note. Oracle = the
+  // roundtrip identity through the grayscale palette (entry i = (i,i,i)),
+  // so every channel mean equals the padded-byte mean.
+  private val q101Sql = {
+    val raster = GifW * GifH
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j)),
+       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($GifW AS INTEGER) AS width, CAST($GifH AS INTEGER) AS height,
+       |  sv / $raster.0 AS mean_r, sv / $raster.0 AS mean_g, sv / $raster.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -907,5 +1199,6 @@ object Multimodal {
     GQuery("q77_wav_decode", q77, Some(q77Sql)),
     GQuery("q91_qoi_decode", q91, Some(q91Sql)),
     GQuery("q95_png_decode", q95, Some(q95Sql)),
+    GQuery("q101_gif_decode", q101, Some(q101Sql)),
   )
 }

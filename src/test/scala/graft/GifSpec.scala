@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Multimodal.Gif
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GIF/LZW codec: a hand-packed stream (codes laid out bit-by-bit in
+  * the test) decodes to known pixels, so the variable-width LZW read path
+  * is checked against the FORMAT rather than our own encoder; roundtrips
+  * cover the code-width growth schedule (9→12 bits needs thousands of
+  * distinct phrases), the table-full clear-and-reset path, the KwKwK
+  * self-reference, and runs; malformed payloads → None (bad signature,
+  * no global table, interlace flag, out-of-range code, truncated data,
+  * pixel overflow). */
+class GifSpec extends AnyFunSuite {
+
+  private def rt(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val img = Gif.decode(Gif.encode(w, h, px))
+    assert(img.isDefined, "roundtrip decode failed")
+    assert(img.get.width === w && img.get.height === h)
+    img.get.indices
+  }
+
+  test("roundtrip: runs, KwKwK shapes, and every byte value") {
+    // aaa...a forces the KwKwK code immediately (classic ababab too)
+    assert(rt(8, 4, Array.fill(32)(7.toByte)).toSeq === Seq.fill(32)(7.toByte))
+    val abab = Array.tabulate(32)(i => (if (i % 2 == 0) 65 else 66).toByte)
+    assert(rt(8, 4, abab).toSeq === abab.toSeq)
+    val all = Array.tabulate(256)(_.toByte)
+    assert(rt(16, 16, all).toSeq === all.toSeq)
+  }
+
+  test("roundtrip: width growth to 12 bits and table-full clear-reset") {
+    // deterministic pseudo-random bytes: enough distinct phrases to walk
+    // the code width 9→12 and overflow the 4096-entry table (the encoder
+    // emits a mid-stream CLEAR; the decoder must resync)
+    val n = 256 * 192
+    val px = Array.tabulate(n)(i => ((i * 2654435761L >>> 13) & 0xFF).toByte)
+    assert(rt(256, 192, px).toSeq === px.toSeq)
+  }
+
+  test("hand-packed stream decodes against the format, not our encoder") {
+    // 4 pixels "ABAB" as pure literals with a clear before and between:
+    // codes (9-bit, LSB-first): CLEAR(256) A(65) B(66) A(65) B(66) EOI(257)
+    val codes = Seq(256, 65, 66, 65, 66, 257)
+    var acc = 0L; var nbits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    codes.foreach { c =>
+      acc |= c.toLong << nbits; nbits += 9
+      while (nbits >= 8) { data.write((acc & 0xFF).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    if (nbits > 0) data.write((acc & 0xFF).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](4, 0, 1, 0)) // 4×1 logical screen
+    out.write(0xF7); out.write(0); out.write(0)
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    out.write(0x2C); out.write(Array[Byte](0, 0, 0, 0, 4, 0, 1, 0, 0))
+    out.write(8) // LZW min code size
+    val d = data.toByteArray
+    out.write(d.length); out.write(d)
+    out.write(0); out.write(0x3B)
+    val img = Gif.decode(out.toByteArray)
+    assert(img.isDefined, "hand-packed stream must decode")
+    assert(img.get.indices.toSeq === Seq[Byte](65, 66, 65, 66))
+    // palette came through (grayscale identity)
+    assert((img.get.palette(65 * 3) & 0xFF) === 65)
+  }
+
+  test("malformed payloads decode to None, never to wrong pixels") {
+    val good = Gif.encode(8, 4, Array.fill(32)(9.toByte))
+    assert(Gif.decode("NOTAGIF!".getBytes ++ good.drop(8)).isEmpty, "bad signature")
+    // clear the global-color-table flag
+    val noTable = good.clone(); noTable(10) = (noTable(10) & 0x7F).toByte
+    assert(Gif.decode(noTable).isEmpty, "missing global table")
+    // set the interlace flag in the image descriptor (offset: 13 header
+    // + 768 table + 9 descriptor; packed byte is its last byte)
+    val inter = good.clone(); inter(13 + 768 + 9) = (inter(13 + 768 + 9) | 0x40).toByte
+    assert(Gif.decode(inter).isEmpty, "interlace must be rejected, not mis-decoded")
+    assert(Gif.decode(good.dropRight(8)).isEmpty, "truncated stream")
+    // too many pixels for the declared raster: shrink declared dims only
+    val shrunk = good.clone()
+    shrunk(6) = 2; shrunk(13 + 768 + 5) = 2 // logical + image width 8→2
+    assert(Gif.decode(shrunk).isEmpty, "pixel overflow must fail, not truncate")
+  }
+
+  test("extension blocks are skipped, not rejected") {
+    val good = Gif.encode(8, 4, Array.tabulate(32)(_.toByte))
+    // splice a graphic-control extension between the table and descriptor
+    val ext = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val at = 13 + 768
+    val spliced = good.take(at) ++ ext ++ good.drop(at)
+    val img = Gif.decode(spliced)
+    assert(img.isDefined && img.get.indices.toSeq === Array.tabulate(32)(_.toByte).toSeq)
+  }
+}
