@@ -1028,6 +1028,10 @@ object Multimodal {
         val w = u16(); val h = u16()
         val packed = u8(); u8(); u8() // bg index, aspect
         if ((packed & 0x80) == 0) return None // global table required here
+        // with minCode pinned to 8, LZW literals span 0..255 — a smaller
+        // declared table would let a decoded index run past the palette
+        // downstream (a crash, not a None); reject the mismatch here
+        if ((packed & 0x07) != 7) return None
         val tableLen = 3 * (2 << (packed & 0x07))
         if (pos + tableLen > bytes.length) return None
         val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + tableLen)

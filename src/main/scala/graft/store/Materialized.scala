@@ -105,18 +105,35 @@ object Materialized {
 
   private val TouchMarker = "_graft_touched"
 
-  /** Stamp recency with an explicit monotonic value (file mtime is
-    * second-granular on some filesystems — too coarse to order builds in
-    * one test run, let alone one pipeline stage). */
+  /** Eviction grace: stores touched within this window are never evicted
+    * — closes the race where a concurrent relation() has touched a store
+    * it is still attaching (not yet in the maps) when another thread's
+    * governStaged runs under a tight budget. */
+  private def stagingGraceMs(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.stagingGraceMs")
+      .orElse(sys.props.get("graft.staging.graceMs"))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(15L * 60 * 1000)
+
+  private val touchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Recency stamp: wall-clock millis (comparable ACROSS JVM instances —
+    * System.nanoTime is only ordered within one JVM and can invert after
+    * a restart, which would evict the freshest stores first) shifted to
+    * make room for a per-JVM counter that breaks same-millisecond ties
+    * (file mtime alone is second-granular on some filesystems). */
+  private def touchStamp(): Long =
+    (System.currentTimeMillis() << 20) | (touchSeq.incrementAndGet() & 0xFFFFFL)
+
   private def touchStaged(s: SparkSession, dir: String): Unit =
     try {
       val p = new Path(dir, TouchMarker)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val o = fs.create(p, true)
-      try o.write(System.nanoTime().toString.getBytes("UTF-8")) finally o.close()
+      try o.write(touchStamp().toString.getBytes("UTF-8")) finally o.close()
     } catch { case _: Throwable => () }
 
-  private def touchStamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long =
+  private def stampOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long =
     try {
       val p = new Path(dir, TouchMarker)
       if (!fs.exists(p)) 0L
@@ -152,9 +169,15 @@ object Materialized {
       else entries.map(p => try fs.getContentSummary(p).getLength catch {
         case _: Throwable => 0L
       }).sum
+    // grace window: anything touched recently may be mid-attach in
+    // another thread/JVM — never evict it (see stagingGraceMs)
+    val graceFloor = (System.currentTimeMillis() - stagingGraceMs(s)) << 20
     val evictable = entries
       .filterNot(p => p.getName == keepName || heldNames(p.getName))
-      .sortBy(p => touchStamp(fs, p))
+      .map(p => (p, stampOf(fs, p)))
+      .filter(_._2 < graceFloor)
+      .sortBy(_._2)
+      .map(_._1)
     evictable.foreach { p =>
       if (total > maxN || totalBytes > maxB) {
         val bytes = if (maxB == Long.MaxValue) 0L

@@ -57,11 +57,7 @@ object CcStream {
     * wins. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"node")
-      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    Stores.read(s, s"$storeDir/labels")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    Stores.freshestPerKey(Stores.read(s, s"$storeDir/labels"), "node")
       .select($"node", $"component")
   }
 
@@ -72,12 +68,9 @@ object CcStream {
   private[graft] def labelsOf(s: SparkSession, storeDir: String,
       nodes: DataFrame): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"node")
-      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    Stores.read(s, s"$storeDir/labels")
-      .join(nodes, Seq("node"), "left_semi")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    Stores.freshestPerKey(
+        Stores.read(s, s"$storeDir/labels").join(nodes, Seq("node"), "left_semi"),
+        "node")
       .select($"node", $"component")
   }
 
@@ -102,10 +95,8 @@ object CcStream {
       .select($"node").distinct()
   }
 
-  private def labelsExist(s: SparkSession, storeDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/labels")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def labelsExist(s: SparkSession, storeDir: String): Boolean =
+    Stores.exists(s, s"$storeDir/labels")
 
   /** Ingest one micro-batch of UNDIRECTED edge rows (each row (a, b) is
     * one undirected edge; both directions are stored, so propagation is
@@ -179,11 +170,7 @@ object CcStream {
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
     Stores.fold(s, s"$storeDir/edges", throughBatch)(_.select($"src", $"dst").distinct())
-    Stores.fold(s, s"$storeDir/labels", throughBatch) { src =>
-      val w = Window.partitionBy($"node")
-        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"node", $"component")
-    }
+    Stores.fold(s, s"$storeDir/labels", throughBatch)(src =>
+      Stores.freshestPerKey(src, "node").select($"node", $"component"))
   }
 }

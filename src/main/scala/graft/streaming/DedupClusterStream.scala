@@ -58,6 +58,8 @@ object DedupClusterStream {
       rootDir: String, family: HashFamily = HashFamily.Fast,
       threshold: Double = Dedup.JaccardThreshold): Unit = {
     import s.implicits._
+    // empty-batch guard (the CcStream note, uniform across the family)
+    if (batch.isEmpty) return
     DedupStream.processBatch(s, batch, batchId,
       indexDir(rootDir), pairsDir(rootDir), family, threshold)
     // explicit schema (no inference): a run prefix that never verified a

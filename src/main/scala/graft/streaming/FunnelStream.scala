@@ -103,11 +103,7 @@ object FunnelStream {
     * carries staler rows. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"user_id")
-      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    Stores.read(s, s"$storeDir/funnel")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    Stores.freshestPerKey(Stores.read(s, s"$storeDir/funnel"), "user_id")
       .select($"user_id", $"stage", $"ttc_us")
   }
 
@@ -140,11 +136,7 @@ object FunnelStream {
     import s.implicits._
     Stores.fold(s, s"$storeDir/events", throughBatch)(
       _.select($"user_id", $"event_type", $"ts_us"))
-    Stores.fold(s, s"$storeDir/funnel", throughBatch) { src =>
-      val w = Window.partitionBy($"user_id")
-        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"user_id", $"stage", $"ttc_us")
-    }
+    Stores.fold(s, s"$storeDir/funnel", throughBatch)(src =>
+      Stores.freshestPerKey(src, "user_id").select($"user_id", $"stage", $"ttc_us"))
   }
 }

@@ -69,15 +69,11 @@ object KCoreStream {
     * A store no batch ever created serves the typed empty frame. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/results")
-    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+    if (!Stores.exists(s, s"$storeDir/results"))
       return s.emptyDataFrame
         .select(lit(0L).as("node"), lit(0L).as("deg")).limit(0)
-    val w = Window.partitionBy($"node")
-      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    Stores.read(s, s"$storeDir/results")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1 && $"alive")
+    Stores.freshestPerKey(Stores.read(s, s"$storeDir/results"), "node")
+      .filter($"alive")
       .select($"node", $"deg")
   }
 
@@ -150,11 +146,7 @@ object KCoreStream {
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
     CcStream.compact(s, ccDir(storeDir), throughBatch)
-    Stores.fold(s, s"$storeDir/results", throughBatch) { src =>
-      val w = Window.partitionBy($"node")
-        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"node", $"deg", $"alive")
-    }
+    Stores.fold(s, s"$storeDir/results", throughBatch)(src =>
+      Stores.freshestPerKey(src, "node").select($"node", $"deg", $"alive"))
   }
 }

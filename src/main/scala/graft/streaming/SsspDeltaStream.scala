@@ -71,14 +71,6 @@ object SsspDeltaStream {
   /** Sentinel pred of the source row (node ids are non-negative). */
   private val NoPred = -1L
 
-  private def exists(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  private def freshWindow = Window.partitionBy(col("node"))
-    .orderBy((col("batch") >= 0).desc, abs(col("batch")).desc)
-
   /** Freshest NON-TOMBSTONE (node, dist, pred) rows of `nodes` only,
     * over the per-batch `store` frame (already prefix-bounded to
     * `batch < id` — the bound is what makes redelivery rewrite identical
@@ -95,9 +87,9 @@ object SsspDeltaStream {
       case Some(df) =>
         val s = df.sparkSession
         import s.implicits._
-        df.join(nodes.select($"node"), Seq("node"), "left_semi")
-          .withColumn("rn", row_number().over(freshWindow))
-          .filter($"rn" === 1 && $"dist".isNotNull)
+        Stores.freshestPerKey(
+            df.join(nodes.select($"node"), Seq("node"), "left_semi"), "node")
+          .filter($"dist".isNotNull)
           .select($"node", $"dist", $"pred")
     }
 
@@ -148,7 +140,7 @@ object SsspDeltaStream {
     // one store frame each per batch, shared across rounds (file index
     // resolved once — per-round cost is a restricted scan, not a listing)
     val distStore =
-      if (exists(s, s"$storeDir/dists"))
+      if (Stores.exists(s, s"$storeDir/dists"))
         Some(Stores.read(s, s"$storeDir/dists").filter($"batch" < batchId))
       else None
     val eventsDf = Stores.read(s, s"$storeDir/events").filter($"batch" <= batchId)
@@ -243,11 +235,10 @@ object SsspDeltaStream {
     * node, tombstones dropped. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
-    if (!exists(s, s"$storeDir/dists"))
+    if (!Stores.exists(s, s"$storeDir/dists"))
       s.emptyDataset[(Long, Long)].toDF("node", "dist")
-    else Stores.read(s, s"$storeDir/dists")
-      .withColumn("rn", row_number().over(freshWindow))
-      .filter($"rn" === 1 && $"dist".isNotNull)
+    else Stores.freshestPerKey(Stores.read(s, s"$storeDir/dists"), "node")
+      .filter($"dist".isNotNull)
       .select($"node", $"dist")
   }
 
@@ -285,10 +276,8 @@ object SsspDeltaStream {
         .filter($"bd".isNull || $"bi" >= $"bd")
         .select($"src", $"dst", $"w", lit(1).as("op"))
     }
-    Stores.fold(s, s"$storeDir/dists", throughBatch) { src =>
-      src.withColumn("rn", row_number().over(freshWindow))
-        .filter($"rn" === 1 && $"dist".isNotNull)
-        .select($"node", $"dist", $"pred")
-    }
+    Stores.fold(s, s"$storeDir/dists", throughBatch)(src =>
+      Stores.freshestPerKey(src, "node").filter($"dist".isNotNull)
+        .select($"node", $"dist", $"pred"))
   }
 }

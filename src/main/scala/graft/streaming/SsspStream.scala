@@ -62,11 +62,7 @@ object SsspStream {
     * batches outrank compacted generations; newest generation wins. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"node")
-      .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-    Stores.read(s, s"$storeDir/dists")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    Stores.freshestPerKey(Stores.read(s, s"$storeDir/dists"), "node")
       .select($"node", $"dist")
   }
 
@@ -86,18 +82,13 @@ object SsspStream {
       case Some(df) =>
         val s = df.sparkSession
         import s.implicits._
-        val w = Window.partitionBy($"node")
-          .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-        df.join(nodes.select($"node"), Seq("node"), "left_semi")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        Stores.freshestPerKey(
+            df.join(nodes.select($"node"), Seq("node"), "left_semi"), "node")
           .select($"node", $"dist")
     }
 
-  private def distsExist(s: SparkSession, storeDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/dists")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def distsExist(s: SparkSession, storeDir: String): Boolean =
+    Stores.exists(s, s"$storeDir/dists")
 
   /** min-merge two (node, dist) tables. */
   private def merged(a: DataFrame, b: DataFrame): DataFrame =
@@ -199,11 +190,7 @@ object SsspStream {
     import s.implicits._
     Stores.fold(s, s"$storeDir/edges", throughBatch)(
       _.select($"src", $"dst", $"w").distinct())
-    Stores.fold(s, s"$storeDir/dists", throughBatch) { src =>
-      val w = Window.partitionBy($"node")
-        .orderBy(($"batch" >= 0).desc, abs($"batch").desc)
-      src.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"node", $"dist")
-    }
+    Stores.fold(s, s"$storeDir/dists", throughBatch)(src =>
+      Stores.freshestPerKey(src, "node").select($"node", $"dist"))
   }
 }

@@ -54,30 +54,71 @@ private[graft] object Stores {
   private def fsOf(s: SparkSession, root: Path): FileSystem =
     FileSystem.get(root.toUri, s.sparkContext.hadoopConfiguration)
 
+  /** Store-root existence probe (scheme-qualified paths work). */
+  def exists(s: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** THE family's freshest-row precedence, in one place (the round-10
+    * review counted eleven hand-rolled copies of this window across the
+    * streams — the exact rot path the round-9 fold dedup closed for
+    * compaction): live batches (non-negative ids) outrank compacted
+    * generations; among generations the newest — most negative — wins
+    * (a generation summarizes everything folded before it). Keeps every
+    * input column; callers project after. */
+  def freshestPerKey(df: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy((col("batch") >= 0).desc, abs(col("batch")).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   private case class Survey(present: Set[Long], validGens: Set[Long],
       covered: Set[Long], staleManifests: Seq[Path], tmps: Seq[Path])
 
   /** One listing of the store root: batch directories, manifested
     * (= visible) negative generations, the union of their covered source
-    * ids, plus the debris a crashed fold can leave. */
+    * ids, plus the debris a crashed fold can leave.
+    *
+    * A reader overlapping the single compactor can list a manifest that
+    * the fold's reclamation step deletes before the reader opens it —
+    * the listing is then stale in a way a fresh one repairs, so the open
+    * retries the whole survey (bounded) instead of failing the read.
+    * (The manifest rename itself is the atomic visibility switch; this
+    * retry only covers the post-switch CLEANUP racing a reader's two
+    * non-atomic metadata calls. The data-file window — a reader's
+    * resolved file index racing source-directory deletion at action time
+    * — is governed by the same single-owner serving contract every
+    * maintained store documents for compaction.) */
   private def survey(fs: FileSystem, root: Path): Survey = {
-    val entries = fs.listStatus(root)
-    val present = entries.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).toSet
-    val manifests = entries.filter(!_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("_cover_"))
-      .map(p => (p, -p.getName.stripPrefix("_cover_").toLong))
-    val (valid, stale) = manifests.partition { case (_, gen) => present(gen) }
-    val covered = valid.flatMap { case (p, _) =>
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      body.split(",").filter(_.nonEmpty).map(_.trim.toLong)
-    }.toSet
-    val tmps = entries.filter(!_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("_tmpcover_"))
-    Survey(present, valid.map(_._2).toSet, covered,
-      stale.map(_._1).toSeq, tmps.toSeq)
+    var attempt = 0
+    while (true) {
+      try {
+        val entries = fs.listStatus(root)
+        val present = entries.filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).toSet
+        val manifests = entries.filter(!_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("_cover_"))
+          .map(p => (p, -p.getName.stripPrefix("_cover_").toLong))
+        val (valid, stale) = manifests.partition { case (_, gen) => present(gen) }
+        val covered = valid.flatMap { case (p, _) =>
+          val in = fs.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          body.split(",").filter(_.nonEmpty).map(_.trim.toLong)
+        }.toSet
+        val tmps = entries.filter(!_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("_tmpcover_"))
+        return Survey(present, valid.map(_._2).toSet, covered,
+          stale.map(_._1).toSeq, tmps.toSeq)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Live batch ids of the store: present directories minus sources

@@ -80,7 +80,10 @@ object MaintBench {
       // degree 4, so peeling genuinely cascades), the rest in disjoint
       // 4-cycles. Sized to the sparse-pair lane so the rows read
       // side-by-side. Every batch (node-sliced) touches the giant.
-      val nSkew = math.max(60L, spN)
+      // rounded to a multiple of 40 so the fringe (nSkew - g = nSkew/10)
+      // is a multiple of 4 — otherwise the tail "4-cycle" is an open path
+      // ending at a phantom vertex id and its nodes peel out of the 2-core
+      val nSkew = ((math.max(60L, spN) + 39L) / 40L) * 40L
       val g = nSkew * 9 / 10
       val giant = spark.range(g).select(
         $"id".as("src"), (($"id" + 1) % g).as("dst"))

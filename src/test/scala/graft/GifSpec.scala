@@ -77,6 +77,10 @@ class GifSpec extends AnyFunSuite {
     val inter = good.clone(); inter(13 + 768 + 9) = (inter(13 + 768 + 9) | 0x40).toByte
     assert(Gif.decode(inter).isEmpty, "interlace must be rejected, not mis-decoded")
     assert(Gif.decode(good.dropRight(8)).isEmpty, "truncated stream")
+    // declare a 2-entry global table while minCode stays 8: indices could
+    // run past the palette — must reject, not crash downstream
+    val smallTable = good.clone(); smallTable(10) = 0xF0.toByte
+    assert(Gif.decode(smallTable).isEmpty, "under-sized global table")
     // too many pixels for the declared raster: shrink declared dims only
     val shrunk = good.clone()
     shrunk(6) = 2; shrunk(13 + 768 + 5) = 2 // logical + image width 8→2

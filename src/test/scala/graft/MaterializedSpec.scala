@@ -128,6 +128,10 @@ class MaterializedSpec extends AnyFunSuite {
 
     val s1 = stagedSession(root)
     s1.conf.set("spark.graft.stagingMaxStores", "2")
+    // the production grace window exists to protect mid-attach stores
+    // from concurrent eviction; zero it so this single-threaded spec can
+    // observe eviction at all
+    s1.conf.set("spark.graft.stagingGraceMs", "0")
     Materialized.relation(s1, key(1))(build(s1, 1)).collect()
     CorpusCaches.release(s1, corpus(1)) // un-hold: the store becomes governable
     Materialized.relation(s1, key(2))(build(s1, 2)).collect()
@@ -143,6 +147,7 @@ class MaterializedSpec extends AnyFunSuite {
     // the surviving within-budget store re-attaches with zero rebuild
     val s2 = stagedSession(root)
     s2.conf.set("spark.graft.stagingMaxStores", "2")
+    s2.conf.set("spark.graft.stagingGraceMs", "0")
     val r2 = Materialized.relation(s2, key(2))(build(s2, 2)).collect().map(_.toString).toSeq
     assert(builds(2) === 1, "within-budget store must re-attach, not rebuild")
     assert(r2 === Seq("[2,v2]"))
