@@ -439,7 +439,10 @@ object GraphQueries {
     * sf0.1, DuckDB 1.0.0); the single-reference shape still guarantees
     * linear inlining on engines that ignore the hint. Validated against
     * an independent driver-side simulation at all three shipped SFs. */
-  private[graft] val q80Sql = {
+  /** [[q80Sql]] parameterized over an extra predicate on the sparse pair
+    * set — `""` is q80 itself; q102's oracle restricts to the pairs
+    * SURVIVING its delete/re-insert schedule. */
+  private[graft] def q80SqlOn(extraPairPred: String): String = {
     val steps = (1 to ScaleCcRounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT e.dst AS node, MIN(p.label) AS label
@@ -447,7 +450,7 @@ object GraphQueries {
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
-       |  FROM lineitem WHERE l_quantity = 50),
+       |  FROM lineitem WHERE l_quantity = 50$extraPairPred),
        |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst FROM pairs),
        |verts AS (SELECT DISTINCT src AS v FROM (SELECT src FROM e0 UNION ALL SELECT dst FROM e0)),
        |edges AS MATERIALIZED (SELECT src, dst FROM e0
@@ -457,6 +460,8 @@ object GraphQueries {
        |$steps
        |SELECT node, CAST(label AS BIGINT) AS component FROM l$ScaleCcRounds ORDER BY node""".stripMargin
   }
+
+  private[graft] val q80Sql = q80SqlOn("")
 
   /** Degree cap for q83's supplier→part-clique projection — part of the
     * operator's semantics AND the scale guard: a supplier of degree d

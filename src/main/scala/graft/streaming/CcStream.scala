@@ -8,14 +8,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming maintenance of connected-component labels under edge
-  * arrivals — the GRAPH member of the maintained-store family, and a
-  * second instance of [[FunnelStream]]'s delta-driven TARGETED-RECOMPUTE
-  * pattern: component labels are not a monoid under edge insertion (one
-  * new edge can merge two giant components, relabeling millions of
-  * vertices neither endpoint "owns"), so no bounded per-vertex state
-  * folds associatively. What IS bounded is the blast radius: a batch of
-  * new edges can only change the components it TOUCHES — every other
-  * component's labels are untouched by construction.
+  * arrivals AND DELETIONS (round 10 — the reference's wormhole expiry,
+  * `database.rs:458-466`) — the GRAPH member of the maintained-store
+  * family, and a second instance of [[FunnelStream]]'s delta-driven
+  * TARGETED-RECOMPUTE pattern: component labels are not a monoid under
+  * edge insertion (one new edge can merge two giant components,
+  * relabeling millions of vertices neither endpoint "owns") and a
+  * deletion can SPLIT a component or isolate a vertex — no bounded
+  * per-vertex state folds associatively in either direction. What IS
+  * bounded is the blast radius: a batch can only change the components
+  * it TOUCHES — every other component's labels are untouched by
+  * construction, and because the recompute always re-derives the touched
+  * components from the complete SURVIVING edge prefix, merges, splits
+  * and isolations all fall out of the same mechanism (a split's halves
+  * get their own min labels; an isolated vertex gets a tombstone, since
+  * batch q80 excludes edge-less vertices).
   *
   * Per micro-batch:
   *   1. append the batch's edges under `edges/batch=<id>` (dynamic
@@ -52,12 +59,20 @@ object CcStream {
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false)))
 
+  /** File-source schema for ±edge event feeds (op = +1 insert, −1 delete
+    * of every edge between the endpoints). */
+  val deltaSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("op", IntegerType, nullable = false)))
+
   /** Freshest label per vertex: live batches outrank compacted
     * generations; among negative generations the newest (most negative)
     * wins. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
     Stores.freshestPerKey(Stores.read(s, s"$storeDir/labels"), "node")
+      .filter($"component".isNotNull)
       .select($"node", $"component")
   }
 
@@ -71,6 +86,7 @@ object CcStream {
     Stores.freshestPerKey(
         Stores.read(s, s"$storeDir/labels").join(nodes, Seq("node"), "left_semi"),
         "node")
+      .filter($"component".isNotNull)
       .select($"node", $"component")
   }
 
@@ -101,8 +117,10 @@ object CcStream {
   /** Ingest one micro-batch of UNDIRECTED edge rows (each row (a, b) is
     * one undirected edge; both directions are stored, so propagation is
     * undirected even when a pair's arrivals would otherwise split across
-    * batches) and relabel every affected component. Idempotent under
-    * redelivery of the same `batchId`. */
+    * batches) and relabel every affected component. Rows may carry an
+    * `op` column (+1 insert / −1 delete-all-between-endpoints); without
+    * one the batch is all inserts. Convergent under redelivery of the
+    * same `batchId` (recompute from full surviving history). */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
       rounds: Int = GraphQueries.ScaleCcRounds): Unit = {
     val s = batch.sparkSession
@@ -112,30 +130,58 @@ object CcStream {
     // foreachBatch filters empties, but MaintBench and the specs call
     // processBatch directly)
     if (batch.isEmpty) return
-    batch.select($"src", $"dst")
-      .union(batch.select($"dst".as("src"), $"src".as("dst")))
+    // ±op events (round 10): a batch column `op` (+1 insert / −1 delete
+    // of EVERY edge between the endpoints — the reference's wormhole
+    // expiry granularity) is honored when present; an op-less batch is
+    // all inserts, keeping every existing caller byte-compatible
+    val withOp =
+      if (batch.columns.contains("op")) batch.select($"src", $"dst", $"op")
+      else batch.select($"src", $"dst", lit(1).as("op"))
+    withOp
+      .union(withOp.select($"dst".as("src"), $"src".as("dst"), $"op"))
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/edges")
     val touched = batch.select($"src".as("node"))
       .union(batch.select($"dst")).distinct()
-    val edges = Stores.read(s, s"$storeDir/edges")
-      .filter($"batch" <= batchId)
-      .select($"src", $"dst")
     // restriction-first (round 10): the affected set is derived without
     // any store-sized window — touched endpoints' freshest labels from a
     // node-restricted window, members from a component-restricted
     // semi-join (endpoints with no label yet are new vertices — they join
-    // via their own edges below)
+    // via their own edges below). Under DELETIONS a component can SPLIT,
+    // after which stale rows of the split-off half still carry the
+    // surviving half's (live) label — membersOf then over-approximates
+    // the affected set, which only enlarges the exact recompute (and
+    // compaction prunes the stale rows).
     val affectedNodes =
       if (!labelsExist(s, storeDir)) touched
       else membersOf(s, storeDir, touched).union(touched).distinct()
     // store edges join same-component vertices, and batch edges have both
     // endpoints in `touched` — src-side membership captures the full
-    // induced subgraph of the affected components
-    val induced = edges
+    // induced subgraph of the affected components. The semi-join runs
+    // BEFORE the per-pair liveness resolution (latest insert vs the
+    // pair's latest delete, insert winning same-batch ties — the
+    // SsspDeltaStream rule; rows are symmetrized, so src-restriction
+    // commutes with the per-(src, dst) aggregate).
+    val restricted = Stores.read(s, s"$storeDir/edges")
+      .filter($"batch" <= batchId)
       .join(affectedNodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-    GraphQueries.minLabelPropagation(induced, rounds)
+    val del = restricted.filter($"op" === -1)
+      .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
+    val induced = restricted.filter($"op" === 1)
+      .groupBy($"src", $"dst").agg(max($"batch").as("bi"))
+      .join(del, Seq("src", "dst"), "left")
+      .filter($"bd".isNull || $"bi" >= $"bd")
+      .select($"src", $"dst")
+    val labels = GraphQueries.minLabelPropagation(induced, rounds)
+      .localCheckpoint()
+    // ISOLATION TOMBSTONES: an affected vertex with no surviving edge
+    // drops out of the propagation's vertex set entirely — batch q80
+    // excludes edge-less vertices, so serving must too; a null-component
+    // row shadows its older labels (snapshot/labelsOf filter it out)
+    val tombstones = affectedNodes.join(labels, Seq("node"), "left_anti")
+      .select($"node", lit(null).cast("long").as("component"))
+    labels.union(tombstones)
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/labels")
@@ -149,8 +195,9 @@ object CcStream {
     * sequence keeps restarts incremental. */
   def start(s: SparkSession, edgesDir: String, storeDir: String,
       rounds: Int = GraphQueries.ScaleCcRounds,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    s.readStream.schema(edgeSchema)
+      trigger: Trigger = Trigger.AvailableNow(),
+      withOps: Boolean = false): StreamingQuery =
+    s.readStream.schema(if (withOps) deltaSchema else edgeSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(edgesDir)
       .writeStream
@@ -169,8 +216,22 @@ object CcStream {
     * contract). */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/edges", throughBatch)(_.select($"src", $"dst").distinct())
+    // edges resolve to the prefix's LIVE set as +1 rows (delete history
+    // collapses — a later live delete still outranks the folded insert's
+    // negative generation in the liveness comparison); labels keep each
+    // node's freshest row, with tombstone-fresh nodes dropped entirely
+    // (everything a tombstone shadowed folds away with it)
+    Stores.fold(s, s"$storeDir/edges", throughBatch) { src =>
+      val del = src.filter($"op" === -1)
+        .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
+      src.filter($"op" === 1)
+        .groupBy($"src", $"dst").agg(max($"batch").as("bi"))
+        .join(del, Seq("src", "dst"), "left")
+        .filter($"bd".isNull || $"bi" >= $"bd")
+        .select($"src", $"dst", lit(1).as("op"))
+    }
     Stores.fold(s, s"$storeDir/labels", throughBatch)(src =>
-      Stores.freshestPerKey(src, "node").select($"node", $"component"))
+      Stores.freshestPerKey(src, "node").filter($"component".isNotNull)
+        .select($"node", $"component"))
   }
 }

@@ -394,6 +394,42 @@ object StreamServe {
        |  WHERE r.dist + e.w <= ${graft.operators.GraphQueries.ScaleSsspBudget})
        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM r GROUP BY node ORDER BY node""".stripMargin
 
+  /** q102 — connected components under DELETIONS served from the
+    * [[CcStream]] store: the q93 sparse graph arrives as two insert
+    * batches, then a DELETE batch removing every (p + su) % 5 == 0 pair
+    * (splits components and isolates vertices — the paths insert-only
+    * maintenance cannot express), then a partial RE-INSERT batch
+    * restoring the % 10 == 0 half. Compacted THROUGH the delete batch
+    * (tombstones and dead edges fold away) with the re-insert batch live
+    * — so one row exercises split recompute, isolation tombstoning,
+    * fold-of-deletions, and resurrection against a negative generation.
+    * Oracle: q80's bounded min-label SQL on the SURVIVING pair set. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("ccdeltaserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+        (($"p" + $"su") % 5 === 0).as("del"),
+        (($"p" + $"su") % 10 === 0).as("reins"))
+      .cache()
+    writeSlices(inDir, "ev", Seq(
+      pairs.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", lit(1).as("op")),
+      pairs.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", lit(1).as("op")),
+      pairs.filter($"del").select($"src", $"dst", lit(-1).as("op")),
+      pairs.filter($"reins").select($"src", $"dst", lit(1).as("op"))))
+    CcStream.start(s, inDir, storeDir, withOps = true).awaitTermination()
+    pairs.unpersist()
+    CcStream.compact(s, storeDir, throughBatch = 2L)
+    CcStream.snapshot(s, storeDir).orderBy($"node")
+  }
+
+  private val q102Sql = GraphQueries.q80SqlOn(
+    " AND ((l_partkey + l_suppkey) % 5 <> 0 OR (l_partkey + l_suppkey) % 10 = 0)")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -405,5 +441,6 @@ object StreamServe {
     GQuery("q98_stream_kcore_serve", q98, Some(GraphQueries.q84Sql)),
     GQuery("q99_stream_dedup_cluster_serve", q99, Some(graft.operators.Dedup.q63SqlShared)),
     GQuery("q100_stream_sssp_delta_serve", q100, Some(q100Sql)),
+    GQuery("q102_stream_cc_delta_serve", q102, Some(q102Sql)),
   )
 }
