@@ -16,6 +16,51 @@ import org.apache.spark.sql.functions._
 
 object MaintBench {
 
+  /** Skewed component distribution for the k-core honesty probes — one
+    * giant component holding ~99% of the edges, the rest disjoint
+    * 4-cycles — with BOTH preconditions of the maintained-store engines
+    * engineered in, not assumed:
+    *
+    *  - the giant is a LOW-DIAMETER circulant (chords = powers of 3, so
+    *    any gap closes in ≤ 2·log₃ g ≈ 18 hops — inside ScaleCcRounds =
+    *    20), and it arrives WHOLE in slice 0 with slices 1 and 2 adding
+    *    extra chord families (+5, +11) over every node: each batch
+    *    touches every giant node (the full-re-peel degeneracy under
+    *    measurement) and EVERY STREAM PREFIX is itself low-diameter, so
+    *    min-label reaches fixpoint within the round budget at every
+    *    step. The first cut of this fixture sliced a high-diameter
+    *    ring+chord giant by node residue — its chord-3 edges formed a
+    *    3,600-hop chain whose labels could NOT converge in 20 rounds,
+    *    silently violating the engines' documented fixpoint
+    *    precondition (caught by KCoarseProbe's fine≡coarse equality
+    *    check, which now guards exactly this);
+    *  - the fringe is sized to a multiple of 4 so every 4-cycle closes
+    *    (an open tail path would peel out of the 2-core).
+    *
+    * Returns (src, dst, slice) — callers feed slice ∈ {0, 1, 2} as the
+    * three micro-batches. */
+  def skewEdges(spark: org.apache.spark.sql.SparkSession, spN: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nSkew = ((math.max(60L, spN) + 39L) / 40L) * 40L
+    val g = nSkew * 9 / 10
+    val chords = Iterator.iterate(1L)(_ * 3L).takeWhile(_ < g / 2).toSeq
+    val expander = chords.map(c =>
+        spark.range(g).select($"id".as("src"), (($"id" + c) % g).as("dst")))
+      .reduce(_ union _)
+      .withColumn("slice", lit(0))
+    def family(c: Long, sl: Int) =
+      spark.range(g).select($"id".as("src"), (($"id" + c) % g).as("dst"))
+        .withColumn("slice", lit(sl))
+    // disjoint 4-cycles: dst = same group's next position (integer
+    // arithmetic via - and %, NOT `/` — Column division is double);
+    // sliced by position so prefix fragments are short paths
+    val fringe = spark.range(g, nSkew).select($"id".as("src"),
+        (lit(g) + ($"id" - g) - (($"id" - g) % 4) + (($"id" - g + 1) % 4)).as("dst"))
+      .withColumn("slice", (($"src" - g) % 3).cast("int"))
+    expander.union(family(5L, 1)).union(family(11L, 2)).union(fringe)
+      .filter($"src" =!= $"dst")
+  }
+
   private def time[T](f: => T): Double = {
     val t0 = System.nanoTime()
     f
@@ -75,24 +120,7 @@ object MaintBench {
         s""""$name":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}}"""
       }
 
-      // skewed component distribution for the k-core honesty probe: ~90%
-      // of edges in ONE giant component (a ring with chords — every node
-      // degree 4, so peeling genuinely cascades), the rest in disjoint
-      // 4-cycles. Sized to the sparse-pair lane so the rows read
-      // side-by-side. Every batch (node-sliced) touches the giant.
-      // rounded to a multiple of 40 so the fringe (nSkew - g = nSkew/10)
-      // is a multiple of 4 — otherwise the tail "4-cycle" is an open path
-      // ending at a phantom vertex id and its nodes peel out of the 2-core
-      val nSkew = ((math.max(60L, spN) + 39L) / 40L) * 40L
-      val g = nSkew * 9 / 10
-      val giant = spark.range(g).select(
-        $"id".as("src"), (($"id" + 1) % g).as("dst"))
-        .union(spark.range(g).select($"id".as("src"), (($"id" + g / 3) % g).as("dst")))
-      // disjoint 4-cycles: dst = same group's next position (integer
-      // arithmetic via - and %, NOT `/` — Column division is double)
-      val fringe = spark.range(g, nSkew).select($"id".as("src"),
-        (lit(g) + ($"id" - g) - (($"id" - g) % 4) + (($"id" - g + 1) % 4)).as("dst"))
-      val skew = giant.union(fringe).filter($"src" =!= $"dst").cache()
+      val skew = skewEdges(spark, spN).cache()
       val skewN = skew.count()
 
       val cc = tmp("mb-cc")
@@ -121,7 +149,8 @@ object MaintBench {
           (b, i) => TriangleStream.processBatch(b, i, tri)),
         run("kcore", slices3(sp, "dst div 2"))(
           (b, i) => KCoreStream.processBatch(b, i, kcore)),
-        run("kcore_skew", slices3(skew, "src"))(
+        run("kcore_skew", Seq(0, 1, 2).map(i =>
+            skew.filter($"slice" === i).select($"src", $"dst")))(
           (b, i) => KCoreStream.processBatch(b, i, kskew)),
         run("dedup_cluster", slices3(docs, "doc_id"))(
           (b, i) => DedupClusterStream.processBatch(spark, b, i, dcl)))
