@@ -29,11 +29,12 @@ import org.apache.spark.sql.types._
   *      partition overwrite — deterministic bytes, redelivery converges);
   *   2. find the AFFECTED set RESTRICTION-FIRST: current labels of the
   *      batch's endpoints via a node-restricted freshest-row window, then
-  *      every vertex carrying one of those labels via a component-
-  *      restricted semi-join ([[membersOf]] — no store-sized window or
-  *      aggregate runs per batch; the store SCAN remains and is pruned by
-  *      component bucketing in a production layout). Endpoints never
-  *      labeled are new vertices. An edge of the store always joins
+  *      every vertex whose CURRENT label is one of those via a component-
+  *      restricted candidate semi-join + freshest-row arbitration
+  *      ([[membersOf]] — no store-sized window or aggregate runs per
+  *      batch; the store SCAN remains and is pruned by component
+  *      bucketing in a production layout). Endpoints never labeled are
+  *      new vertices. An edge of the store always joins
   *      same-component vertices, so filtering store edges by src-side
   *      membership captures exactly the affected components' subgraph;
   *   3. rerun [[GraphQueries.minLabelPropagation]] (the q80 engine,
@@ -90,25 +91,32 @@ object CcStream {
       .select($"node", $"component")
   }
 
-  /** Every current member of the components the `touched` nodes belong
+  /** Every CURRENT member of the components the `touched` nodes belong
     * to, restriction-first — NO store-sized window or aggregate runs.
-    * Soundness rests on the min-label merge invariant (at fixpoint within
-    * the round budget, where every registered scale lands — the same
-    * assumption the affected-set recompute itself makes): labels only
-    * merge downward and a merge relabels EVERY member of the absorbed
-    * component, so a dead label never resurfaces as anyone's current
-    * label. Hence a store row (n, c) with c still current for anyone
-    * implies c is n's current label too — membership is exactly the
-    * component-restricted semi-join + distinct, with no per-node
-    * freshest-row arbitration needed. */
+    * Membership must be FRESHEST-ARBITRATED, not raw-row matched: under
+    * deletions a SPLIT leaves stale rows of the split-off half still
+    * carrying the surviving half's (live) label, and if that half later
+    * MERGES elsewhere, a raw component semi-join would pull those nodes
+    * in WITHOUT the rest of their current component — the recompute
+    * would then relabel them on a truncated subgraph (the round-10
+    * "over-approximation only enlarges the recompute" claim fails
+    * exactly there). So: (1) CANDIDATES = nodes with ANY store row
+    * carrying a touched label (component-restricted semi-join — a node's
+    * freshest row is itself such a row, so candidates cover all true
+    * members); (2) the node-restricted freshest-row window over the
+    * candidates only ([[labelsOf]]); (3) keep nodes whose CURRENT label
+    * is touched. Exact membership, still never store-sized. */
   private[graft] def membersOf(s: SparkSession, storeDir: String,
       touched: DataFrame): DataFrame = {
     import s.implicits._
     val touchedComps = labelsOf(s, storeDir, touched)
       .select($"component").distinct()
-    Stores.read(s, s"$storeDir/labels")
+    val candidates = Stores.read(s, s"$storeDir/labels")
       .join(touchedComps, Seq("component"), "left_semi")
       .select($"node").distinct()
+    labelsOf(s, storeDir, candidates)
+      .join(touchedComps, Seq("component"), "left_semi")
+      .select($"node")
   }
 
   private def labelsExist(s: SparkSession, storeDir: String): Boolean =
@@ -146,13 +154,12 @@ object CcStream {
       .union(batch.select($"dst")).distinct()
     // restriction-first (round 10): the affected set is derived without
     // any store-sized window — touched endpoints' freshest labels from a
-    // node-restricted window, members from a component-restricted
-    // semi-join (endpoints with no label yet are new vertices — they join
-    // via their own edges below). Under DELETIONS a component can SPLIT,
-    // after which stale rows of the split-off half still carry the
-    // surviving half's (live) label — membersOf then over-approximates
-    // the affected set, which only enlarges the exact recompute (and
-    // compaction prunes the stale rows).
+    // node-restricted window, members via membersOf's freshest-arbitrated
+    // component restriction (endpoints with no label yet are new vertices
+    // — they join via their own edges below). The arbitration makes the
+    // set EXACT: stale rows of a split-off-then-merged half must not pull
+    // nodes in without the rest of their current component (see
+    // membersOf's scaladoc; CcDeltaSpec's split-then-merge case).
     val affectedNodes =
       if (!labelsExist(s, storeDir)) touched
       else membersOf(s, storeDir, touched).union(touched).distinct()

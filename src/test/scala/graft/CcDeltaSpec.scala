@@ -47,6 +47,30 @@ class CcDeltaSpec extends AnyFunSuite {
     assert(snap(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("split-then-merge: stale rows under a still-live label must not truncate the recompute") {
+    val store = tmp()
+    // path 10-11-12-13 (label 10) and pair 2-3 (label 2)
+    CcStream.processBatch(
+      ev(Seq((10L, 11L, 1), (11L, 12L, 1), (12L, 13L, 1), (2L, 3L, 1))), 0L, store)
+    // delete (11,12): splits — {10,11} keep label 10, {12,13} relabel 12;
+    // batch 0's stale (12,10),(13,10) rows remain under the LIVE label 10
+    CcStream.processBatch(ev(Seq((11L, 12L, -1))), 1L, store)
+    assert(snap(store) === Map(10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L,
+      2L -> 2L, 3L -> 2L))
+    // the split-off half MERGES into component 2
+    CcStream.processBatch(ev(Seq((13L, 2L, 1))), 2L, store)
+    assert(snap(store) === Map(10L -> 10L, 11L -> 10L, 12L -> 2L, 13L -> 2L,
+      2L -> 2L, 3L -> 2L))
+    // touch the SURVIVING half of the split (label 10): the stale rows
+    // must not pull 12/13 into the recompute without the rest of their
+    // CURRENT component — an unarbitrated membership relabels them on a
+    // truncated subgraph and diverges from the surviving-set batch run
+    CcStream.processBatch(ev(Seq((10L, 50L, 1))), 3L, store)
+    assert(snap(store) === Map(10L -> 10L, 11L -> 10L, 50L -> 10L,
+      12L -> 2L, 13L -> 2L, 2L -> 2L, 3L -> 2L),
+      "stale still-live-label rows truncated the affected subgraph")
+  }
+
   test("replay of a delete batch converges; post-compaction delete still splits") {
     val store = tmp()
     CcStream.processBatch(
