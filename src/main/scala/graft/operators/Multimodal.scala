@@ -1072,6 +1072,19 @@ object Multimodal {
       val stack = new Array[Byte](MaxSlots + 1)
       var width = MinCode + 1
       var counter = Base
+      // the next genuinely-UNDEFINED slot — decoupled from the phantom
+      // width counter, which saturates at MaxSlots while the last entry
+      // (MaxSlots−1) is still definable exactly once. Once definedN
+      // reaches MaxSlots nothing may be (re)defined and kwkwk is
+      // impossible: codes can only reference defined entries — the
+      // well-formed "deferred clear" stream giflib encoders emit when
+      // they keep using the full table without a CLEAR. (Previously the
+      // slot computed from the saturated counter stuck at MaxSlots−1 and
+      // every further non-clear code OVERWROTE that entry — a foreign
+      // deferred-clear GIF then decoded to wrong pixels instead of its
+      // actual raster, violating the "malformed → None, never wrong
+      // pixels" contract. GifSpec's deferred-clear case pins this.)
+      var definedN = Base
       var prev = -1
       var acc = 0L
       var nbits = 0
@@ -1099,7 +1112,7 @@ object Multimodal {
         val code = (acc & ((1L << width) - 1)).toInt
         acc >>>= width; nbits -= width
         if (code == Clear) {
-          counter = Base; width = MinCode + 1; prev = -1
+          counter = Base; width = MinCode + 1; definedN = Base; prev = -1
         } else if (code == Eoi) {
           return if (outN == nPixels) Some(out) else None
         } else if (prev == -1) {
@@ -1109,21 +1122,24 @@ object Multimodal {
           if (counter > (1 << width) && width < 12) width += 1
           prev = code
         } else {
-          val slot = counter - 1 // entry defined by THIS code's arrival
-          if (code > slot || (code > Eoi && code < Base)) return None
-          val kwkwk = code == slot
-          if (kwkwk && slot >= MaxSlots) return None
+          if (code > Eoi && code < Base) return None
+          // kwkwk: the code IS the entry this arrival defines — only
+          // possible while a free slot exists; past table-full, code
+          // MaxSlots−1 references the (already-defined) last entry
+          val kwkwk = code == definedN && definedN < MaxSlots
+          if (!kwkwk && code >= Base && code >= definedN) return None
           val sourceFirst = firstByte(if (kwkwk) prev else code)
-          if (slot < MaxSlots) {
-            prefix(slot) = prev
-            suffix(slot) = sourceFirst.toByte
+          if (definedN < MaxSlots) {
+            prefix(definedN) = prev
+            suffix(definedN) = sourceFirst.toByte
           }
-          if (!emit(if (kwkwk) slot else code)) return None
+          if (!emit(if (kwkwk) definedN else code)) return None
+          prev = if (kwkwk) definedN else code
+          if (definedN < MaxSlots) definedN += 1
           if (counter < MaxSlots) {
             counter += 1
             if (counter > (1 << width) && width < 12) width += 1
           }
-          prev = if (kwkwk) slot else code
         }
       }
       None

@@ -170,7 +170,7 @@ object CcStream {
     // pair's latest delete, insert winning same-batch ties — the
     // SsspDeltaStream rule; rows are symmetrized, so src-restriction
     // commutes with the per-(src, dst) aggregate).
-    val restricted = Stores.read(s, s"$storeDir/edges")
+    val restricted = Stores.withOpDefault(Stores.read(s, s"$storeDir/edges"))
       .filter($"batch" <= batchId)
       .join(affectedNodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
     val del = restricted.filter($"op" === -1)
@@ -228,7 +228,8 @@ object CcStream {
     // negative generation in the liveness comparison); labels keep each
     // node's freshest row, with tombstone-fresh nodes dropped entirely
     // (everything a tombstone shadowed folds away with it)
-    Stores.fold(s, s"$storeDir/edges", throughBatch) { src =>
+    Stores.fold(s, s"$storeDir/edges", throughBatch) { raw =>
+      val src = Stores.withOpDefault(raw)
       val del = src.filter($"op" === -1)
         .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
       src.filter($"op" === 1)

@@ -51,8 +51,9 @@ import org.apache.spark.sql.types._
   * q84 and NOTHING is saved by maintenance. That is inherent to exact
   * maintenance of a non-local property under component-granular targeted
   * recompute (a peel cascade can genuinely traverse the component);
-  * MaintBench's `kcore_skew` probe measures the cliff on a ~90%-giant
-  * edge distribution rather than implying it away. Deployments facing a
+  * MaintBench's `kcore_skew` probe measures the cliff on a fixture whose
+  * giant holds ~99% of the EDGES (~90% of the nodes — edge share is
+  * what governs re-peel cost) rather than implying it away. Deployments facing a
   * giant component should batch coarsely (amortize the re-peel) or accept
   * approximate maintenance — this maintainer intentionally stays exact.
   */

@@ -74,6 +74,21 @@ private[graft] object Stores {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** `df` with a guaranteed ±op column: a store written before its
+    * maintainer's ±op era carries none — those rows are all inserts.
+    * A missing column is defaulted to +1; a present-but-null op (a
+    * schema-merged read over mixed generations) likewise — without the
+    * default, an `op === 1` liveness filter silently drops every legacy
+    * row. MIGRATION CONTRACT: a legacy store must be [[fold]]-compacted
+    * ONCE before ±op batches are appended (the fold stage normalizes
+    * every surviving row to +1) — parquet's sampled-schema read over a
+    * root mixing op-less and op-bearing files is otherwise ambiguous
+    * about which files keep their op values. CcDeltaSpec pins the
+    * compact-then-± path. */
+  def withOpDefault(df: DataFrame): DataFrame =
+    if (!df.columns.contains("op")) df.withColumn("op", lit(1))
+    else df.withColumn("op", coalesce(col("op"), lit(1)))
+
   private case class Survey(present: Set[Long], validGens: Set[Long],
       covered: Set[Long], staleManifests: Seq[Path], tmps: Seq[Path])
 

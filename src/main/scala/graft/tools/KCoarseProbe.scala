@@ -1,7 +1,9 @@
 // The KCoreStream scaladoc's giant-component mitigation, measured:
 // "deployments facing a giant component should batch coarsely (amortize
 // the re-peel)". This probe ingests the SAME skewed graph (MaintBench's
-// ~90%-giant fixture at the sf0.1 scale) two ways — the standard three
+// giant-component fixture at the sf0.1 scale — the giant holds ~90%
+// of the NODES and ~99% of the EDGES; edge share is the figure that
+// governs re-peel cost) two ways — the standard three
 // node-sliced micro-batches (three re-peels of the giant) vs ONE coarse
 // batch (one re-peel) — equality-checks the served k-core between them,
 // and emits both wall-time totals so the amortization factor is a number,
@@ -61,7 +63,7 @@ object KCoarseProbe {
         s""""fine_batches":{${fineTimes.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${fineTimes.sum}},""" +
         s""""coarse_batch_total":$coarseTime,""" +
         s""""amortization_x":${fineTimes.sum / coarseTime},""" +
-        """"note":"KCoreStream on the ~99%-giant skew graph (low-diameter expander core in slice 0, extra chord families in slices 1-2 - every batch touches every giant node and every stream prefix satisfies the min-label fixpoint-within-rounds precondition): three micro-batches (each re-peels the giant) vs ONE coarse batch (one re-peel), fine==coarse equality-checked - the check that caught the first fixture's precondition violation. The ratio is the scaladoc's 'batch coarsely' mitigation quantified; expect ~3x amortization minus fixed per-batch overhead, same-box variance applies (see MAINTBENCH_r10 note)."}"""
+        """"note":"KCoreStream on the skew graph whose giant component holds ~99% of the edges (~90% of the nodes) (low-diameter expander core in slice 0, extra chord families in slices 1-2 - every batch touches every giant node and every stream prefix satisfies the min-label fixpoint-within-rounds precondition): three micro-batches (each re-peels the giant) vs ONE coarse batch (one re-peel), fine==coarse equality-checked - the check that caught the first fixture's precondition violation. The ratio is the scaladoc's 'batch coarsely' mitigation quantified; expect ~3x amortization minus fixed per-batch overhead, same-box variance applies (see MAINTBENCH_r10 note)."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

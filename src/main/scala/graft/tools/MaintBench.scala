@@ -161,7 +161,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a ~90%-giant component every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc)."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges (~90% of the nodes) that every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc)."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

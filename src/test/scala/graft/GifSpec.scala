@@ -66,6 +66,63 @@ class GifSpec extends AnyFunSuite {
     assert((img.get.palette(65 * 3) & 0xFF) === 65)
   }
 
+  test("deferred-clear stream: the full table is read-only, never overwritten") {
+    // a foreign encoder may keep using the FULL table without emitting
+    // CLEAR ("deferred clear", legal GIF). After the last entry (4095) is
+    // defined, later codes must decode via the defined entries — a
+    // decoder that keeps computing a slot from the saturated counter
+    // overwrites entry 4095 on every arrival and emits wrong pixels.
+    val MinCode = 8; val Clear = 256; val Eoi = 257; val Base = 258
+    val MaxSlots = 4096
+    // 3839 literals: the first + 3838 defining arrivals fill 258..4095
+    val lits = Array.tabulate(MaxSlots - Base + 1)(j => j % 251)
+    var acc = 0L; var nbits = 0
+    val data = new java.io.ByteArrayOutputStream()
+    var width = MinCode + 1; var counter = Base
+    def put(c: Int): Unit = {
+      acc |= c.toLong << nbits; nbits += width
+      while (nbits >= 8) { data.write((acc & 0xFF).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    // the decoder's width schedule, mirrored (incl. the phantom first slot)
+    def bump(): Unit =
+      if (counter < MaxSlots) {
+        counter += 1; if (counter > (1 << width) && width < 12) width += 1
+      }
+    put(Clear)
+    lits.foreach { l => put(l); bump() }
+    // table now truly full. A literal (prev moves), then code 4095 — it
+    // must decode to the entry defined at its one legitimate arrival,
+    // [lits(3837), lits(3838)] = [72, 73], NOT to [7, 7] (what an
+    // overwriting decoder's kwkwk path would emit here)
+    put(7)
+    put(MaxSlots - 1)
+    put(Eoi)
+    if (nbits > 0) data.write((acc & 0xFF).toInt)
+    val expected = lits.map(_.toByte) ++
+      Array(7.toByte, lits(lits.length - 2).toByte, lits(lits.length - 1).toByte)
+    val w = expected.length; val h = 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xFF); out.write(w >> 8); out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0xF7); out.write(0); out.write(0)
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    out.write(0x2C); out.write(Array[Byte](0, 0, 0, 0))
+    out.write(w & 0xFF); out.write(w >> 8); out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0)
+    out.write(MinCode)
+    val d = data.toByteArray
+    var off = 0
+    while (off < d.length) {
+      val n = math.min(255, d.length - off)
+      out.write(n); out.write(d, off, n); off += n
+    }
+    out.write(0); out.write(0x3B)
+    val img = Gif.decode(out.toByteArray)
+    assert(img.isDefined, "well-formed deferred-clear stream must decode")
+    assert(img.get.indices.toSeq === expected.toSeq,
+      "full-table codes must decode via the defined entries")
+  }
+
   test("malformed payloads decode to None, never to wrong pixels") {
     val good = Gif.encode(8, 4, Array.fill(32)(9.toByte))
     assert(Gif.decode("NOTAGIF!".getBytes ++ good.drop(8)).isEmpty, "bad signature")
