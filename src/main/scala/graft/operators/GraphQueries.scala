@@ -526,9 +526,13 @@ object GraphQueries {
     * inner e3 join is equivalent to the Spark side's left-semi probe
     * because (ta, tc) matches at most one row of the distinct ordered
     * edge relation. */
-  private[graft] val q83Sql =
+  /** [[q83Sql]] parameterized over an extra predicate on the witness
+    * pair set (the [[q80SqlOn]] idiom) — `""` is q83 itself; q103's
+    * oracle restricts to the pairs SURVIVING its delete/re-insert
+    * schedule. */
+  private[graft] def q83SqlOn(extraPairPred: String): String =
     s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
-       |  FROM lineitem WHERE l_quantity = 50),
+       |  FROM lineitem WHERE l_quantity = 50$extraPairPred),
        |ok AS (SELECT su FROM pairs GROUP BY su HAVING COUNT(*) <= $TriDegreeCap),
        |kept AS (SELECT p, su FROM pairs WHERE su IN (SELECT su FROM ok)),
        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
@@ -540,6 +544,8 @@ object GraphQueries {
        |       UNION ALL SELECT tc FROM tri)
        |SELECT CAST(v AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
        |FROM pv GROUP BY v ORDER BY part""".stripMargin
+
+  private[graft] val q83Sql = q83SqlOn("")
 
   /** q84's core order and round budget — both part of the operator's
     * semantics (exactly-bounded synchronous peeling, the q80 idiom) and
@@ -638,20 +644,25 @@ object GraphQueries {
     * `AS MATERIALIZED` to stop DuckDB's inliner from exponentiating the
     * 12-deep chain (the q80 lesson); rounds past the fixpoint re-induce
     * an unchanged relation, matching the Spark side's early exit. */
-  private[graft] val q84Sql = {
+  /** [[q84Sql]] parameterized over an extra predicate on the sparse pair
+    * set (the [[q80SqlOn]] idiom) — `""` is q84 itself; q104's oracle
+    * restricts to the pairs SURVIVING its delete/re-insert schedule. */
+  private[graft] def q84SqlOn(extraPairPred: String): String = {
     val steps = (1 to KCoreRounds).map { i =>
       s"""k$i AS MATERIALIZED (SELECT src FROM c${i - 1} GROUP BY src HAVING COUNT(*) >= $KCoreK),
          |c$i AS MATERIALIZED (SELECT c.src, c.dst FROM c${i - 1} c
          |  JOIN k$i a ON a.src = c.src JOIN k$i b ON b.src = c.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
-       |  FROM lineitem WHERE l_quantity = 50),
+       |  FROM lineitem WHERE l_quantity = 50$extraPairPred),
        |e0 AS (SELECT CAST(p*2 AS BIGINT) AS src, CAST(su*2+1 AS BIGINT) AS dst FROM pairs),
        |c0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |$steps
        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |FROM c$KCoreRounds GROUP BY src ORDER BY node""".stripMargin
   }
+
+  private[graft] val q84Sql = q84SqlOn("")
 
   /** q85's walk-length budget. Part of the operator's semantics (Katz
     * centrality with attenuation β = 1 truncated at L — i.e. each vertex

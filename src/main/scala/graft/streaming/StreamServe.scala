@@ -430,6 +430,42 @@ object StreamServe {
   private val q102Sql = GraphQueries.q80SqlOn(
     " AND ((l_partkey + l_suppkey) % 5 <> 0 OR (l_partkey + l_suppkey) % 10 = 0)")
 
+  /** q103 — per-part triangle counts under witness DELETIONS served from
+    * the [[TriangleStream]] store: the q96 pair graph arrives as two
+    * insert batches, then a DELETE batch withdrawing every
+    * (p + su) % 5 == 0 witness (edges the projection loses, triangles
+    * that die — and possibly suppliers dropping back UNDER the degree
+    * cap, whose witnesses return), then a partial RE-INSERT batch
+    * restoring the % 10 == 0 half. Compacted THROUGH the delete batch
+    * (dead witnesses fold away) with the re-insert live — one row
+    * exercises deletion deltas, fold-of-deletions, and resurrection
+    * against a negative generation. Oracle: q83's SQL on the SURVIVING
+    * witness set. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("trideltaserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .withColumn("del", ($"p" + $"su") % 5 === 0)
+      .withColumn("reins", ($"p" + $"su") % 10 === 0)
+      .cache()
+    writeSlices(inDir, "ev", Seq(
+      pairs.filter($"su" % 2 === 0).select($"p", $"su", lit(1).as("op")),
+      pairs.filter($"su" % 2 === 1).select($"p", $"su", lit(1).as("op")),
+      pairs.filter($"del").select($"p", $"su", lit(-1).as("op")),
+      pairs.filter($"reins").select($"p", $"su", lit(1).as("op"))))
+    TriangleStream.start(s, inDir, storeDir, withOps = true).awaitTermination()
+    pairs.unpersist()
+    TriangleStream.compact(s, storeDir, throughBatch = 2L)
+    TriangleStream.snapshot(s, storeDir).orderBy($"part")
+  }
+
+  private val q103Sql = GraphQueries.q83SqlOn(
+    " AND ((l_partkey + l_suppkey) % 5 <> 0 OR (l_partkey + l_suppkey) % 10 = 0)")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -442,5 +478,6 @@ object StreamServe {
     GQuery("q99_stream_dedup_cluster_serve", q99, Some(graft.operators.Dedup.q63SqlShared)),
     GQuery("q100_stream_sssp_delta_serve", q100, Some(q100Sql)),
     GQuery("q102_stream_cc_delta_serve", q102, Some(q102Sql)),
+    GQuery("q103_stream_triangle_delta_serve", q103, Some(q103Sql)),
   )
 }

@@ -7,19 +7,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming maintenance of q83's per-part triangle counts under
-  * (part, supplier) pair arrivals — the triangle member of the
-  * maintained-store graph family ([[CcStream]] labels, [[SsspStream]]
-  * distances), and the DELTA-COUNTING member: unlike component labels
-  * (non-foldable, targeted recompute) triangle counts ARE foldable —
-  * the exact per-part count is the sum of per-batch count DELTAS, each
-  * computable from the batch's projected-edge delta alone plus the
-  * adjacency of the changed edges. Nothing is ever recounted.
+  * (part, supplier) pair arrivals AND WITHDRAWALS (round 11 — the
+  * reference's wormhole expiry, `database.rs:458-466`, landing on the
+  * bipartite witness set) — the triangle member of the maintained-store
+  * graph family ([[CcStream]] labels, [[SsspStream]] distances), and the
+  * DELTA-COUNTING member: unlike component labels (non-foldable,
+  * targeted recompute) triangle counts ARE foldable — the exact per-part
+  * count is the sum of per-batch count DELTAS, each computable from the
+  * batch's projected-edge delta alone plus the adjacency of the changed
+  * edges. Nothing is ever recounted.
   *
-  * The maintained object is q83's semantics verbatim (`GraphQueries.q83`):
-  * distinct (p, su) pairs → suppliers of degree ≤ [[GraphQueries.TriDegreeCap]]
+  * The maintained object is q83's semantics verbatim (`GraphQueries.q83`)
+  * over the LIVE witness set:
+  * live (p, su) pairs → suppliers of degree ≤ [[GraphQueries.TriDegreeCap]]
   * project ordered part–part edges (a < b, distinct) → per-part corner
-  * counts of the wedge-closed triangles. Two things make the incremental
-  * edge delta non-monotone even though pairs only ever arrive:
+  * counts of the wedge-closed triangles. The edge delta was already
+  * non-monotone before deletions existed:
   *
   *  - an edge is DISTINCT over witnesses: a new pair re-witnessing an
   *    existing edge changes nothing;
@@ -27,10 +30,20 @@ import org.apache.spark.sql.types._
   *    witness contributions, which can remove edges (and triangles) —
   *    the removal path exists even in an append-only stream.
   *
+  * Deletions ride exactly that machinery: a −op row makes the pair dead
+  * at the prefix (per-pair liveness resolution, [[livePairs]]), so the
+  * before/after projection of the touched suppliers sees it leave — and
+  * symmetrically a withdrawal can ADD edges by dropping a supplier's
+  * degree back UNDER the cap (its witness contributions return). No new
+  * delta path exists for deletions; only the notion of "current pair
+  * set" changed.
+  *
   * Per micro-batch (all deltas are pure functions of the pair-store
   * PREFIX, so redelivery of a batch id rewrites identical bytes —
   * replay-idempotent by construction, no high-water mark needed):
-  *   1. append the batch's distinct pairs under `pairs/batch=<id>`;
+  *   1. append the batch's distinct ±pair rows under `pairs/batch=<id>`
+  *      (an op-less batch is all inserts — callers predating ±ops are
+  *      byte-compatible);
   *   2. recompute the projected-edge contribution of the TOUCHED
   *      suppliers only, before vs after the batch (old/new degree vs the
   *      cap decides membership); an edge witnessed by an untouched
@@ -55,9 +68,12 @@ import org.apache.spark.sql.types._
   * deployment buckets `pairs` on su and `edges` on endpoint so the
   * restriction prunes I/O too — the same note as [[CcStream]]'s
   * component-bucketed edge store. TriangleStreamSpec pins equality with
-  * batch q83 under
-  * splits forcing cross-batch wedge closures and a cap-crossing removal;
-  * the q96 CORRECTNESS row serves the store against q83's SQL verbatim.
+  * batch q83 under splits forcing cross-batch wedge closures, a
+  * cap-crossing removal, a deletion destroying a cross-batch triangle,
+  * and an UN-CAPPING deletion that creates triangles; the q96
+  * CORRECTNESS row serves the store against q83's SQL verbatim, and
+  * q103 serves a delete → compact → re-insert schedule against q83's
+  * SQL on the surviving witness set.
   */
 object TriangleStream {
 
@@ -65,23 +81,54 @@ object TriangleStream {
     StructField("p", LongType, nullable = false),
     StructField("su", LongType, nullable = false)))
 
+  /** File-source schema for ±pair event feeds (op = +1 witness arrival,
+    * −1 withdrawal of the (p, su) witness — the reference's G7 edge-
+    * expiry class, `database.rs:458-466`, landing on the bipartite
+    * witness set). */
+  val deltaSchema: StructType = StructType(Seq(
+    StructField("p", LongType, nullable = false),
+    StructField("su", LongType, nullable = false),
+    StructField("op", IntegerType, nullable = false)))
+
   private def exists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** RAW (possibly duplicate-carrying) pairs of store batches `< upTo` —
-    * a LAZY scan, deliberately not distinct'd or materialized: every
-    * consumer restricts it with a semi/anti join FIRST and applies
-    * distinct on the restricted slice (distinct commutes with a
-    * key-subset restriction), so no batch ever pays a corpus-wide
-    * distinct shuffle (review finding: the previous whole-store
-    * distinct + localCheckpoint made every batch corpus-sized). */
+  /** RAW ±pair rows of store batches `< upTo` — a LAZY scan, deliberately
+    * not resolved or materialized: every consumer restricts it with a
+    * semi/anti join FIRST and resolves per-pair liveness on the
+    * restricted slice ([[livePairs]] commutes with a key-subset
+    * restriction), so no batch ever pays a corpus-wide shuffle (review
+    * finding: the previous whole-store distinct + localCheckpoint made
+    * every batch corpus-sized). Legacy op-less rows default to inserts
+    * ([[Stores.withOpDefault]]). */
   private def rawPairsBefore(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
     import s.implicits._
     if (!exists(s, s"$storeDir/pairs"))
-      s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su")).limit(0)
-    else Stores.read(s, s"$storeDir/pairs").filter($"batch" < upTo)
+      s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su"),
+        lit(1).as("op"), lit(0L).as("batch")).limit(0)
+    else Stores.withOpDefault(Stores.read(s, s"$storeDir/pairs"))
+      .filter($"batch" < upTo)
+      .select($"p", $"su", $"op", $"batch")
+  }
+
+  /** LIVE (p, su) witnesses of raw ± rows: the pair's latest insert must
+    * outrank its latest delete, the insert winning same-batch ties (a
+    * batch's deletes apply before its inserts — the [[SsspDeltaStream]]
+    * rule, verbatim). Folded generations carry only +1 rows at negative
+    * ids, so a later live delete still outranks them. Restriction by p
+    * or su commutes with the resolution (both are components of the
+    * group key). */
+  private def livePairs(raw: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    val del = raw.filter($"op" === -1)
+      .groupBy($"p", $"su").agg(max($"batch").as("bd"))
+    raw.filter($"op" === 1)
+      .groupBy($"p", $"su").agg(max($"batch").as("bi"))
+      .join(del, Seq("p", "su"), "left")
+      .filter($"bd".isNull || $"bi" >= $"bd")
       .select($"p", $"su")
   }
 
@@ -195,21 +242,38 @@ object TriangleStream {
     // batch before the cuts). The frames are delta-sized or
     // edge-set-sized; blocks are reclaimed by the ContextCleaner as
     // they go out of scope, the q84 precedent.
+    // ±op events (round 11): a batch column `op` (+1 witness arrival /
+    // −1 withdrawal of the (p, su) witness) is honored when present; an
+    // op-less batch is all inserts, keeping every existing caller
+    // byte-compatible. Deletions flow through the SAME before/after
+    // projection machinery as the cap-crossing removals — a withdrawal
+    // can destroy edges and triangles, and (symmetrically) can ADD them
+    // by dropping a supplier's degree back under the cap.
+    val withOp =
+      if (batch.columns.contains("op")) batch.select($"p", $"su", $"op")
+      else batch.select($"p", $"su", lit(1).as("op"))
+    val bIns = withOp.filter($"op" === 1)
+      .select($"p", $"su").distinct().localCheckpoint()
+    // insert wins same-batch ties (the family rule): a pair both deleted
+    // and inserted in one batch is live after it
+    val bDel = withOp.filter($"op" === -1).select($"p", $"su").distinct()
+      .join(bIns, Seq("p", "su"), "left_anti").localCheckpoint()
     val prev = rawPairsBefore(s, storeDir, batchId)
-    batch.select($"p", $"su").distinct()
+    withOp.distinct()
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/pairs")
 
-    val touchedSu = batch.select($"su").distinct().localCheckpoint()
+    val touchedSu = withOp.select($"su").distinct().localCheckpoint()
     // using-column joins put the join column FIRST in the output — every
     // union below is positional, so re-select (p, su) explicitly.
-    // Distinct lands AFTER the touched-supplier restriction: only the
-    // touched slice is shuffled/materialized, never the whole store
-    val prevTouched = prev.join(touchedSu, Seq("su"), "left_semi")
-      .select($"p", $"su").distinct().localCheckpoint()
-    val newTouched = prevTouched
-      .union(batch.select($"p", $"su")).distinct()
+    // Liveness resolution lands AFTER the touched-supplier restriction:
+    // only the touched slice is shuffled/materialized, never the store
+    val prevTouched = livePairs(prev.join(touchedSu, Seq("su"), "left_semi"))
+      .localCheckpoint()
+    // live-after = (live-before minus effective deletes) plus inserts
+    val newTouched = prevTouched.join(bDel, Seq("p", "su"), "left_anti")
+      .union(bIns).distinct()
     val oldE = projectionOf(prevTouched, cap).localCheckpoint()
     val newE = projectionOf(newTouched, cap).localCheckpoint()
 
@@ -218,13 +282,13 @@ object TriangleStream {
     // by this batch, so one membership probe covers before and after
     val cand = oldE.union(newE).distinct()
     val candParts = cand.select($"a".as("p")).union(cand.select($"b")).distinct()
-    val otherPairs = prev.join(touchedSu, Seq("su"), "left_anti")
-      .join(candParts, Seq("p"), "left_semi")
-      .select($"p", $"su").distinct().localCheckpoint()
+    val otherPairs = livePairs(
+        prev.join(touchedSu, Seq("su"), "left_anti")
+          .join(candParts, Seq("p"), "left_semi"))
+      .localCheckpoint()
     val otherSus = otherPairs.select($"su").distinct()
     val okOther = otherPairs.join(
-      prev.join(otherSus, Seq("su"), "left_semi")
-        .select($"p", $"su").distinct()
+      livePairs(prev.join(otherSus, Seq("su"), "left_semi"))
         .groupBy($"su").agg(count(lit(1)).as("d")).filter($"d" <= cap).select($"su"),
       Seq("su"), "left_semi").localCheckpoint()
     val witnessed = cand
@@ -282,8 +346,9 @@ object TriangleStream {
     * ever delivers unseen files (delta stores double-fold otherwise). */
   def start(s: SparkSession, pairsDir: String, storeDir: String,
       cap: Long = GraphQueries.TriDegreeCap,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    s.readStream.schema(pairSchema)
+      trigger: Trigger = Trigger.AvailableNow(),
+      withOps: Boolean = false): StreamingQuery =
+    s.readStream.schema(if (withOps) deltaSchema else pairSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(pairsDir)
       .writeStream
@@ -296,11 +361,14 @@ object TriangleStream {
 
   /** Fold batches ≤ `throughBatch` (plus prior generations) of all three
     * stores into one fresh negative generation ([[Stores.fold]]): pairs
-    * dedup, edges keep net-positive rows as +1, counts keep non-zero
-    * per-part nets. One compactor at a time. */
+    * resolve to the prefix's LIVE witnesses as +1 rows (delete history
+    * collapses — a later live delete still outranks the folded insert's
+    * negative generation), edges keep net-positive rows as +1, counts
+    * keep non-zero per-part nets. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/pairs", throughBatch)(_.select($"p", $"su").distinct())
+    Stores.fold(s, s"$storeDir/pairs", throughBatch)(raw =>
+      livePairs(Stores.withOpDefault(raw)).select($"p", $"su", lit(1).as("op")))
     Stores.fold(s, s"$storeDir/edges", throughBatch)(
       _.groupBy($"a", $"b").agg(sum($"op").as("net"))
         .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.TriangleStream
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The maintained triangle-count store must equal batch q83 over the
@@ -88,6 +89,87 @@ class TriangleStreamSpec extends AnyFunSuite {
     TriangleStream.processBatch(df(Seq((4L, 100L))), 2L, store, cap)
     assert(snapshotOf(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       "edge pinned by an untouched witness must survive")
+  }
+
+  private def dfOps(rows: Seq[(Long, Long, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("p", "su", "op")
+  }
+
+  test("deletion destroys a cross-batch triangle; re-insert across compaction restores it") {
+    val store = freshStore("tridel")
+    // triangle {1,2,3}: one witness edge per batch (the q96 shape)
+    TriangleStream.processBatch(df(Seq((1L, 100L), (2L, 100L))), 0L, store)
+    TriangleStream.processBatch(df(Seq((2L, 200L), (3L, 200L))), 1L, store)
+    TriangleStream.processBatch(df(Seq((1L, 300L), (3L, 300L))), 2L, store)
+    assert(snapshotOf(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // withdraw supplier 100's (1,100) witness: edge (1,2) loses its only
+    // witness → the triangle closed two batches ago dies
+    TriangleStream.processBatch(dfOps(Seq((1L, 100L, -1))), 3L, store)
+    assert(snapshotOf(store) === Map.empty,
+      "deleting the only witness of one edge must destroy the triangle")
+    // fold the whole ± history (delete collapses away), then re-insert:
+    // the pair must resurrect against the negative generation
+    TriangleStream.compact(spark, store, throughBatch = 3L)
+    assert(snapshotOf(store) === Map.empty, "compaction changed the snapshot")
+    TriangleStream.processBatch(dfOps(Seq((1L, 100L, 1))), 4L, store)
+    assert(snapshotOf(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "re-insert after compaction must re-close the triangle")
+  }
+
+  test("a deletion can CREATE triangles: dropping a supplier back under the cap") {
+    val cap = 2L
+    val store = freshStore("triuncap")
+    // supplier 100 witnesses all three edges of {1,2,3} but has degree
+    // 3 > cap — over-cap, so it contributes nothing
+    TriangleStream.processBatch(
+      df(Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L))), 0L, store, cap)
+    assert(snapshotOf(store) === Map.empty, "over-cap supplier must contribute nothing")
+    // delete (4,100): degree falls to 3... still > cap
+    TriangleStream.processBatch(dfOps(Seq((4L, 100L, -1))), 1L, store, cap)
+    assert(snapshotOf(store) === Map.empty)
+    // delete (3,100): degree 2 ≤ cap → its remaining clique {1,2} is ONE
+    // edge, no triangle — but with suppliers 200/300 below, the return
+    // of (1,2) closes one
+    TriangleStream.processBatch(
+      df(Seq((2L, 200L), (3L, 200L), (1L, 300L), (3L, 300L))), 2L, store, cap)
+    assert(snapshotOf(store) === Map.empty,
+      "edges (2,3) and (1,3) alone close nothing while (1,2) is uncapped away")
+    TriangleStream.processBatch(dfOps(Seq((3L, 100L, -1))), 3L, store, cap)
+    assert(snapshotOf(store) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "the un-capping deletion must return (1,2) and close the triangle")
+    assert(brute(Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L),
+      (1L, 300L), (3L, 300L)), cap) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "reference disagrees — test premise broken")
+  }
+
+  test("mixed ± fixture ≡ batch q83 on the surviving witness set (with compaction)") {
+    import spark.implicits._
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .withColumn("del", ($"p" + $"su") % 5 === 0)
+      .withColumn("reins", ($"p" + $"su") % 10 === 0)
+      .cache()
+    val store = freshStore("tridelta")
+    TriangleStream.processBatch(
+      pairs.filter($"su" % 2 === 0).select($"p", $"su", lit(1).as("op")), 0L, store)
+    TriangleStream.processBatch(
+      pairs.filter($"su" % 2 === 1).select($"p", $"su", lit(1).as("op")), 1L, store)
+    TriangleStream.processBatch(
+      pairs.filter($"del").select($"p", $"su", lit(-1).as("op")), 2L, store)
+    TriangleStream.compact(spark, store, throughBatch = 2L)
+    TriangleStream.processBatch(
+      pairs.filter($"reins").select($"p", $"su", lit(1).as("op")), 3L, store)
+    // non-vacuity: the schedule must actually delete surviving pairs
+    assert(pairs.filter($"del" && !$"reins").count() > 0)
+    val local = pairs.filter(!$"del" || $"reins").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = brute(local, graft.operators.GraphQueries.TriDegreeCap)
+    pairs.unpersist()
+    assert(snapshotOf(store) === want,
+      "± maintained counts diverged from the surviving-set batch run")
   }
 
   test("streamed counts ≡ batch q83 under supplier splits on the fixture") {
