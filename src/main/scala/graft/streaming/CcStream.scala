@@ -122,6 +122,30 @@ object CcStream {
   private def labelsExist(s: SparkSession, storeDir: String): Boolean =
     Stores.exists(s, s"$storeDir/labels")
 
+  /** LIVE symmetrized edges of the store prefix ≤ `batchId`, restricted
+    * src-side to `nodes` (one column `node`) BEFORE the per-pair
+    * liveness resolution — latest insert vs the pair's latest delete,
+    * insert winning same-batch ties (the [[SsspDeltaStream]] rule). Rows
+    * are symmetrized, so src-restriction commutes with the per-(src,
+    * dst) aggregate and also serves undirected membership; the per-pair
+    * groupBy subsumes the duplicate-edge dedup a post-compaction
+    * redelivery can require. Shared with [[KCoreStream]], whose induced
+    * peel subgraph is exactly this relation. */
+  private[graft] def liveEdgesRestricted(s: SparkSession, storeDir: String,
+      batchId: Long, nodes: DataFrame): DataFrame = {
+    import s.implicits._
+    val restricted = Stores.withOpDefault(Stores.read(s, s"$storeDir/edges"))
+      .filter($"batch" <= batchId)
+      .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+    val del = restricted.filter($"op" === -1)
+      .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
+    restricted.filter($"op" === 1)
+      .groupBy($"src", $"dst").agg(max($"batch").as("bi"))
+      .join(del, Seq("src", "dst"), "left")
+      .filter($"bd".isNull || $"bi" >= $"bd")
+      .select($"src", $"dst")
+  }
+
   /** Ingest one micro-batch of UNDIRECTED edge rows (each row (a, b) is
     * one undirected edge; both directions are stored, so propagation is
     * undirected even when a pair's arrivals would otherwise split across
@@ -165,21 +189,8 @@ object CcStream {
       else membersOf(s, storeDir, touched).union(touched).distinct()
     // store edges join same-component vertices, and batch edges have both
     // endpoints in `touched` — src-side membership captures the full
-    // induced subgraph of the affected components. The semi-join runs
-    // BEFORE the per-pair liveness resolution (latest insert vs the
-    // pair's latest delete, insert winning same-batch ties — the
-    // SsspDeltaStream rule; rows are symmetrized, so src-restriction
-    // commutes with the per-(src, dst) aggregate).
-    val restricted = Stores.withOpDefault(Stores.read(s, s"$storeDir/edges"))
-      .filter($"batch" <= batchId)
-      .join(affectedNodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-    val del = restricted.filter($"op" === -1)
-      .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
-    val induced = restricted.filter($"op" === 1)
-      .groupBy($"src", $"dst").agg(max($"batch").as("bi"))
-      .join(del, Seq("src", "dst"), "left")
-      .filter($"bd".isNull || $"bi" >= $"bd")
-      .select($"src", $"dst")
+    // induced subgraph of the affected components
+    val induced = liveEdgesRestricted(s, storeDir, batchId, affectedNodes)
     val labels = GraphQueries.minLabelPropagation(induced, rounds)
       .localCheckpoint()
     // ISOLATION TOMBSTONES: an affected vertex with no surviving edge

@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-/** Streaming maintenance of q84's bounded k-core under edge arrivals —
+/** Streaming maintenance of q84's bounded k-core under edge arrivals
+  * AND DELETIONS (round 11 — ±op rows forwarded to the nested CcStream;
+  * a deleted edge re-peels its component, since a survivor's degree can
+  * fall below k and collapse a cascade, and an isolated endpoint's row
+  * must flip to a tombstone) —
   * the seventh maintained-store member and the COMPOSED one: the peel
   * result (survivors of `KCoreRounds` synchronous peels, with induced
   * degrees) is neither foldable (degrees change non-locally as cascades
@@ -38,9 +42,11 @@ import org.apache.spark.sql.types._
   * Exactness under any arrival order/split: a touched component's rows
   * are always re-derived from its COMPLETE edge prefix (the CcStream
   * argument, verbatim); KCoreStreamSpec pins equality with batch q84
-  * under splits that force cross-batch cascade changes, and the q98
-  * CORRECTNESS row serves ingest → compact → snapshot against q84's SQL
-  * verbatim. Per-batch cost is the affected components' edges — the
+  * under splits that force cross-batch cascade changes (and, round 11,
+  * deletions that collapse a cascade), the q98 CORRECTNESS row serves
+  * ingest → compact → snapshot against q84's SQL verbatim, and q104
+  * serves a delete → compact → re-insert schedule against q84's SQL on
+  * the surviving pair set. Per-batch cost is the affected components' edges — the
   * working set any exact maintainer of a non-local graph property must
   * read.
   *
@@ -92,28 +98,32 @@ object KCoreStream {
     // read throws on (start()'s foreachBatch filters empties; MaintBench
     // and the specs call processBatch directly)
     if (batch.isEmpty) return
+    // ±op pass-through (round 11): the nested CcStream already maintains
+    // labels under deletions; forwarding the op column makes a deleted
+    // edge re-peel its component (a survivor's degree can fall below k,
+    // collapsing a cascade) via the same targeted recompute
     CcStream.processBatch(batch, batchId, ccDir(storeDir))
     val touched = batch.select($"src".as("node"))
       .union(batch.select($"dst")).distinct()
     // restriction-first affected members (round 10): derived through
-    // CcStream's node-restricted window + component-restricted semi-join
-    // — no store-sized window runs here either. After the nested
-    // processBatch every touched endpoint is labeled, so membersOf
-    // already covers the batch's own vertices.
+    // CcStream's node-restricted window + freshest-arbitrated
+    // component-restricted semi-join — no store-sized window runs here
+    // either. Under deletions membersOf covers every split fragment
+    // (each fragment's boundary is a removed edge, so each contains a
+    // touched endpoint) but NOT a vertex the batch ISOLATED — its CC row
+    // is a tombstone — so the touched endpoints are unioned back in:
+    // their k-core rows must flip to alive = false, not linger.
     val members = CcStream.membersOf(s, ccDir(storeDir), touched)
+      .union(touched).distinct()
       .localCheckpoint()
     // the nested store's edges are already symmetrized — exactly the
     // bidirected list kCorePeel expects; src-side membership captures
-    // the affected components' full induced subgraph. DISTINCT is
-    // load-bearing, not hygiene: the store can legitimately hold an edge
-    // twice (a post-compaction redelivery re-appends edges the folded
-    // generation already carries — convergent for min-label CC, which is
-    // duplicate-tolerant, but degree COUNTING doubles on duplicates)
-    val induced = Stores.read(s, s"${ccDir(storeDir)}/edges")
-      .filter($"batch" <= batchId)
-      .select($"src", $"dst")
-      .join(members.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-      .select($"src", $"dst").distinct()
+    // the affected components' full induced subgraph. Per-pair liveness
+    // resolution (shared with CcStream) both drops deleted edges and
+    // subsumes the duplicate-edge dedup a post-compaction redelivery
+    // requires (degree COUNTING doubles on duplicates; the per-pair
+    // groupBy yields each live pair once).
+    val induced = CcStream.liveEdgesRestricted(s, ccDir(storeDir), batchId, members)
     val core = GraphQueries.kCorePeel(induced, k, rounds)
     members.join(core, Seq("node"), "left")
       .select($"node", coalesce($"deg", lit(0L)).as("deg"),
@@ -128,8 +138,9 @@ object KCoreStream {
   def start(s: SparkSession, edgesDir: String, storeDir: String,
       k: Int = GraphQueries.KCoreK,
       rounds: Int = GraphQueries.KCoreRounds,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    s.readStream.schema(edgeSchema)
+      trigger: Trigger = Trigger.AvailableNow(),
+      withOps: Boolean = false): StreamingQuery =
+    s.readStream.schema(if (withOps) CcStream.deltaSchema else edgeSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(edgesDir)
       .writeStream

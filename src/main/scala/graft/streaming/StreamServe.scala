@@ -466,6 +466,42 @@ object StreamServe {
   private val q103Sql = GraphQueries.q83SqlOn(
     " AND ((l_partkey + l_suppkey) % 5 <> 0 OR (l_partkey + l_suppkey) % 10 = 0)")
 
+  /** q104 — bounded k-core under edge DELETIONS served from the
+    * [[KCoreStream]] store: the q98 sparse graph arrives as two insert
+    * batches, then a DELETE batch removing every (p + su) % 5 == 0 pair
+    * (survivors' degrees fall below k and peel cascades collapse — the
+    * path insert-only maintenance cannot express), then a partial
+    * RE-INSERT batch restoring the % 10 == 0 half. Compacted THROUGH the
+    * delete batch with the re-insert live — one row exercises cascade
+    * collapse, isolation tombstoning through the nested CC store,
+    * fold-of-deletions, and resurrection against a negative generation.
+    * Oracle: q84's bounded-peel SQL on the SURVIVING pair set. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("kcoredeltaserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+        (($"p" + $"su") % 5 === 0).as("del"),
+        (($"p" + $"su") % 10 === 0).as("reins"))
+      .cache()
+    writeSlices(inDir, "ev", Seq(
+      pairs.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", lit(1).as("op")),
+      pairs.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", lit(1).as("op")),
+      pairs.filter($"del").select($"src", $"dst", lit(-1).as("op")),
+      pairs.filter($"reins").select($"src", $"dst", lit(1).as("op"))))
+    KCoreStream.start(s, inDir, storeDir, withOps = true).awaitTermination()
+    pairs.unpersist()
+    KCoreStream.compact(s, storeDir, throughBatch = 2L)
+    KCoreStream.snapshot(s, storeDir).orderBy($"node")
+  }
+
+  private val q104Sql = GraphQueries.q84SqlOn(
+    " AND ((l_partkey + l_suppkey) % 5 <> 0 OR (l_partkey + l_suppkey) % 10 = 0)")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -479,5 +515,6 @@ object StreamServe {
     GQuery("q100_stream_sssp_delta_serve", q100, Some(q100Sql)),
     GQuery("q102_stream_cc_delta_serve", q102, Some(q102Sql)),
     GQuery("q103_stream_triangle_delta_serve", q103, Some(q103Sql)),
+    GQuery("q104_stream_kcore_delta_serve", q104, Some(q104Sql)),
   )
 }

@@ -42,6 +42,75 @@ class KCoreStreamSpec extends AnyFunSuite {
       "later arrivals must update surviving degrees in place")
   }
 
+  private def dfOps(rows: Seq[(Long, Long, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "op")
+  }
+
+  test("a deletion collapses a peel cascade; re-insert across compaction restores it") {
+    val store = freshStore("kcoredel")
+    // 5-cycle: every node degree 2 → the whole cycle is its own 2-core
+    KCoreStream.processBatch(
+      df(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))), 0L, store)
+    assert(snapshotOf(store) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // delete one edge → a path: both path ends fall under k and the peel
+    // CASCADES through the entire component — every row must tombstone
+    KCoreStream.processBatch(dfOps(Seq((1L, 2L, -1))), 1L, store)
+    assert(snapshotOf(store) === Map.empty,
+      "the deletion must cascade the peel through the whole path")
+    KCoreStream.compact(spark, store, throughBatch = 1L)
+    assert(snapshotOf(store) === Map.empty, "compaction changed the snapshot")
+    // re-insert against the folded generation: the cycle reassembles
+    KCoreStream.processBatch(dfOps(Seq((1L, 2L, 1))), 2L, store)
+    assert(snapshotOf(store) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L),
+      "re-insert after compaction must restore the core")
+  }
+
+  test("deletion blast radius stays inside the touched component") {
+    val store = freshStore("kcoreblast")
+    KCoreStream.processBatch(df(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L))), 0L, store)
+    assert(snapshotOf(store) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L))
+    KCoreStream.processBatch(dfOps(Seq((2L, 3L, -1))), 1L, store)
+    assert(snapshotOf(store) === Map(10L -> 2L, 11L -> 2L, 12L -> 2L),
+      "the touched triangle dissolves; the untouched one must be intact")
+  }
+
+  test("mixed ± fixture ≡ batch q84 on the surviving edge set (with compaction)") {
+    import spark.implicits._
+    import graft.operators.GraphQueries
+    val p = Tables.t(spark, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+        (($"p" + $"su") % 5 === 0).as("del"),
+        (($"p" + $"su") % 10 === 0).as("reins"))
+      .cache()
+    val store = freshStore("kcoredelta")
+    KCoreStream.processBatch(
+      p.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", lit(1).as("op")),
+      0L, store)
+    KCoreStream.processBatch(
+      p.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", lit(1).as("op")),
+      1L, store)
+    KCoreStream.processBatch(
+      p.filter($"del").select($"src", $"dst", lit(-1).as("op")), 2L, store)
+    KCoreStream.compact(spark, store, throughBatch = 2L)
+    KCoreStream.processBatch(
+      p.filter($"reins").select($"src", $"dst", lit(1).as("op")), 3L, store)
+    assert(p.filter($"del" && !$"reins").count() > 0,
+      "schedule must actually delete surviving edges")
+    val surviving = p.filter(!$"del" || $"reins").select($"src", $"dst")
+    val sym = surviving.union(surviving.select($"dst".as("src"), $"src".as("dst")))
+    val want = GraphQueries.kCorePeel(sym, GraphQueries.KCoreK, GraphQueries.KCoreRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    p.unpersist()
+    assert(snapshotOf(store) === want,
+      "decremental k-core diverged from the surviving-set batch run")
+  }
+
   private def pairs: DataFrame = {
     import spark.implicits._
     Tables.t(spark, dir, "lineitem")
