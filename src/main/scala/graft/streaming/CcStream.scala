@@ -25,15 +25,18 @@ import org.apache.spark.sql.types._
   * batch q80 excludes edge-less vertices).
   *
   * Per micro-batch:
-  *   1. append the batch's edges under `edges/batch=<id>` (dynamic
-  *      partition overwrite — deterministic bytes, redelivery converges);
+  *   1. append the batch's edges under `edges/batch=<id>/pbs=<b>`
+  *      (dynamic partition overwrite — deterministic bytes, redelivery
+  *      converges; `pbs` buckets on src, [[EdgeBuckets]]);
   *   2. find the AFFECTED set RESTRICTION-FIRST: current labels of the
   *      batch's endpoints via a node-restricted freshest-row window, then
   *      every vertex whose CURRENT label is one of those via a component-
   *      restricted candidate semi-join + freshest-row arbitration
   *      ([[membersOf]] — no store-sized window or aggregate runs per
-  *      batch; the store SCAN remains and is pruned by component
-  *      bucketing in a production layout). Endpoints never labeled are
+  *      batch, and the store SCAN itself is bucket-pruned: the label
+  *      store is partitioned on node AND component hash buckets, so
+  *      each restricted read lists and reads only the touched buckets'
+  *      files, [[LabelBuckets]]). Endpoints never labeled are
   *      new vertices. An edge of the store always joins
   *      same-component vertices, so filtering store edges by src-side
   *      membership captures exactly the affected components' subgraph;
@@ -50,9 +53,11 @@ import org.apache.spark.sql.types._
   * prefix of its members, never folded from partials — CcStreamSpec pins
   * equality with the batch q80 result under splits chosen to force
   * cross-batch merges. Per batch the cost is the affected components'
-  * edges — the working set any exact maintainer must read; at 100 TB the
-  * edge store is additionally bucketed by component label in practice so
-  * the membership semi-joins prune to affected buckets.
+  * edges — the working set any exact maintainer must read, and since
+  * round 11 the only files a batch reads: every store read is
+  * bucket-pruned by its restriction key ([[Stores.readPruned]];
+  * BucketPruningSpec asserts the partition filter and the pruned file
+  * count on the executed plans).
   */
 object CcStream {
 
@@ -66,6 +71,17 @@ object CcStream {
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false),
     StructField("op", IntegerType, nullable = false)))
+
+  /** The stores' bucketed layout (round 11 — [[Stores.readPruned]]):
+    * edges bucket on src (the symmetrized restriction key of every edge
+    * read); labels carry TWO bucket columns — node for the freshest-row
+    * restriction ([[labelsOf]]) and component for the membership
+    * candidate restriction ([[membersOf]]) — so each consumer prunes on
+    * the key it restricts by. */
+  private[graft] val EdgeBuckets = Seq(Stores.Bucket("pbs", "src"))
+  private[graft] val NodeBucket = Stores.Bucket("pbn", "node")
+  private[graft] val CompBucket = Stores.Bucket("pbc", "component")
+  private[graft] val LabelBuckets = Seq(NodeBucket, CompBucket)
 
   /** Freshest label per vertex: live batches outrank compacted
     * generations; among negative generations the newest (most negative)
@@ -85,7 +101,8 @@ object CcStream {
       nodes: DataFrame): DataFrame = {
     import s.implicits._
     Stores.freshestPerKey(
-        Stores.read(s, s"$storeDir/labels").join(nodes, Seq("node"), "left_semi"),
+        Stores.readPruned(s, s"$storeDir/labels", NodeBucket, nodes)
+          .join(nodes, Seq("node"), "left_semi"),
         "node")
       .filter($"component".isNotNull)
       .select($"node", $"component")
@@ -111,7 +128,7 @@ object CcStream {
     import s.implicits._
     val touchedComps = labelsOf(s, storeDir, touched)
       .select($"component").distinct()
-    val candidates = Stores.read(s, s"$storeDir/labels")
+    val candidates = Stores.readPruned(s, s"$storeDir/labels", CompBucket, touchedComps)
       .join(touchedComps, Seq("component"), "left_semi")
       .select($"node").distinct()
     labelsOf(s, storeDir, candidates)
@@ -134,7 +151,8 @@ object CcStream {
   private[graft] def liveEdgesRestricted(s: SparkSession, storeDir: String,
       batchId: Long, nodes: DataFrame): DataFrame = {
     import s.implicits._
-    val restricted = Stores.withOpDefault(Stores.read(s, s"$storeDir/edges"))
+    val restricted = Stores.withOpDefault(
+        Stores.readPruned(s, s"$storeDir/edges", EdgeBuckets.head, nodes))
       .filter($"batch" <= batchId)
       .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
     val del = restricted.filter($"op" === -1)
@@ -169,11 +187,9 @@ object CcStream {
     val withOp =
       if (batch.columns.contains("op")) batch.select($"src", $"dst", $"op")
       else batch.select($"src", $"dst", lit(1).as("op"))
-    withOp
-      .union(withOp.select($"dst".as("src"), $"src".as("dst"), $"op"))
-      .withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/edges")
+    Stores.writeBatch(
+      withOp.union(withOp.select($"dst".as("src"), $"src".as("dst"), $"op")),
+      batchId, s"$storeDir/edges", EdgeBuckets)
     val touched = batch.select($"src".as("node"))
       .union(batch.select($"dst")).distinct()
     // restriction-first (round 10): the affected set is derived without
@@ -199,10 +215,8 @@ object CcStream {
     // row shadows its older labels (snapshot/labelsOf filter it out)
     val tombstones = affectedNodes.join(labels, Seq("node"), "left_anti")
       .select($"node", lit(null).cast("long").as("component"))
-    labels.union(tombstones)
-      .withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/labels")
+    Stores.writeBatch(labels.union(tombstones), batchId,
+      s"$storeDir/labels", LabelBuckets)
   }
 
   /** File-source stream over an edges directory; `maxFilesPerTrigger=1`
@@ -239,7 +253,7 @@ object CcStream {
     // negative generation in the liveness comparison); labels keep each
     // node's freshest row, with tombstone-fresh nodes dropped entirely
     // (everything a tombstone shadowed folds away with it)
-    Stores.fold(s, s"$storeDir/edges", throughBatch) { raw =>
+    Stores.fold(s, s"$storeDir/edges", throughBatch, EdgeBuckets) { raw =>
       val src = Stores.withOpDefault(raw)
       val del = src.filter($"op" === -1)
         .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
@@ -249,7 +263,7 @@ object CcStream {
         .filter($"bd".isNull || $"bi" >= $"bd")
         .select($"src", $"dst", lit(1).as("op"))
     }
-    Stores.fold(s, s"$storeDir/labels", throughBatch)(src =>
+    Stores.fold(s, s"$storeDir/labels", throughBatch, LabelBuckets)(src =>
       Stores.freshestPerKey(src, "node").filter($"component".isNotNull)
         .select($"node", $"component"))
   }

@@ -165,7 +165,15 @@ object SsspDeltaStream {
         .select($"node")
         .join(damaged, Seq("node"), "left_anti")
         .localCheckpoint()
-      damaged = damaged.union(next).distinct().localCheckpoint()
+      // frontiers are node-unique (freshRowsOf is one row per node) and
+      // disjoint from the accumulated set (the anti-join above), so the
+      // union needs no distinct — and no re-checkpoint: each frontier is
+      // already materialized, and re-checkpointing the UNION would copy
+      // the settled prefix every iteration (O(|cone| · depth) checkpoint
+      // volume instead of O(|cone|) — the round-10 review's polish item).
+      // The running union's plan grows one leaf per iteration, bounded
+      // by the budgeted cone depth.
+      damaged = damaged.union(next)
       dFrontier = next
     }
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared negative-generation fold + read for the maintained
@@ -53,6 +53,76 @@ private[graft] object Stores {
 
   private def fsOf(s: SparkSession, root: Path): FileSystem =
     FileSystem.get(root.toUri, s.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------------
+  // Bucketed layout (round 11): restriction-first made per-batch SHUFFLE
+  // volume delta-sized, but a restricted scan still LISTED AND READ the
+  // whole store's files — the remaining linear-in-store term at 100 TB.
+  // Stores are therefore partitioned `batch=<id>/<pb>=<bucket>/…` where
+  // <pb> is a deterministic hash bucket of a restriction key; a
+  // restricted read turns its (delta-sized) key set into ≤ nb bucket ids
+  // and pushes them as a PARTITION filter, so planning prunes the
+  // listing and scan to the touched buckets. Dual-keyed stores (labels:
+  // node AND component) carry one bucket column per key and prune on
+  // whichever the consumer restricts. NumBuckets is sized for the local
+  // test scale — a deployment sizes it to target-bucket-bytes (hundreds
+  // of buckets at 100 TB); the MECHANISM (shared hash, partition filter,
+  // plan-asserted pruning) is scale-free.
+  // ---------------------------------------------------------------------
+
+  /** One bucket column of a store's layout: `pbCol` is the partition
+    * directory column, derived from `keyCol` via [[bucketId]]. */
+  case class Bucket(pbCol: String, keyCol: String, nb: Int = NumBuckets)
+
+  /** Buckets per key at local test scale (see the layout note above). */
+  val NumBuckets = 8
+
+  /** THE bucket hash — write layout and read pruning must share it for
+    * pruning to be sound. xxhash64 is deterministic across JVMs and
+    * never null (a null key hashes to the seed's value — tombstone rows
+    * land in a real bucket and are prunable like any other). */
+  def bucketId(key: Column, nb: Int): Column =
+    pmod(xxhash64(key), lit(nb.toLong)).cast("int")
+
+  private def withBucketCols(df: DataFrame, buckets: Seq[Bucket]): DataFrame =
+    buckets.foldLeft(df)((d, b) => d.withColumn(b.pbCol, bucketId(col(b.keyCol), b.nb)))
+
+  /** Write one micro-batch under `batch=<id>[/pb=<bucket>…]` with a
+    * dynamic partition overwrite (the family's idempotent-replay
+    * primitive). Bucketed writes repartition on the bucket columns
+    * first so each bucket is written by one task — without it every
+    * task writes a sliver of every bucket and the file count multiplies
+    * by the task count. */
+  def writeBatch(df: DataFrame, batchId: Long, path: String,
+      buckets: Seq[Bucket] = Nil): Unit = {
+    val parts = "batch" +: buckets.map(_.pbCol)
+    val withPb = withBucketCols(df, buckets).withColumn("batch", lit(batchId))
+    val out =
+      if (buckets.isEmpty) withPb
+      else withPb.repartition(buckets.map(b => col(b.pbCol)): _*)
+    out.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy(parts: _*).parquet(path)
+  }
+
+  /** The distinct bucket ids the keys in `keys`' FIRST column can live
+    * in — ≤ nb values, one delta-sized driver action. */
+  private def bucketIdsOf(keys: DataFrame, b: Bucket): Seq[Int] =
+    keys.select(bucketId(col(keys.columns.head), b.nb).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** [[read]] pruned to the buckets the restriction `keys` can live in:
+    * the bucket ids become a PARTITION filter, so the scan lists and
+    * reads only the touched buckets' files — the file-footprint half of
+    * restriction-first (round 10 landed the shuffle half; the caller's
+    * semi-join still applies, pruning is a superset filter). A store
+    * without the bucket column (a legacy layout, or a spec's hand-built
+    * fixture) falls back to the unpruned read. */
+  def readPruned(s: SparkSession, path: String, b: Bucket,
+      keys: DataFrame): DataFrame = {
+    val df = read(s, path)
+    if (!df.columns.contains(b.pbCol)) df
+    else df.filter(col(b.pbCol).isInCollection(bucketIdsOf(keys, b)))
+  }
 
   /** Store-root existence probe (scheme-qualified paths work). */
   def exists(s: SparkSession, path: String): Boolean = {
@@ -158,9 +228,12 @@ private[graft] object Stores {
   /** Fold batches ≤ `throughBatch` (plus prior generations) of the
     * batch-partitioned store at `path` into one fresh manifested negative
     * generation, staging the rows through `stage` (whose output must NOT
-    * carry the `batch` column — the generation directory supplies it).
-    * No-op if the store was never created. */
-  def fold(s: SparkSession, path: String, throughBatch: Long)(
+    * carry the `batch` or bucket columns — the generation directories
+    * supply them; pass the store's `buckets` so the generation keeps the
+    * bucketed layout and stays prunable). No-op if the store was never
+    * created. */
+  def fold(s: SparkSession, path: String, throughBatch: Long,
+      buckets: Seq[Bucket] = Nil)(
       stage: DataFrame => DataFrame): Unit = {
     val root = new Path(path)
     val fs = fsOf(s, root)
@@ -188,12 +261,26 @@ private[graft] object Stores {
 
     val src = s.read.parquet(path).filter(col("batch").isInCollection(sources))
     val staged = stage(src).localCheckpoint()
-    // a single reserved task creates its parquet file eagerly even with
-    // zero rows, keeping the generation's schema readable
-    val out = if (staged.isEmpty) staged.repartition(1) else staged
     val tmp = new Path(parent,
       root.getName + ".foldtmp-" + java.util.UUID.randomUUID().toString.take(8))
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (staged.isEmpty) {
+      // a single reserved task creates its parquet file eagerly even with
+      // zero rows, keeping the generation's schema readable; bucketed
+      // layouts write it under an all-zeros bucket path so partition
+      // discovery keeps one consistent directory depth
+      val leaf =
+        if (buckets.isEmpty) tmp
+        else new Path(tmp, buckets.map(b => s"${b.pbCol}=0").mkString("/"))
+      staged.repartition(1).write.mode(SaveMode.Overwrite).parquet(leaf.toString)
+    } else if (buckets.isEmpty) {
+      staged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    } else {
+      withBucketCols(staged, buckets)
+        .repartition(buckets.map(b => col(b.pbCol)): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(buckets.map(_.pbCol): _*)
+        .parquet(tmp.toString)
+    }
     if (!fs.rename(tmp, new Path(root, s"batch=$stagingId")))
       throw new java.io.IOException(s"fold: rename $tmp -> batch=$stagingId failed")
 

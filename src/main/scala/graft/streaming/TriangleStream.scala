@@ -63,11 +63,12 @@ import org.apache.spark.sql.types._
   * standard bounded-delta argument of incremental wedge counting); the
   * full graph is never re-enumerated, and every store read is restricted
   * by a semi/anti join BEFORE any shuffle or distinct (nothing
-  * corpus-sized is ever shuffled or materialized per batch). The
-  * restricted scans still LIST the store's files; a production
-  * deployment buckets `pairs` on su and `edges` on endpoint so the
-  * restriction prunes I/O too — the same note as [[CcStream]]'s
-  * component-bucketed edge store. TriangleStreamSpec pins equality with
+  * corpus-sized is ever shuffled or materialized per batch). Since
+  * round 11 the restricted scans PRUNE FILES too: `pairs` is bucketed
+  * on supplier and part hash, `edges` on both endpoints
+  * ([[Stores.readPruned]] — each consumer prunes on the key it
+  * restricts by; BucketPruningSpec asserts it on the executed plan).
+  * TriangleStreamSpec pins equality with
   * batch q83 under splits forcing cross-batch wedge closures, a
   * cap-crossing removal, a deletion destroying a cross-batch triangle,
   * and an UN-CAPPING deletion that creates triangles; the q96
@@ -90,6 +91,17 @@ object TriangleStream {
     StructField("su", LongType, nullable = false),
     StructField("op", IntegerType, nullable = false)))
 
+  /** Bucketed layout (round 11, [[Stores.readPruned]]): pairs carry
+    * bucket columns for BOTH restriction keys (supplier for the touched
+    * slice, part for the pinned-witness probe); edges for both
+    * endpoints (each [[edgesTouching]] branch prunes on its side). */
+  private val PairPBucket = Stores.Bucket("pbp", "p")
+  private val PairSuBucket = Stores.Bucket("pbsu", "su")
+  private[graft] val PairBuckets = Seq(PairPBucket, PairSuBucket)
+  private val EdgeABucket = Stores.Bucket("pba", "a")
+  private val EdgeBBucket = Stores.Bucket("pbb", "b")
+  private[graft] val EdgeBuckets = Seq(EdgeABucket, EdgeBBucket)
+
   private def exists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
@@ -103,14 +115,21 @@ object TriangleStream {
     * finding: the previous whole-store distinct + localCheckpoint made
     * every batch corpus-sized). Legacy op-less rows default to inserts
     * ([[Stores.withOpDefault]]). */
-  private def rawPairsBefore(s: SparkSession, storeDir: String, upTo: Long): DataFrame = {
+  private def rawPairsBefore(s: SparkSession, storeDir: String, upTo: Long,
+      prune: Option[(Stores.Bucket, DataFrame)] = None): DataFrame = {
     import s.implicits._
     if (!exists(s, s"$storeDir/pairs"))
       s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su"),
         lit(1).as("op"), lit(0L).as("batch")).limit(0)
-    else Stores.withOpDefault(Stores.read(s, s"$storeDir/pairs"))
-      .filter($"batch" < upTo)
-      .select($"p", $"su", $"op", $"batch")
+    else {
+      val raw = prune match {
+        case Some((b, keys)) => Stores.readPruned(s, s"$storeDir/pairs", b, keys)
+        case None => Stores.read(s, s"$storeDir/pairs")
+      }
+      Stores.withOpDefault(raw)
+        .filter($"batch" < upTo)
+        .select($"p", $"su", $"op", $"batch")
+    }
   }
 
   /** LIVE (p, su) witnesses of raw ± rows: the pair's latest insert must
@@ -150,11 +169,17 @@ object TriangleStream {
     if (!exists(s, s"$storeDir/edges"))
       s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
     else {
-      val raw = Stores.read(s, s"$storeDir/edges").filter($"batch" < upTo)
-      val restricted = raw
+      // per-branch bucket pruning: the a-side branch can only match rows
+      // whose a-bucket is touched, the b-side branch likewise — each
+      // pruned read lists only its side's touched buckets
+      val rawA = Stores.readPruned(s, s"$storeDir/edges", EdgeABucket, endpoints)
+        .filter($"batch" < upTo)
+      val rawB = Stores.readPruned(s, s"$storeDir/edges", EdgeBBucket, endpoints)
+        .filter($"batch" < upTo)
+      val restricted = rawA
         .join(endpoints.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .select($"a", $"b", $"op")
-        .union(raw
+        .union(rawB
           .join(endpoints.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
           .join(endpoints.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
           .select($"a", $"b", $"op"))
@@ -258,18 +283,16 @@ object TriangleStream {
     // and inserted in one batch is live after it
     val bDel = withOp.filter($"op" === -1).select($"p", $"su").distinct()
       .join(bIns, Seq("p", "su"), "left_anti").localCheckpoint()
-    val prev = rawPairsBefore(s, storeDir, batchId)
-    withOp.distinct()
-      .withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/pairs")
+    Stores.writeBatch(withOp.distinct(), batchId, s"$storeDir/pairs", PairBuckets)
 
     val touchedSu = withOp.select($"su").distinct().localCheckpoint()
     // using-column joins put the join column FIRST in the output — every
     // union below is positional, so re-select (p, su) explicitly.
     // Liveness resolution lands AFTER the touched-supplier restriction:
     // only the touched slice is shuffled/materialized, never the store
-    val prevTouched = livePairs(prev.join(touchedSu, Seq("su"), "left_semi"))
+    val prevTouched = livePairs(
+        rawPairsBefore(s, storeDir, batchId, Some((PairSuBucket, touchedSu)))
+          .join(touchedSu, Seq("su"), "left_semi"))
       .localCheckpoint()
     // live-after = (live-before minus effective deletes) plus inserts
     val newTouched = prevTouched.join(bDel, Seq("p", "su"), "left_anti")
@@ -283,12 +306,15 @@ object TriangleStream {
     val cand = oldE.union(newE).distinct()
     val candParts = cand.select($"a".as("p")).union(cand.select($"b")).distinct()
     val otherPairs = livePairs(
-        prev.join(touchedSu, Seq("su"), "left_anti")
+        rawPairsBefore(s, storeDir, batchId, Some((PairPBucket, candParts)))
+          .join(touchedSu, Seq("su"), "left_anti")
           .join(candParts, Seq("p"), "left_semi"))
       .localCheckpoint()
     val otherSus = otherPairs.select($"su").distinct()
     val okOther = otherPairs.join(
-      livePairs(prev.join(otherSus, Seq("su"), "left_semi"))
+      livePairs(
+        rawPairsBefore(s, storeDir, batchId, Some((PairSuBucket, otherSus)))
+          .join(otherSus, Seq("su"), "left_semi"))
         .groupBy($"su").agg(count(lit(1)).as("d")).filter($"d" <= cap).select($"su"),
       Seq("su"), "left_semi").localCheckpoint()
     val witnessed = cand
@@ -317,17 +343,15 @@ object TriangleStream {
     // reads — a batch with no edge/count delta writes nothing (the store
     // is a sum; absent partitions contribute zero, and redelivery of an
     // empty batch id recomputes the same nothing)
-    def writeDelta(df: DataFrame, sub: String): Unit = {
+    def writeDelta(df: DataFrame, sub: String, buckets: Seq[Stores.Bucket]): Unit = {
       val d = df.cache()
-      if (!d.isEmpty)
-        d.withColumn("batch", lit(batchId))
-          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(s"$storeDir/$sub")
+      if (!d.isEmpty) Stores.writeBatch(d, batchId, s"$storeDir/$sub", buckets)
       d.unpersist(blocking = false)
     }
     writeDelta(added.select($"a", $"b", lit(1).as("op"))
-      .union(removed.select($"a", $"b", lit(-1).as("op"))), "edges")
-    writeDelta(countDelta, "counts")
+      .union(removed.select($"a", $"b", lit(-1).as("op"))), "edges", EdgeBuckets)
+    // counts stay unbucketed: their only read is the full-store serving sum
+    writeDelta(countDelta, "counts", Nil)
   }
 
   /** Served per-part triangle counts — q83's output shape (parts in at
@@ -367,9 +391,9 @@ object TriangleStream {
     * keep non-zero per-part nets. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/pairs", throughBatch)(raw =>
+    Stores.fold(s, s"$storeDir/pairs", throughBatch, PairBuckets)(raw =>
       livePairs(Stores.withOpDefault(raw)).select($"p", $"su", lit(1).as("op")))
-    Stores.fold(s, s"$storeDir/edges", throughBatch)(
+    Stores.fold(s, s"$storeDir/edges", throughBatch, EdgeBuckets)(
       _.groupBy($"a", $"b").agg(sum($"op").as("net"))
         .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
     Stores.fold(s, s"$storeDir/counts", throughBatch)(
