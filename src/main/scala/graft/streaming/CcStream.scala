@@ -126,11 +126,16 @@ object CcStream {
   private[graft] def membersOf(s: SparkSession, storeDir: String,
       touched: DataFrame): DataFrame = {
     import s.implicits._
+    // both intermediates are re-referenced (the pruned reads' bucket-id
+    // actions, the semi-joins, the final filter) — eager checkpoints keep
+    // each store read evaluated ONCE per batch instead of once per
+    // downstream action (the round-11 maintbench lesson: un-cut lineage
+    // re-ran the whole membership subtree per driver action)
     val touchedComps = labelsOf(s, storeDir, touched)
-      .select($"component").distinct()
+      .select($"component").distinct().localCheckpoint()
     val candidates = Stores.readPruned(s, s"$storeDir/labels", CompBucket, touchedComps)
       .join(touchedComps, Seq("component"), "left_semi")
-      .select($"node").distinct()
+      .select($"node").distinct().localCheckpoint()
     labelsOf(s, storeDir, candidates)
       .join(touchedComps, Seq("component"), "left_semi")
       .select($"node")
@@ -191,7 +196,7 @@ object CcStream {
       withOp.union(withOp.select($"dst".as("src"), $"src".as("dst"), $"op")),
       batchId, s"$storeDir/edges", EdgeBuckets)
     val touched = batch.select($"src".as("node"))
-      .union(batch.select($"dst")).distinct()
+      .union(batch.select($"dst")).distinct().localCheckpoint()
     // restriction-first (round 10): the affected set is derived without
     // any store-sized window — touched endpoints' freshest labels from a
     // node-restricted window, members via membersOf's freshest-arbitrated
@@ -200,9 +205,13 @@ object CcStream {
     // set EXACT: stale rows of a split-off-then-merged half must not pull
     // nodes in without the rest of their current component (see
     // membersOf's scaladoc; CcDeltaSpec's split-then-merge case).
-    val affectedNodes =
+    // eager: affectedNodes feeds the edge read's bucket-id action, the
+    // induced semi-join, AND the tombstone anti-join — without the cut
+    // each action re-runs the full membership subtree
+    val affectedNodes = (
       if (!labelsExist(s, storeDir)) touched
       else membersOf(s, storeDir, touched).union(touched).distinct()
+    ).localCheckpoint()
     // store edges join same-component vertices, and batch edges have both
     // endpoints in `touched` — src-side membership captures the full
     // induced subgraph of the affected components

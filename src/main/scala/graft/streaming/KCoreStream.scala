@@ -104,7 +104,7 @@ object KCoreStream {
     // collapsing a cascade) via the same targeted recompute
     CcStream.processBatch(batch, batchId, ccDir(storeDir))
     val touched = batch.select($"src".as("node"))
-      .union(batch.select($"dst")).distinct()
+      .union(batch.select($"dst")).distinct().localCheckpoint()
     // restriction-first affected members (round 10): derived through
     // CcStream's node-restricted window + freshest-arbitrated
     // component-restricted semi-join — no store-sized window runs here

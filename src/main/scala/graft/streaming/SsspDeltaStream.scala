@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * whose settled shortest-path tree ran through a deleted edge can get
   * worse, so maintenance is
   *
-  *   1. append the batch's ±edge events under `events/batch=<id>`
-  *      (op = +1 inserts a weighted edge; op = −1 deletes EVERY edge
+  *   1. append the batch's ±edge events under `events/batch=<id>/pbs=<b>`
+  *      (src-bucketed, [[EventBucket]]; op = +1 inserts a weighted
+  *      edge; op = −1 deletes EVERY edge
   *      between its endpoints — the reference's expiry granularity,
   *      `dropConnectionsOf`; both orientations stored). An edge is LIVE
   *      at a prefix iff its latest insert outranks the pair's latest
@@ -47,11 +48,14 @@ import org.apache.spark.sql.types._
   * full recompute. Ties are broken deterministically (min (dist, pred)
   * struct), so redelivery of a batch rewrites identical bytes —
   * replay-idempotent like every maintainer in the family. All store
-  * reads are restriction-first ([[Stores.read]] + endpoint/pred/node
-  * semi-joins BEFORE any aggregate or window); per-batch cost is the
-  * damaged cone plus the delta's adjacency — the working set any exact
-  * decremental SSSP must read (the Ramalingam–Reps bound). Weights must
-  * be non-negative (enforced at the door, the [[SsspStream]] contract).
+  * reads are restriction-first (endpoint/pred/node semi-joins BEFORE any
+  * aggregate or window) AND bucket-pruned ([[Stores.pruneTo]] over the
+  * per-batch frames — events on src, dists on node and on pred, the
+  * cone probe's key); per-batch cost is the damaged cone plus the
+  * delta's adjacency — the working set any exact decremental SSSP must
+  * read (the Ramalingam–Reps bound) — and so is the file footprint.
+  * Weights must be non-negative (enforced at the door, the
+  * [[SsspStream]] contract).
   *
   * SsspDeltaStreamSpec forces a deletion that lengthens a served
   * distance and one that disconnects a vertex, pins equality with an
@@ -71,6 +75,19 @@ object SsspDeltaStream {
   /** Sentinel pred of the source row (node ids are non-negative). */
   private val NoPred = -1L
 
+  /** Bucketed layout ([[Stores.readPruned]] — restricted reads must
+    * prune FILES, not just shuffle): events bucket on src (every edge
+    * lookup is src-restricted over the symmetrized rows); distances
+    * carry TWO bucket columns — node for the freshest-row restriction
+    * ([[freshRowsOf]]) and pred for the damaged-cone descendant probe
+    * (which asks "whose rows point AT the frontier?"). Tombstones' null
+    * pred hashes to a fixed bucket — they are only ever read back
+    * node-restricted, so the pred bucket never has to find them. */
+  private[graft] val EventBucket = Stores.Bucket("pbs", "src")
+  private[graft] val DistNodeBucket = Stores.Bucket("pbn", "node")
+  private[graft] val DistPredBucket = Stores.Bucket("pbp", "pred")
+  private[graft] val DistBuckets = Seq(DistNodeBucket, DistPredBucket)
+
   /** Freshest NON-TOMBSTONE (node, dist, pred) rows of `nodes` only,
     * over the per-batch `store` frame (already prefix-bounded to
     * `batch < id` — the bound is what makes redelivery rewrite identical
@@ -78,7 +95,7 @@ object SsspDeltaStream {
     * previous delivery's own write, the TriangleStream `rawPairsBefore`
     * rule). Node-restricted BEFORE the window (the round-10 discipline);
     * one frame per batch shares its file index across rounds. */
-  private def freshRowsOf(store: Option[DataFrame], nodes: DataFrame): DataFrame =
+  private[graft] def freshRowsOf(store: Option[DataFrame], nodes: DataFrame): DataFrame =
     store match {
       case None =>
         val s = nodes.sparkSession
@@ -88,7 +105,8 @@ object SsspDeltaStream {
         val s = df.sparkSession
         import s.implicits._
         Stores.freshestPerKey(
-            df.join(nodes.select($"node"), Seq("node"), "left_semi"), "node")
+            Stores.pruneTo(df, DistNodeBucket, nodes)
+              .join(nodes.select($"node"), Seq("node"), "left_semi"), "node")
           .filter($"dist".isNotNull)
           .select($"node", $"dist", $"pred")
     }
@@ -99,10 +117,10 @@ object SsspDeltaStream {
     * AFTER an src-side semi-join (the store is symmetrized, so
     * src-restriction also serves in-edge lookups via the mirrored
     * rows). */
-  private def liveEdgesFrom(eventsDf: DataFrame, nodes: DataFrame): DataFrame = {
+  private[graft] def liveEdgesFrom(eventsDf: DataFrame, nodes: DataFrame): DataFrame = {
     val s = eventsDf.sparkSession
     import s.implicits._
-    val ev = eventsDf
+    val ev = Stores.pruneTo(eventsDf, EventBucket, nodes)
       .join(nodes.select($"node".as("src")), Seq("src"), "left_semi")
     val del = ev.filter($"op" === -1)
       .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
@@ -134,9 +152,7 @@ object SsspDeltaStream {
     val events = valid.select($"src", $"dst", $"w", $"op")
       .union(valid.select($"dst".as("src"), $"src".as("dst"), $"w", $"op"))
       .localCheckpoint()
-    events.withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/events")
+    Stores.writeBatch(events, batchId, s"$storeDir/events", Seq(EventBucket))
     // one store frame each per batch, shared across rounds (file index
     // resolved once — per-round cost is a restricted scan, not a listing)
     val distStore =
@@ -156,10 +172,12 @@ object SsspDeltaStream {
     var dFrontier = damaged0
     while (!dFrontier.isEmpty) {
       // nodes with ANY row pointing at the frontier (superset), then the
-      // freshest-row check — both restricted
-      val candNodes = distStore.get
+      // freshest-row check — both restricted, and the descendant probe
+      // pruned to the frontier's PRED buckets (checkpointed: candNodes
+      // feeds freshRowsOf's bucket-id action AND its semi-join)
+      val candNodes = Stores.pruneTo(distStore.get, DistPredBucket, dFrontier)
         .join(dFrontier.select($"node".as("pred")), Seq("pred"), "left_semi")
-        .select($"node").distinct()
+        .select($"node").distinct().localCheckpoint()
       val next = freshRowsOf(distStore, candNodes)
         .join(dFrontier.select($"node".as("pred")), Seq("pred"), "left_semi")
         .select($"node")
@@ -206,22 +224,26 @@ object SsspDeltaStream {
     val insertSeeds = relaxFrom(
       knownFor(insertEps).join(damaged, Seq("node"), "left_anti"), newLive)
     // boundary: live in-edges of damaged vertices from settled neighbors
-    // (mirrored rows: out-edges OF the damaged set, known dist at dst)
+    // (mirrored rows: out-edges OF the damaged set, known dist at dst).
+    // Checkpointed: boundary feeds knownFor's bucket-id action AND the
+    // seed join; seedCand likewise (the round-11 once-per-round rule)
     val boundary = liveEdgesFrom(eventsDf, damaged)
       .select($"dst".as("node"), $"src".as("into"), $"w")
+      .localCheckpoint()
     val boundarySeeds = boundary
       .join(knownFor(boundary.select($"node")).join(damaged, Seq("node"), "left_anti")
           .select($"node", $"dist"), Seq("node"))
       .select($"into".as("node"), ($"dist" + $"w").as("dist"), $"node".as("pred"))
       .filter($"dist" <= budget)
     val seedCand = sourceRow.union(insertSeeds).union(boundarySeeds)
+      .localCheckpoint()
     var frontier = improvements(seedCand, knownFor(seedCand)).localCheckpoint()
     improvedSoFar = frontier
 
     // ---- propagate to fixpoint within the budget ----
     while (!frontier.isEmpty) {
       val cand = relaxFrom(frontier,
-        liveEdgesFrom(eventsDf, frontier.select($"node")))
+        liveEdgesFrom(eventsDf, frontier.select($"node"))).localCheckpoint()
       val next = improvements(cand, knownFor(cand)).localCheckpoint()
       improvedSoFar = minByDist(improvedSoFar.union(next)).localCheckpoint()
       frontier = next
@@ -233,9 +255,7 @@ object SsspDeltaStream {
         lit(null).cast("long").as("pred"))
     val out = improvedSoFar.union(tombstones).cache()
     if (!out.isEmpty)
-      out.withColumn("batch", lit(batchId))
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(s"$storeDir/dists")
+      Stores.writeBatch(out, batchId, s"$storeDir/dists", DistBuckets)
     out.unpersist(blocking = false)
   }
 
@@ -275,7 +295,7 @@ object SsspDeltaStream {
     * (everything a tombstone shadowed folds away with it). */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/events", throughBatch) { src =>
+    Stores.fold(s, s"$storeDir/events", throughBatch, Seq(EventBucket)) { src =>
       val del = src.filter($"op" === -1)
         .groupBy($"src", $"dst").agg(max($"batch").as("bd"))
       src.filter($"op" === 1)
@@ -284,7 +304,7 @@ object SsspDeltaStream {
         .filter($"bd".isNull || $"bi" >= $"bd")
         .select($"src", $"dst", $"w", lit(1).as("op"))
     }
-    Stores.fold(s, s"$storeDir/dists", throughBatch)(src =>
+    Stores.fold(s, s"$storeDir/dists", throughBatch, DistBuckets)(src =>
       Stores.freshestPerKey(src, "node").filter($"dist".isNotNull)
         .select($"node", $"dist", $"pred"))
   }

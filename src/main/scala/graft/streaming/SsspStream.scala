@@ -21,16 +21,17 @@ import org.apache.spark.sql.types._
   *
   * Per micro-batch:
   *   1. append the batch's undirected edges (symmetrized, weight kept
-  *      both ways) under `edges/batch=<id>` — idempotent dynamic
-  *      overwrite;
+  *      both ways) under `edges/batch=<id>/pbs=<b>` — idempotent dynamic
+  *      overwrite, src-bucketed ([[EdgeBucket]]);
   *   2. seed improvements: the source at distance 0 if unseen, plus
   *      every relaxation of a NEW edge from the current table (old edges
   *      were already at fixpoint against unchanged distances — relaxing
   *      them again without an improved endpoint yields nothing);
   *   3. propagate: while improvements exist, relax the improved
-  *      frontier's out-edges over the FULL edge set (one equi-join + one
-  *      min-aggregate per round — the SpMV shape; one bounded driver
-  *      count per round; `localCheckpoint` per round cuts the lineage);
+  *      frontier's out-edges over the edge store PRUNED to the
+  *      frontier's src buckets (one equi-join + one min-aggregate per
+  *      round — the SpMV shape; one bounded driver count per round;
+  *      `localCheckpoint` per round cuts the lineage);
   *      integer distances in (0, budget] strictly decrease per node, so
   *      termination is bounded by the budget even adversarially;
   *   4. write ONLY the improved rows under `dists/batch=<id>`; serving
@@ -58,6 +59,16 @@ object SsspStream {
     StructField("dst", LongType, nullable = false),
     StructField("w", LongType, nullable = false)))
 
+  /** Bucketed layout ([[Stores.readPruned]] — the round-11 rule that
+    * every restricted store read must also PRUNE FILES, not just
+    * shuffle): edges bucket on src (each relaxation round reads only the
+    * frontier's out-buckets), distances on node (every freshest-row
+    * lookup is node-restricted). The per-batch frames are resolved once
+    * and pruned per round via [[Stores.pruneTo]], so the file index is
+    * listed once per batch. */
+  private[graft] val EdgeBucket = Stores.Bucket("pbs", "src")
+  private[graft] val DistBucket = Stores.Bucket("pbn", "node")
+
   /** Freshest distance per node (≡ minimum, by monotonicity): live
     * batches outrank compacted generations; newest generation wins. */
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
@@ -71,9 +82,10 @@ object SsspStream {
     * node-restricted slice (restriction commutes with the per-node
     * window), so each relaxation round shuffles its candidate set's
     * volume, never the store's. `store` is resolved once per batch and
-    * reused across rounds: every call shares its cached file index, so
-    * the per-round cost is one restricted scan, not a re-listing. */
-  private def distsOf(store: Option[DataFrame], nodes: DataFrame): DataFrame =
+    * reused across rounds: every call shares its cached file index, and
+    * the [[Stores.pruneTo]] bucket filter makes the per-round cost a
+    * PRUNED restricted scan, not a store-wide read. */
+  private[graft] def distsOf(store: Option[DataFrame], nodes: DataFrame): DataFrame =
     store match {
       case None =>
         val s = nodes.sparkSession
@@ -83,7 +95,8 @@ object SsspStream {
         val s = df.sparkSession
         import s.implicits._
         Stores.freshestPerKey(
-            df.join(nodes.select($"node"), Seq("node"), "left_semi"), "node")
+            Stores.pruneTo(df, DistBucket, nodes)
+              .join(nodes.select($"node"), Seq("node"), "left_semi"), "node")
           .select($"node", $"dist")
     }
 
@@ -115,12 +128,15 @@ object SsspStream {
     val sym = valid.select($"src", $"dst", $"w")
       .union(valid.select($"dst".as("src"), $"src".as("dst"), $"w"))
       .localCheckpoint()
-    sym.withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/edges")
-    val allEdges = Stores.read(s, s"$storeDir/edges")
+    Stores.writeBatch(sym, batchId, s"$storeDir/edges", Seq(EdgeBucket))
+    // resolved once per batch; each relaxation round prunes it to the
+    // frontier's src buckets before the join — keep the bucket column
+    // until after pruning (a pre-select would silently disable it)
+    val edgeStore = Stores.read(s, s"$storeDir/edges")
       .filter($"batch" <= batchId)
-      .select($"src", $"dst", $"w")
+    def edgesFor(frontier: DataFrame): DataFrame =
+      Stores.pruneTo(edgeStore, EdgeBucket, frontier)
+        .select($"src", $"dst", $"w")
     def relax(frontier: DataFrame, edges: DataFrame): DataFrame =
       frontier.withColumnRenamed("node", "src")
         .join(edges, "src")
@@ -148,21 +164,22 @@ object SsspStream {
     val sourceRow = Seq((source, 0L)).toDF("node", "dist")
       .join(distsOf(store, Seq(source).toDF("node")), Seq("node"), "left_anti")
     val epCur = distsOf(store, sym.select($"src".as("node")).distinct())
+    // each candidate set is re-referenced (the pruned reads' bucket-id
+    // actions, the known-dist lookup, the improvement filter) — eager
+    // checkpoints keep every relax evaluated once per round
     val seedCand = merged(sourceRow, relax(merged(epCur, sourceRow), sym))
+      .localCheckpoint()
     var frontier = improvements(seedCand, knownFor(seedCand)).localCheckpoint()
     improvedSoFar = frontier
     while (!frontier.isEmpty) {
-      val cand = relax(frontier, allEdges)
+      val cand = relax(frontier, edgesFor(frontier)).localCheckpoint()
       val next = improvements(cand, knownFor(cand)).localCheckpoint()
       improvedSoFar = merged(improvedSoFar, next).localCheckpoint()
       frontier = next
     }
     val improvedAll = improvedSoFar
     if (!improvedAll.isEmpty)
-      improvedAll
-        .withColumn("batch", lit(batchId))
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(s"$storeDir/dists")
+      Stores.writeBatch(improvedAll, batchId, s"$storeDir/dists", Seq(DistBucket))
   }
 
   /** File-source stream over an edges directory; durable checkpoint
@@ -188,9 +205,9 @@ object SsspStream {
     * (= minimum) row. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/edges", throughBatch)(
+    Stores.fold(s, s"$storeDir/edges", throughBatch, Seq(EdgeBucket))(
       _.select($"src", $"dst", $"w").distinct())
-    Stores.fold(s, s"$storeDir/dists", throughBatch)(src =>
+    Stores.fold(s, s"$storeDir/dists", throughBatch, Seq(DistBucket))(src =>
       Stores.freshestPerKey(src, "node").select($"node", $"dist"))
   }
 }

@@ -110,6 +110,18 @@ private[graft] object Stores {
     keys.select(bucketId(col(keys.columns.head), b.nb).as("pb")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
+  /** Prune an ALREADY-RESOLVED store frame to the buckets the
+    * restriction `keys` can live in — [[readPruned]]'s filter half, for
+    * callers that resolve ONE frame per batch and restrict it per round
+    * (the SSSP relaxation loops): the frame's file index is listed once,
+    * and each round's bucket-id set still reaches the scan as a
+    * PARTITION filter at that action's planning. A frame without the
+    * bucket column (a legacy layout, or a spec's hand-built fixture)
+    * falls back unfiltered. */
+  def pruneTo(df: DataFrame, b: Bucket, keys: DataFrame): DataFrame =
+    if (!df.columns.contains(b.pbCol)) df
+    else df.filter(col(b.pbCol).isInCollection(bucketIdsOf(keys, b)))
+
   /** [[read]] pruned to the buckets the restriction `keys` can live in:
     * the bucket ids become a PARTITION filter, so the scan lists and
     * reads only the touched buckets' files — the file-footprint half of
@@ -118,11 +130,8 @@ private[graft] object Stores {
     * without the bucket column (a legacy layout, or a spec's hand-built
     * fixture) falls back to the unpruned read. */
   def readPruned(s: SparkSession, path: String, b: Bucket,
-      keys: DataFrame): DataFrame = {
-    val df = read(s, path)
-    if (!df.columns.contains(b.pbCol)) df
-    else df.filter(col(b.pbCol).isInCollection(bucketIdsOf(keys, b)))
-  }
+      keys: DataFrame): DataFrame =
+    pruneTo(read(s, path), b, keys)
 
   /** Store-root existence probe (scheme-qualified paths work). */
   def exists(s: SparkSession, path: String): Boolean = {

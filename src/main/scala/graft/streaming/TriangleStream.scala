@@ -303,8 +303,12 @@ object TriangleStream {
     // candidates settled by an UNTOUCHED under-cap witness stay put:
     // untouched suppliers' degrees (over the full prefix) are unchanged
     // by this batch, so one membership probe covers before and after
-    val cand = oldE.union(newE).distinct()
+    // cand feeds candParts AND the witness probe; candParts feeds the
+    // pruned read's bucket-id action AND its semi-join — cut both so the
+    // distinct shuffles run once per batch, not once per action
+    val cand = oldE.union(newE).distinct().localCheckpoint()
     val candParts = cand.select($"a".as("p")).union(cand.select($"b")).distinct()
+      .localCheckpoint()
     val otherPairs = livePairs(
         rawPairsBefore(s, storeDir, batchId, Some((PairPBucket, candParts)))
           .join(touchedSu, Seq("su"), "left_anti")

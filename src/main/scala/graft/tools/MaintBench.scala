@@ -124,9 +124,11 @@ object MaintBench {
       val skewN = skew.count()
 
       val cc = tmp("mb-cc")
+      val ccd = tmp("mb-ccd")
       val sssp = tmp("mb-sssp")
       val ssspd = tmp("mb-ssspd")
       val tri = tmp("mb-tri")
+      val trid = tmp("mb-trid")
       val kcore = tmp("mb-kcore")
       val kskew = tmp("mb-kskew")
       val dcl = tmp("mb-dcl")
@@ -138,15 +140,36 @@ object MaintBench {
         delta.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", $"w", lit(1).as("op")),
         delta.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", $"w", lit(1).as("op")),
         delta.filter($"del").select($"src", $"dst", lit(0L).as("w"), lit(-1).as("op")))
+      // the decremental 4-batch schedules (insert/insert/delete/re-insert
+      // — the q102/q103 shapes): batch 2 exercises split recompute /
+      // witness-withdrawal deltas, batch 3 resurrection
+      val spd = sp
+        .withColumn("del", expr("((src div 2) + ((dst - 1) div 2)) % 5 = 0"))
+        .withColumn("reins", expr("((src div 2) + ((dst - 1) div 2)) % 10 = 0"))
+      val rpd = rawPairs
+        .withColumn("del", expr("(p + su) % 5 = 0"))
+        .withColumn("reins", expr("(p + su) % 10 = 0"))
       val rows = Seq(
         run("cc", slices3(sp, "dst div 2"))(
           (b, i) => CcStream.processBatch(b, i, cc)),
+        run("cc_delta", Seq(
+            spd.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", lit(1).as("op")),
+            spd.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", lit(1).as("op")),
+            spd.filter($"del").select($"src", $"dst", lit(-1).as("op")),
+            spd.filter($"reins").select($"src", $"dst", lit(1).as("op"))))(
+          (b, i) => CcStream.processBatch(b, i, ccd)),
         run("sssp", slices3(weighted, "dst div 2"))(
           (b, i) => SsspStream.processBatch(b, i, sssp, source, GraphQueries.ScaleSsspBudget)),
         run("sssp_delta", deltaSlices)(
           (b, i) => SsspDeltaStream.processBatch(b, i, ssspd, source, GraphQueries.ScaleSsspBudget)),
         run("triangle", slices3(rawPairs, "su"))(
           (b, i) => TriangleStream.processBatch(b, i, tri)),
+        run("triangle_delta", Seq(
+            rpd.filter(expr("su % 2 = 0")).select($"p", $"su", lit(1).as("op")),
+            rpd.filter(expr("su % 2 = 1")).select($"p", $"su", lit(1).as("op")),
+            rpd.filter($"del").select($"p", $"su", lit(-1).as("op")),
+            rpd.filter($"reins").select($"p", $"su", lit(1).as("op"))))(
+          (b, i) => TriangleStream.processBatch(b, i, trid)),
         run("kcore", slices3(sp, "dst div 2"))(
           (b, i) => KCoreStream.processBatch(b, i, kcore)),
         run("kcore_skew", Seq(0, 1, 2).map(i =>
@@ -161,7 +184,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard three-slice split, per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges (~90% of the nodes) that every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc)."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges (~90% of the nodes) that every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc). r11 additions: cc_delta and triangle_delta complete the decremental family's lanes; ALL maintained-store reads (Cc/Triangle/KCore AND Sssp/SsspDelta - edges/events bucket on src, distances on node plus a second pred bucket for the damaged-cone descendant probe) now run over the bucketed layout (batch=<id>/<pb>=<hash>/..., Stores.readPruned / pruneTo) so the restricted scans prune files as well as shuffle - at these SFs the win is bounded by tiny per-batch file counts (listing/open overhead dominates), the property that matters at 100 TB is that scan bytes track touched buckets, asserted plan-level by BucketPruningSpec; SSSP relaxation loops additionally cut lineage per round (localCheckpoint) so each pruned read's bucket-id action evaluates its candidate set once, not once per downstream action. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CcStream, Stores, TriangleStream}
+import graft.streaming.{CcStream, SsspDeltaStream, SsspStream, Stores, TriangleStream}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -137,6 +137,98 @@ class BucketPruningSpec extends AnyFunSuite {
       s"edgesTouching read $f files — not less than the store's $totalEdgeFiles")
     assert(et.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((4L, 5L), (5L, 6L)))
+  }
+
+  test("SsspStream: dist lookups and relaxation edge reads prune to frontier buckets") {
+    import spark.implicits._
+    val store = tmp("bprune-sssp")
+    // two-level star (diameter 2, so relaxation converges in a few
+    // rounds): hub 1 → spokes, spoke i → leaf i+1000 — dists and edges
+    // span every node/src bucket
+    def tier(r: Range) = r.flatMap(i => Seq((1L, i.toLong, 1L), (i.toLong, i + 1000L, 1L)))
+    SsspStream.processBatch(tier(2 to 120).toDF("src", "dst", "w"),
+      0L, store, source = 1L, budget = 1000L)
+    SsspStream.processBatch(tier(121 to 200).toDF("src", "dst", "w"),
+      1L, store, source = 1L, budget = 1000L)
+    val totalDistFiles = parquetFilesUnder(s"$store/dists")
+    val totalEdgeFiles = parquetFilesUnder(s"$store/edges")
+    assert(totalDistFiles > Stores.NumBuckets,
+      "fixture too small — dists must span buckets for pruning to be visible")
+
+    // the wired freshest-row lookup: node-restricted → pbn
+    val d = SsspStream.distsOf(Some(Stores.read(spark, s"$store/dists")), oneNode(5L))
+    val (df1, dp) = scanStats(d, "/dists", Set("pbn"))
+    assert(dp, "distsOf scan must carry a pbn partition filter")
+    assert(df1 < totalDistFiles, s"distsOf read $df1 of $totalDistFiles files")
+    assert(d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((5L, 1L)))
+
+    // the relaxation rounds' edge frame: src-bucket pruned
+    val e = Stores.pruneTo(Stores.read(spark, s"$store/edges"),
+        SsspStream.EdgeBucket, oneNode(5L))
+      .join(oneNode(5L).withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .select($"src", $"dst")
+    val (ef, ep) = scanStats(e, "/edges", Set("pbs"))
+    assert(ep, "relaxation edge scan must carry a pbs partition filter")
+    assert(ef < totalEdgeFiles, s"edge read $ef of $totalEdgeFiles files")
+    assert(e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((5L, 1L), (5L, 1005L)))
+
+    // compaction keeps the layout: the folded generation stays prunable
+    val before = SsspStream.snapshot(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SsspStream.compact(spark, store, throughBatch = 1L)
+    val total = parquetFilesUnder(s"$store/dists")
+    val d2 = SsspStream.distsOf(Some(Stores.read(spark, s"$store/dists")), oneNode(5L))
+    val (f2, p2) = scanStats(d2, "/dists", Set("pbn"))
+    assert(p2 && f2 < total,
+      s"post-compaction distsOf must stay pruned (read $f2 of $total)")
+    val after = SsspStream.snapshot(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before, "compaction changed the served distances")
+  }
+
+  test("SsspDeltaStream: dist, cone-probe and event reads prune on their bucket keys") {
+    import spark.implicits._
+    val store = tmp("bprune-ssspd")
+    def tier(r: Range) = r.flatMap(i =>
+      Seq((1L, i.toLong, 1L, 1), (i.toLong, i + 1000L, 1L, 1)))
+    SsspDeltaStream.processBatch(tier(2 to 120).toDF("src", "dst", "w", "op"),
+      0L, store, source = 1L, budget = 1000L)
+    SsspDeltaStream.processBatch(tier(121 to 200).toDF("src", "dst", "w", "op"),
+      1L, store, source = 1L, budget = 1000L)
+    val totalDistFiles = parquetFilesUnder(s"$store/dists")
+    val totalEventFiles = parquetFilesUnder(s"$store/events")
+    assert(totalDistFiles > Stores.NumBuckets,
+      "fixture too small — dists must span buckets")
+
+    // freshest-row lookup: node-restricted → pbn
+    val fr = SsspDeltaStream.freshRowsOf(
+      Some(Stores.read(spark, s"$store/dists")), oneNode(5L))
+    val (ff, fp) = scanStats(fr, "/dists", Set("pbn"))
+    assert(fp, "freshRowsOf scan must carry a pbn partition filter")
+    assert(ff < totalDistFiles, s"freshRowsOf read $ff of $totalDistFiles files")
+    assert(fr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((5L, 1L, 1L)))
+
+    // damaged-cone descendant probe ("whose rows point AT the
+    // frontier?"): pred-restricted → pbp
+    val cone = Stores.pruneTo(Stores.read(spark, s"$store/dists"),
+        SsspDeltaStream.DistPredBucket, oneNode(5L))
+      .join(oneNode(5L).withColumnRenamed("node", "pred"), Seq("pred"), "left_semi")
+      .select($"node")
+    val (cf, cp) = scanStats(cone, "/dists", Set("pbp"))
+    assert(cp, "cone probe must carry a pbp partition filter")
+    assert(cf < totalDistFiles, s"cone probe read $cf of $totalDistFiles files")
+    assert(cone.collect().map(_.getLong(0)).toSet === Set(1005L))
+
+    // live-edge lookup: src-restricted → pbs
+    val le = SsspDeltaStream.liveEdgesFrom(
+      Stores.read(spark, s"$store/events"), oneNode(5L))
+    val (lf, lp) = scanStats(le, "/events", Set("pbs"))
+    assert(lp, "liveEdgesFrom scan must carry a pbs partition filter")
+    assert(lf < totalEventFiles, s"liveEdgesFrom read $lf of $totalEventFiles files")
+    assert(le.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((5L, 1L), (5L, 1005L)))
   }
 
   test("a store without bucket columns falls back to the unpruned read") {
