@@ -664,6 +664,137 @@ object GraphQueries {
 
   private[graft] val q84Sql = q84SqlOn("")
 
+  /** q105's truss order and round budget — both part of the operator's
+    * semantics (exactly-bounded synchronous peeling, the q84 idiom) and
+    * what keeps the unrolled-CTE oracle finite. The truss runs on q83's
+    * part–part PROJECTION (the bipartite graph itself is triangle-free,
+    * so any truss on it is vacuous), where each supplier under the
+    * degree cap contributes a part-clique: measured per-edge supports
+    * span 6–27 / 3–24 / 2–34 at sf0.001 / 0.01 / 0.1, so k must sit
+    * INSIDE that range to peel non-trivially — k = 10 (support ≥ 8)
+    * drops 28 / 540 / 5,983 edges with a genuine cascade (edges at
+    * support 8 only because of neighbors that round 1 removes) and
+    * reaches fixpoint in 3 rounds at every shipped SF; 8 rounds ≥ 2×
+    * the deepest observed cascade. Both engines compute the same
+    * bounded function ("survivors of 8 synchronous support-peels, with
+    * their supports in the surviving graph"), so parity holds by
+    * construction even where the budget binds. */
+  val TrussK = 10
+  val TrussRounds = 8
+
+  /** Per-edge triangle support over an ordered distinct edge list
+    * (a < b): for edge (a, b), the count of common neighbors w — each
+    * triangle through the edge contributes exactly one w. One wedge
+    * equi-join (symmetrized adjacency probed from both endpoints,
+    * closed on the shared witness) + one hash aggregate on the edge
+    * key: the q83 enumeration layout, keyed by edge instead of corner,
+    * cost O(Σ wedges). Simple-graph input means w ≠ a, b automatically
+    * (no self-loops in the symmetrized relation). */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    e.join(sym.toDF("a", "w"), Seq("a"))
+      .join(sym.toDF("b", "w"), Seq("b", "w"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** Synchronous k-truss peeling on an ordered distinct edge list
+    * (a < b): each round computes every surviving edge's triangle
+    * support in the surviving subgraph and drops all edges of support
+    * < k−2 at once; dropping an edge destroys the triangles through it,
+    * so neighbors' supports fall and cascades peel in later rounds.
+    * Early exit when a round removes nothing (kept ⊆ cur, so equal
+    * counts force set equality — one driver action per round, the
+    * kCorePeel discipline). Returns (a, b, sup): the surviving edges
+    * with their supports in the peeled subgraph — at a reached fixpoint
+    * all sup ≥ k−2, i.e. the k-truss with its edge supports. Exact
+    * integers end to end. The output IS the support aggregate on the
+    * final edge set, so a survivor whose support a BOUND budget left at
+    * 0 mid-cascade is absent — on BOTH engines (the oracle's final
+    * SELECT is the same inner wedge aggregate), and impossible at a
+    * reached fixpoint with k ≥ 3; `rounds = 0` therefore returns the
+    * input's raw per-edge supports (TrussSpec uses this to pin that a
+    * cascade kills edges whose own support cleared the threshold).
+    *
+    * Scale shape: each round is one wedge join + one hash aggregate on
+    * the (shrinking) edge list — all hash exchanges on the edge
+    * endpoints, nothing driver-side but the per-round survivor count.
+    * Each round's edge list is `localCheckpoint`ed (eager): the round
+    * references its predecessor five times (edge list + two symmetrized
+    * adjacency sides, twice), so the plan cut is load-bearing exactly
+    * as in [[kCorePeel]] — without it the logical plan tree grows
+    * ~5^rounds. */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var cur = edges.select(col("a"), col("b")).localCheckpoint()
+    var curN = cur.count()
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      i += 1
+      val kept = edgeSupport(cur).filter(col("sup") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+      val n = kept.count()
+      if (n == curN) converged = true
+      else { cur = kept; curN = n }
+    }
+    edgeSupport(cur)
+  }
+
+  /** q105 — k-truss decomposition at data scale: sixth member of the
+    * data-scale graph family (q79 SSSP, q80 CC, q83 triangles, q84
+    * k-core, q85 walk centrality) and the EDGE-grained cohesion member:
+    * where q84's k-core keeps vertices by degree, the truss keeps an
+    * edge only while enough TRIANGLES survive through it — the standard
+    * stronger community filter, and the natural next step above q83's
+    * triangle counts (whose projection and enumeration layout it
+    * reuses, including the [[projectedPartEdges]] materialized
+    * relation). */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kTrussPeel(projectedPartEdges(s, dir), TrussK, TrussRounds)
+      .orderBy($"a", $"b")
+  }
+
+  /** Oracle: the same capped projection + [[TrussRounds]] synchronous
+    * support-peels unrolled as chained CTEs (q84's technique — every
+    * per-round CTE `AS MATERIALIZED` to stop DuckDB's inliner from
+    * exponentiating the chain; rounds past the fixpoint re-induce an
+    * unchanged relation, matching the Spark side's early exit). The
+    * support filter folds into each round's re-induce (GROUP BY the
+    * edge, HAVING COUNT ≥ k−2): support-0 edges are absent from the
+    * aggregate — dropped exactly as the Spark side's inner support
+    * aggregate drops them. */
+  /** [[q105Sql]] parameterized over an extra predicate on the PROJECTED
+    * edge pair (x.p, y.p) — `""` is q105 itself; q106's oracle
+    * restricts to the projected edges SURVIVING its delete/re-insert
+    * schedule (the truss maintainer ingests projected edges directly,
+    * so its deletion class is edge-granular, not witness-granular). */
+  private[graft] def q105SqlOn(extraEdgePred: String): String = {
+    val steps = (1 to TrussRounds).map { i =>
+      s"""m${i - 1} AS MATERIALIZED (SELECT a AS u, b AS v FROM c${i - 1}
+         |  UNION ALL SELECT b, a FROM c${i - 1}),
+         |c$i AS MATERIALIZED (SELECT e.a, e.b FROM c${i - 1} e
+         |  JOIN m${i - 1} x ON x.u = e.a JOIN m${i - 1} y ON y.u = e.b AND y.v = x.v
+         |  GROUP BY e.a, e.b HAVING COUNT(*) >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
+       |  FROM lineitem WHERE l_quantity = 50),
+       |ok AS (SELECT su FROM pairs GROUP BY su HAVING COUNT(*) <= $TriDegreeCap),
+       |kept AS (SELECT p, su FROM pairs WHERE su IN (SELECT su FROM ok)),
+       |c0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM kept x JOIN kept y ON x.su = y.su AND x.p < y.p$extraEdgePred),
+       |$steps,
+       |m$TrussRounds AS MATERIALIZED (SELECT a AS u, b AS v FROM c$TrussRounds
+       |  UNION ALL SELECT b, a FROM c$TrussRounds)
+       |SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS sup
+       |FROM c$TrussRounds e
+       |JOIN m$TrussRounds x ON x.u = e.a JOIN m$TrussRounds y ON y.u = e.b AND y.v = x.v
+       |GROUP BY e.a, e.b ORDER BY a, b""".stripMargin
+  }
+
+  private[graft] val q105Sql = q105SqlOn("")
+
   /** q85's walk-length budget. Part of the operator's semantics (Katz
     * centrality with attenuation β = 1 truncated at L — i.e. each vertex
     * scored by its total count of inbound walks of length ≤ L), chosen so
@@ -856,6 +987,7 @@ object GraphQueries {
     GQuery("q80_graph_scale_cc", q80, Some(q80Sql), bench = true),
     GQuery("q83_scale_triangles", q83, Some(q83Sql), bench = true),
     GQuery("q84_scale_kcore", q84, Some(q84Sql), bench = true),
+    GQuery("q105_scale_ktruss", q105, Some(q105Sql), bench = true),
     GQuery("q85_scale_walk_centrality", q85, Some(q85Sql), bench = true),
     GQuery("q90_scale_pagerank_fp", q90, Some(q90Sql), bench = true),
   )

@@ -146,8 +146,14 @@ private[graft] object Stores {
     * generations; among generations the newest — most negative — wins
     * (a generation summarizes everything folded before it). Keeps every
     * input column; callers project after. */
-  def freshestPerKey(df: DataFrame, keyCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+  def freshestPerKey(df: DataFrame, keyCol: String): DataFrame =
+    freshestPerKey(df, Seq(keyCol))
+
+  /** Composite-key variant — [[TrussStream]]'s EDGE-keyed results store
+    * needs the same precedence over (a, b). */
+  def freshestPerKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
       .orderBy((col("batch") >= 0).desc, abs(col("batch")).desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -502,6 +502,50 @@ object StreamServe {
   private val q104Sql = GraphQueries.q84SqlOn(
     " AND ((l_partkey + l_suppkey) % 5 <> 0 OR (l_partkey + l_suppkey) % 10 = 0)")
 
+  /** q106 — bounded k-truss under edge DELETIONS served from the
+    * [[TrussStream]] store: q105's capped part–part projection arrives
+    * as two insert batches (split by the b endpoint's parity), then a
+    * DELETE batch withdrawing every (a + b) % 5 == 0 projected edge
+    * (triangles through them die, survivors' supports fall and peel
+    * cascades collapse — the path insert-only maintenance cannot
+    * express), then a partial RE-INSERT batch restoring the % 10 == 0
+    * half. Compacted THROUGH the delete batch with the re-insert live —
+    * one row exercises support-cascade collapse, edge tombstoning,
+    * fold-of-deletions over the composite edge key, and resurrection
+    * against a negative generation. Oracle: q105's unrolled-peel SQL on
+    * the SURVIVING projected-edge set (the deletion class here is
+    * edge-granular, so the predicate lands on the projection CTE, not
+    * the witness set — see [[TrussStream]]'s scaladoc). */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("trussdeltaserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" === 50)
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+    val smallSu = pairs.groupBy($"su").agg(count(lit(1)).as("d"))
+      .filter($"d" <= GraphQueries.TriDegreeCap).select($"su")
+    val kept = pairs.join(smallSu, Seq("su"), "left_semi")
+    val proj = kept.as("x").join(kept.as("y"), $"x.su" === $"y.su" && $"x.p" < $"y.p")
+      .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+      .withColumn("del", ($"a" + $"b") % 5 === 0)
+      .withColumn("reins", ($"a" + $"b") % 10 === 0)
+      .cache()
+    writeSlices(inDir, "ev", Seq(
+      proj.filter($"b" % 2 === 0).select($"a", $"b", lit(1).as("op")),
+      proj.filter($"b" % 2 === 1).select($"a", $"b", lit(1).as("op")),
+      proj.filter($"del").select($"a", $"b", lit(-1).as("op")),
+      proj.filter($"reins").select($"a", $"b", lit(1).as("op"))))
+    TrussStream.start(s, inDir, storeDir, withOps = true).awaitTermination()
+    proj.unpersist()
+    TrussStream.compact(s, storeDir, throughBatch = 2L)
+    TrussStream.snapshot(s, storeDir).orderBy($"a", $"b")
+  }
+
+  private val q106Sql = GraphQueries.q105SqlOn(
+    " AND ((x.p + y.p) % 5 <> 0 OR (x.p + y.p) % 10 = 0)")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -516,5 +560,6 @@ object StreamServe {
     GQuery("q102_stream_cc_delta_serve", q102, Some(q102Sql)),
     GQuery("q103_stream_triangle_delta_serve", q103, Some(q103Sql)),
     GQuery("q104_stream_kcore_delta_serve", q104, Some(q104Sql)),
+    GQuery("q106_stream_truss_delta_serve", q106, Some(q106Sql)),
   )
 }

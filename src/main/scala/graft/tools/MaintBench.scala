@@ -9,7 +9,7 @@
 // Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep]'
 package graft.tools
 
-import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream}
+import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
 import graft.operators.GraphQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -129,6 +129,7 @@ object MaintBench {
       val ssspd = tmp("mb-ssspd")
       val tri = tmp("mb-tri")
       val trid = tmp("mb-trid")
+      val trussd = tmp("mb-trussd")
       val kcore = tmp("mb-kcore")
       val kskew = tmp("mb-kskew")
       val dcl = tmp("mb-dcl")
@@ -149,6 +150,19 @@ object MaintBench {
       val rpd = rawPairs
         .withColumn("del", expr("(p + su) % 5 = 0"))
         .withColumn("reins", expr("(p + su) % 10 = 0"))
+      // q106's shape: the capped part-part projection with an
+      // edge-granular delete/re-insert schedule (truss deletions are
+      // edge-granular; witness-granular lives in the triangle lane)
+      val projd = {
+        val smallSu = rawPairs.groupBy($"su").agg(count(lit(1)).as("d"))
+          .filter($"d" <= GraphQueries.TriDegreeCap).select($"su")
+        val keptp = rawPairs.join(smallSu, Seq("su"), "left_semi")
+        keptp.as("x").join(keptp.as("y"), $"x.su" === $"y.su" && $"x.p" < $"y.p")
+          .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+          .withColumn("del", ($"a" + $"b") % 5 === 0)
+          .withColumn("reins", ($"a" + $"b") % 10 === 0)
+          .cache()
+      }
       val rows = Seq(
         run("cc", slices3(sp, "dst div 2"))(
           (b, i) => CcStream.processBatch(b, i, cc)),
@@ -170,6 +184,12 @@ object MaintBench {
             rpd.filter($"del").select($"p", $"su", lit(-1).as("op")),
             rpd.filter($"reins").select($"p", $"su", lit(1).as("op"))))(
           (b, i) => TriangleStream.processBatch(b, i, trid)),
+        run("truss_delta", Seq(
+            projd.filter($"b" % 2 === 0).select($"a", $"b", lit(1).as("op")),
+            projd.filter($"b" % 2 === 1).select($"a", $"b", lit(1).as("op")),
+            projd.filter($"del").select($"a", $"b", lit(-1).as("op")),
+            projd.filter($"reins").select($"a", $"b", lit(1).as("op"))))(
+          (b, i) => TrussStream.processBatch(b, i, trussd)),
         run("kcore", slices3(sp, "dst div 2"))(
           (b, i) => KCoreStream.processBatch(b, i, kcore)),
         run("kcore_skew", Seq(0, 1, 2).map(i =>
@@ -184,7 +204,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges (~90% of the nodes) that every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc). r11 additions: cc_delta and triangle_delta complete the decremental family's lanes; ALL maintained-store reads (Cc/Triangle/KCore AND Sssp/SsspDelta - edges/events bucket on src, distances on node plus a second pred bucket for the damaged-cone descendant probe) now run over the bucketed layout (batch=<id>/<pb>=<hash>/..., Stores.readPruned / pruneTo) so the restricted scans prune files as well as shuffle - at these SFs the win is bounded by tiny per-batch file counts (listing/open overhead dominates), the property that matters at 100 TB is that scan bytes track touched buckets, asserted plan-level by BucketPruningSpec; SSSP relaxation loops additionally cut lineage per round (localCheckpoint) so each pruned read's bucket-id action evaluates its candidate set once, not once per downstream action. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges (~90% of the nodes) that every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc). r11 additions: cc_delta, triangle_delta and truss_delta (the q106 edge-granular insert/insert/delete/re-insert schedule over the capped part-part projection) complete the decremental family's lanes; ALL maintained-store reads (Cc/Triangle/KCore AND Sssp/SsspDelta - edges/events bucket on src, distances on node plus a second pred bucket for the damaged-cone descendant probe) now run over the bucketed layout (batch=<id>/<pb>=<hash>/..., Stores.readPruned / pruneTo) so the restricted scans prune files as well as shuffle - at these SFs the win is bounded by tiny per-batch file counts (listing/open overhead dominates), the property that matters at 100 TB is that scan bytes track touched buckets, asserted plan-level by BucketPruningSpec; SSSP relaxation loops additionally cut lineage per round (localCheckpoint) so each pruned read's bucket-id action evaluates its candidate set once, not once per downstream action. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
