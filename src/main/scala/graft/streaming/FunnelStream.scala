@@ -32,15 +32,23 @@ import org.apache.spark.sql.types._
   * (2): a touched user's row is always derived from the complete prefix,
   * never folded from per-batch partials. Per batch the cost is the
   * touched users' histories — the working set a funnel upsert pays in any
-  * system that maintains it exactly; untouched users are never read. The
+  * system that maintains it exactly; untouched users are never read — and
+  * since round 12 never LISTED either: the events store is bucketed on
+  * user_id ([[UserBucket]], the round-11 layout the graph family already
+  * carries), so the history read prunes to the touched users' buckets as
+  * a partition filter before the semi-join (this was the last maintained
+  * store whose restricted per-batch read still listed every file). The
   * per-batch directory growth that the history read and the snapshot
   * would otherwise pay (one partition per batch ever ingested) is bounded
-  * by periodic [[compact]]ion into negative-id generations. At 100 TB the
-  * events store is bucketed by user in practice so the semi-join prunes
-  * to the touched buckets; here the layout keeps the batch-id
-  * partitioning the replay contract needs.
+  * by periodic [[compact]]ion into negative-id generations.
   */
 object FunnelStream {
+
+  /** Bucketed layout of the events store ([[Stores.readPruned]]): every
+    * per-batch read is user-restricted, so user_id is the restriction
+    * key. The funnel table stays flat — its only read is the full-store
+    * serving window. */
+  private[graft] val UserBucket = Stores.Bucket("pbu", "user_id")
 
   val eventSchema: StructType = StructType(Seq(
     StructField("user_id", LongType, nullable = false),
@@ -55,12 +63,12 @@ object FunnelStream {
     // empty-batch guard (the CcStream note): a zero-partition dynamic
     // overwrite on a fresh store leaves an all-_SUCCESS events root
     if (batch.isEmpty) return
-    batch.select($"user_id", $"event_type", $"ts_us")
-      .withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/events")
-    val touched = batch.select($"user_id").distinct()
-    val hist = Stores.read(s, s"$storeDir/events")
+    Stores.writeBatch(batch.select($"user_id", $"event_type", $"ts_us"),
+      batchId, s"$storeDir/events", Seq(UserBucket))
+    val touched = batch.select($"user_id").distinct().localCheckpoint()
+    // touched feeds the pruned read's bucket-id action AND the semi-join
+    // (the round-11 once-per-batch rule) — hence the eager checkpoint
+    val hist = Stores.readPruned(s, s"$storeDir/events", UserBucket, touched)
       .filter($"batch" <= batchId)
       .join(touched, Seq("user_id"), "left_semi")
       .select($"user_id", $"event_type", $"ts_us")
@@ -134,7 +142,7 @@ object FunnelStream {
     * their own non-negative ids. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/events", throughBatch)(
+    Stores.fold(s, s"$storeDir/events", throughBatch, Seq(UserBucket))(
       _.select($"user_id", $"event_type", $"ts_us"))
     Stores.fold(s, s"$storeDir/funnel", throughBatch)(src =>
       Stores.freshestPerKey(src, "user_id").select($"user_id", $"stage", $"ttc_us"))

@@ -134,8 +134,13 @@ object SsspStream {
     // until after pruning (a pre-select would silently disable it)
     val edgeStore = Stores.read(s, s"$storeDir/edges")
       .filter($"batch" <= batchId)
+    // the restriction key is passed BY NAME (node values become src
+    // probes): Stores.bucketIdsOf resolves the bucket's key column by
+    // name and rejects ambiguous multi-column frames — passing the raw
+    // (node, dist) frontier would fail loudly rather than hash the
+    // wrong column (the round-11 review's positional-hash risk)
     def edgesFor(frontier: DataFrame): DataFrame =
-      Stores.pruneTo(edgeStore, EdgeBucket, frontier)
+      Stores.pruneTo(edgeStore, EdgeBucket, frontier.select($"node".as("src")))
         .select($"src", $"dst", $"w")
     def relax(frontier: DataFrame, edges: DataFrame): DataFrame =
       frontier.withColumnRenamed("node", "src")

@@ -77,6 +77,20 @@ private[graft] object Stores {
   /** Buckets per key at local test scale (see the layout note above). */
   val NumBuckets = 8
 
+  /** Layout/pruning isolation switches (round 12): when
+    * `bucketingEnabled` is false, [[writeBatch]] and [[fold]] treat their
+    * `buckets` as empty (flat layout — [[pruneTo]] then falls back
+    * unfiltered via its missing-column path); when `pruningEnabled` is
+    * false, [[pruneTo]] skips the bucket filter (and its bucket-id driver
+    * action) while the layout stays bucketed. They exist so
+    * [[graft.tools.MaintAb]] can interleave bucketed / unpruned /
+    * unbucketed arms of the SAME binary in one JVM, splitting the
+    * layout's write cost from pruning's read cost — production leaves
+    * both true and never toggles them mid-store (a toggled write would
+    * trip the mixed-layout guard below by design). */
+  @volatile private[graft] var bucketingEnabled: Boolean = true
+  @volatile private[graft] var pruningEnabled: Boolean = true
+
   /** THE bucket hash — write layout and read pruning must share it for
     * pruning to be sound. xxhash64 is deterministic across JVMs and
     * never null (a null key hashes to the seed's value — tombstone rows
@@ -95,20 +109,76 @@ private[graft] object Stores {
     * by the task count. */
   def writeBatch(df: DataFrame, batchId: Long, path: String,
       buckets: Seq[Bucket] = Nil): Unit = {
-    val parts = "batch" +: buckets.map(_.pbCol)
-    val withPb = withBucketCols(df, buckets).withColumn("batch", lit(batchId))
+    val bks = if (bucketingEnabled) buckets else Nil
+    requireLayoutMatches(df.sparkSession, new Path(path), bks.nonEmpty, "writeBatch")
+    val parts = "batch" +: bks.map(_.pbCol)
+    val withPb = withBucketCols(df, bks).withColumn("batch", lit(batchId))
     val out =
-      if (buckets.isEmpty) withPb
-      else withPb.repartition(buckets.map(b => col(b.pbCol)): _*)
+      if (bks.isEmpty) withPb
+      else withPb.repartition(bks.map(b => col(b.pbCol)): _*)
     out.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy(parts: _*).parquet(path)
   }
 
-  /** The distinct bucket ids the keys in `keys`' FIRST column can live
-    * in — ≤ nb values, one delta-sized driver action. */
-  private def bucketIdsOf(keys: DataFrame, b: Bucket): Seq[Int] =
-    keys.select(bucketId(col(keys.columns.head), b.nb).as("pb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+  /** Layout of the store's existing batches, from ONE representative
+    * batch directory: bucketed layouts nest `pb=<id>` directories under
+    * `batch=<id>`; flat layouts hold parquet files directly. None when
+    * the store is empty/absent (nothing to conflict with). */
+  private def existingLayout(fs: FileSystem, root: Path): Option[Boolean] = {
+    if (!fs.exists(root)) return None
+    val batches = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (batches.isEmpty) None
+    else {
+      val children = fs.listStatus(batches.head.getPath)
+      if (children.isEmpty) None
+      else Some(children.exists(c => c.isDirectory && c.getPath.getName.contains("=")))
+    }
+  }
+
+  /** MIGRATION GUARD (round 12): appending under a layout that disagrees
+    * with the store's existing batches (bucketed beside flat, or the
+    * reverse) makes parquet partition discovery throw "Conflicting
+    * directory structures" on every subsequent read — AFTER the append
+    * already landed. Fail the append loudly instead, with the documented
+    * migration: fold the store through its HIGHEST live batch id, passing
+    * the NEW layout's buckets ([[fold]] restages every surviving row under
+    * the new layout), before the first append in that layout. Costs two
+    * listing RPCs per write — within the family's existing per-read
+    * survey envelope. */
+  private def requireLayoutMatches(s: SparkSession, root: Path,
+      bucketed: Boolean, who: String): Unit =
+    existingLayout(fsOf(s, root), root).foreach { was =>
+      if (was != bucketed) throw new IllegalStateException(
+        s"$who($root): ${if (bucketed) "bucketed" else "flat"} batch conflicts " +
+          s"with the store's existing ${if (was) "bucketed" else "flat"} layout — " +
+          "mixed directory depth wedges every subsequent partition discovery. " +
+          "Migrate first: Stores.fold through the store's highest live batch id " +
+          "with the new layout's buckets, then append.")
+    }
+
+  /** The distinct bucket ids the restriction keys can live in — ≤ nb
+    * values, one delta-sized single-stage driver action (collect_set
+    * aggregates partially per partition; no distinct shuffle). The key
+    * column is resolved BY NAME when the frame carries `b.keyCol`;
+    * otherwise the frame must be a bare single-column key list (the
+    * documented call-site shape). Anything else fails loudly HERE,
+    * because hashing the wrong column would make pruning silently DROP
+    * files holding needed rows — wrong results, not an error (the
+    * round-11 review's positional-hash risk). */
+  private def bucketIdsOf(keys: DataFrame, b: Bucket): Seq[Int] = {
+    val k =
+      if (keys.columns.contains(b.keyCol)) col(b.keyCol)
+      else {
+        require(keys.columns.length == 1,
+          s"bucket pruning on '${b.keyCol}': restriction frame has columns " +
+            s"[${keys.columns.mkString(", ")}] — pass the key column by name " +
+            "or a single-column key list")
+        col(keys.columns.head)
+      }
+    keys.select(collect_set(bucketId(k, b.nb)).as("pbs")).head()
+      .getSeq[Int](0).toSeq
+  }
 
   /** Prune an ALREADY-RESOLVED store frame to the buckets the
     * restriction `keys` can live in — [[readPruned]]'s filter half, for
@@ -119,7 +189,7 @@ private[graft] object Stores {
     * bucket column (a legacy layout, or a spec's hand-built fixture)
     * falls back unfiltered. */
   def pruneTo(df: DataFrame, b: Bucket, keys: DataFrame): DataFrame =
-    if (!df.columns.contains(b.pbCol)) df
+    if (!pruningEnabled || !df.columns.contains(b.pbCol)) df
     else df.filter(col(b.pbCol).isInCollection(bucketIdsOf(keys, b)))
 
   /** [[read]] pruned to the buckets the restriction `keys` can live in:
@@ -250,6 +320,7 @@ private[graft] object Stores {
   def fold(s: SparkSession, path: String, throughBatch: Long,
       buckets: Seq[Bucket] = Nil)(
       stage: DataFrame => DataFrame): Unit = {
+    val bks = if (bucketingEnabled) buckets else Nil
     val root = new Path(path)
     val fs = fsOf(s, root)
     if (!fs.exists(root)) return
@@ -272,6 +343,27 @@ private[graft] object Stores {
     val live = liveBatches(fs, root)
     val sources = live.filter(b => b < 0 || b <= throughBatch)
     if (sources.isEmpty) return
+    // mixed-layout guard, fold half (round 12): staging a generation in
+    // one layout beside live batches > throughBatch in the OTHER yields
+    // the same wedged mixed-depth root a conflicting append would — a
+    // layout MIGRATION must fold through the store's highest live batch.
+    // (Migration crash window: between the manifest rename and the source
+    // deletions below, the root briefly MIXES depths — a crash there
+    // wedges read() until the next fold's repair pass deletes the covered
+    // sources. Same single-owner compaction contract as ever: re-run the
+    // migration fold to completion before serving.)
+    val leftover = live -- sources
+    if (leftover.nonEmpty) {
+      val sample = new Path(root, s"batch=${leftover.head}")
+      val kids = fs.listStatus(sample)
+      val was = kids.exists(c => c.isDirectory && c.getPath.getName.contains("="))
+      if (kids.nonEmpty && was != bks.nonEmpty) throw new IllegalStateException(
+        s"fold($root): staging a ${if (bks.nonEmpty) "bucketed" else "flat"} " +
+          s"generation beside ${if (was) "bucketed" else "flat"} live batches " +
+          s"${leftover.toSeq.sorted.mkString("{", ",", "}")} would mix directory " +
+          "depths and wedge partition discovery. A layout migration must fold " +
+          "through the store's HIGHEST live batch id.")
+    }
     val stagingId = live.filter(_ < 0).minOption.getOrElse(0L) - 1L
 
     val src = s.read.parquet(path).filter(col("batch").isInCollection(sources))
@@ -284,16 +376,16 @@ private[graft] object Stores {
       // layouts write it under an all-zeros bucket path so partition
       // discovery keeps one consistent directory depth
       val leaf =
-        if (buckets.isEmpty) tmp
-        else new Path(tmp, buckets.map(b => s"${b.pbCol}=0").mkString("/"))
+        if (bks.isEmpty) tmp
+        else new Path(tmp, bks.map(b => s"${b.pbCol}=0").mkString("/"))
       staged.repartition(1).write.mode(SaveMode.Overwrite).parquet(leaf.toString)
-    } else if (buckets.isEmpty) {
+    } else if (bks.isEmpty) {
       staged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     } else {
-      withBucketCols(staged, buckets)
-        .repartition(buckets.map(b => col(b.pbCol)): _*)
+      withBucketCols(staged, bks)
+        .repartition(bks.map(b => col(b.pbCol)): _*)
         .write.mode(SaveMode.Overwrite)
-        .partitionBy(buckets.map(_.pbCol): _*)
+        .partitionBy(bks.map(_.pbCol): _*)
         .parquet(tmp.toString)
     }
     if (!fs.rename(tmp, new Path(root, s"batch=$stagingId")))

@@ -6,6 +6,11 @@
 // Each maintainer ingests its standard three-slice split at each SF with
 // per-batch wall times; emits one JSON artifact.
 //
+// The lane fixtures and schedules live in [[MaintLanes]], shared with
+// [[MaintAb]] (the bucketed-vs-flat isolation A/B) so the two artifacts
+// measure THE SAME ingest schedules — divergent copies would make the
+// A/B incomparable to the headline lanes.
+//
 // Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep]'
 package graft.tools
 
@@ -13,6 +18,116 @@ import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspDeltaStre
 import graft.operators.GraphQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** One maintainer's bench lane: its micro-batch schedule plus the step
+  * that folds a batch into a store rooted at the caller's directory. */
+private[tools] final case class Lane(name: String,
+    slices: Seq[DataFrame], step: (DataFrame, Long, String) => Unit)
+
+/** The maintenance lanes' shared fixtures and schedules at one SF dir —
+  * cached frames; call [[unpersist]] when done. */
+private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  val sp: DataFrame = graft.Tables.t(spark, dir, "lineitem")
+    .filter($"l_quantity" === 50)
+    .select(($"l_partkey".cast("long") * 2).as("src"),
+      ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+    .distinct().cache()
+  val spN: Long = sp.count()
+  val rawPairs: DataFrame = graft.Tables.t(spark, dir, "lineitem")
+    .filter($"l_quantity" === 50)
+    .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+    .distinct().cache()
+  val weighted: DataFrame = graft.Tables.t(spark, dir, "lineitem")
+    .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+    .distinct()
+    .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
+      (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"))
+    .cache()
+  val wN: Long = weighted.count()
+  val source: Long = 2L * graft.Tables.t(spark, dir, "lineitem")
+    .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
+  val docs: DataFrame = graft.Tables.t(spark, dir, "documents")
+    .select($"doc_id", $"text").cache()
+  val docN: Long = docs.count()
+  val skew: DataFrame = MaintBench.skewEdges(spark, spN).cache()
+  val skewN: Long = skew.count()
+
+  private def slices3(d: DataFrame, col_ : String): Seq[DataFrame] =
+    Seq(0, 1, 2).map(i => d.filter(expr(s"($col_) % 3 = $i")))
+
+  // sssp_delta's third batch DELETES every (p+su)%5==0 pair — the
+  // damaged-cone maintenance path, not an insert relaxation
+  private val delta = weighted
+    .withColumn("del", ((($"src" / 2) + (($"dst" - 1) / 2)) % 5 === 0))
+  private val deltaSlices = Seq(
+    delta.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", $"w", lit(1).as("op")),
+    delta.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", $"w", lit(1).as("op")),
+    delta.filter($"del").select($"src", $"dst", lit(0L).as("w"), lit(-1).as("op")))
+  // the decremental 4-batch schedules (insert/insert/delete/re-insert
+  // — the q102/q103 shapes): batch 2 exercises split recompute /
+  // witness-withdrawal deltas, batch 3 resurrection
+  private val spd = sp
+    .withColumn("del", expr("((src div 2) + ((dst - 1) div 2)) % 5 = 0"))
+    .withColumn("reins", expr("((src div 2) + ((dst - 1) div 2)) % 10 = 0"))
+  private val rpd = rawPairs
+    .withColumn("del", expr("(p + su) % 5 = 0"))
+    .withColumn("reins", expr("(p + su) % 10 = 0"))
+  // q106's shape: the capped part-part projection with an edge-granular
+  // delete/re-insert schedule (truss deletions are edge-granular;
+  // witness-granular lives in the triangle lane)
+  private val projd = {
+    val smallSu = rawPairs.groupBy($"su").agg(count(lit(1)).as("d"))
+      .filter($"d" <= GraphQueries.TriDegreeCap).select($"su")
+    val keptp = rawPairs.join(smallSu, Seq("su"), "left_semi")
+    keptp.as("x").join(keptp.as("y"), $"x.su" === $"y.su" && $"x.p" < $"y.p")
+      .select($"x.p".as("a"), $"y.p".as("b")).distinct()
+      .withColumn("del", ($"a" + $"b") % 5 === 0)
+      .withColumn("reins", ($"a" + $"b") % 10 === 0)
+      .cache()
+  }
+
+  val all: Seq[Lane] = Seq(
+    Lane("cc", slices3(sp, "dst div 2"),
+      (b, i, d) => CcStream.processBatch(b, i, d)),
+    Lane("cc_delta", Seq(
+        spd.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", lit(1).as("op")),
+        spd.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", lit(1).as("op")),
+        spd.filter($"del").select($"src", $"dst", lit(-1).as("op")),
+        spd.filter($"reins").select($"src", $"dst", lit(1).as("op"))),
+      (b, i, d) => CcStream.processBatch(b, i, d)),
+    Lane("sssp", slices3(weighted, "dst div 2"),
+      (b, i, d) => SsspStream.processBatch(b, i, d, source, GraphQueries.ScaleSsspBudget)),
+    Lane("sssp_delta", deltaSlices,
+      (b, i, d) => SsspDeltaStream.processBatch(b, i, d, source, GraphQueries.ScaleSsspBudget)),
+    Lane("triangle", slices3(rawPairs, "su"),
+      (b, i, d) => TriangleStream.processBatch(b, i, d)),
+    Lane("triangle_delta", Seq(
+        rpd.filter(expr("su % 2 = 0")).select($"p", $"su", lit(1).as("op")),
+        rpd.filter(expr("su % 2 = 1")).select($"p", $"su", lit(1).as("op")),
+        rpd.filter($"del").select($"p", $"su", lit(-1).as("op")),
+        rpd.filter($"reins").select($"p", $"su", lit(1).as("op"))),
+      (b, i, d) => TriangleStream.processBatch(b, i, d)),
+    Lane("truss_delta", Seq(
+        projd.filter($"b" % 2 === 0).select($"a", $"b", lit(1).as("op")),
+        projd.filter($"b" % 2 === 1).select($"a", $"b", lit(1).as("op")),
+        projd.filter($"del").select($"a", $"b", lit(-1).as("op")),
+        projd.filter($"reins").select($"a", $"b", lit(1).as("op"))),
+      (b, i, d) => TrussStream.processBatch(b, i, d)),
+    Lane("kcore", slices3(sp, "dst div 2"),
+      (b, i, d) => KCoreStream.processBatch(b, i, d)),
+    Lane("kcore_skew", Seq(0, 1, 2).map(i =>
+        skew.filter($"slice" === i).select($"src", $"dst")),
+      (b, i, d) => KCoreStream.processBatch(b, i, d)),
+    Lane("dedup_cluster", slices3(docs, "doc_id"),
+      (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)))
+
+  def unpersist(): Unit = {
+    sp.unpersist(); rawPairs.unpersist(); weighted.unpersist()
+    docs.unpersist(); skew.unpersist(); projd.unpersist()
+  }
+}
 
 object MaintBench {
 
@@ -61,16 +176,13 @@ object MaintBench {
       .filter($"src" =!= $"dst")
   }
 
-  private def time[T](f: => T): Double = {
+  private[tools] def time[T](f: => T): Double = {
     val t0 = System.nanoTime()
     f
     (System.nanoTime() - t0) / 1e9
   }
 
-  def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) Some(args(0)) else None
-    val sfDirs = (if (args.length > 1) args(1).split(",").toSeq
-      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+  private[tools] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,132 +191,34 @@ object MaintBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    spark
+  }
 
-    def tmp(prefix: String) =
-      java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+  private[tools] def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
 
-    def sparsePairs(dir: String): DataFrame =
-      graft.Tables.t(spark, dir, "lineitem")
-        .filter($"l_quantity" === 50)
-        .select(($"l_partkey".cast("long") * 2).as("src"),
-          ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
-        .distinct()
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) Some(args(0)) else None
+    val sfDirs = (if (args.length > 1) args(1).split(",").toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    val spark = session()
 
     val sfJsons = sfDirs.map { dir =>
-      val sp = sparsePairs(dir).cache()
-      val spN = sp.count()
-      val rawPairs = graft.Tables.t(spark, dir, "lineitem")
-        .filter($"l_quantity" === 50)
-        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
-        .distinct().cache()
-      val weighted = graft.Tables.t(spark, dir, "lineitem")
-        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
-        .distinct()
-        .select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
-          (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"))
-        .cache()
-      val wN = weighted.count()
-      val source = 2L * graft.Tables.t(spark, dir, "lineitem")
-        .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
-      val docs = graft.Tables.t(spark, dir, "documents")
-        .select($"doc_id", $"text").cache()
-      val docN = docs.count()
-
-      def slices3(d: DataFrame, col_ : String): Seq[DataFrame] =
-        Seq(0, 1, 2).map(i => d.filter(expr(s"($col_) % 3 = $i")))
-
-      def run(name: String, slices: Seq[DataFrame])(step: (DataFrame, Long) => Unit): String = {
-        val ts = slices.zipWithIndex.map { case (sl, i) => time(step(sl, i.toLong)) }
-        System.err.println(f"[maintbench] $dir $name: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
-        s""""$name":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}}"""
+      val lanes = new MaintLanes(spark, dir)
+      val rows = lanes.all.map { lane =>
+        val store = tmp(s"mb-${lane.name}")
+        val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
+          time(lane.step(sl, i.toLong, store)) }
+        System.err.println(f"[maintbench] $dir ${lane.name}: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
+        s""""${lane.name}":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}}"""
       }
-
-      val skew = skewEdges(spark, spN).cache()
-      val skewN = skew.count()
-
-      val cc = tmp("mb-cc")
-      val ccd = tmp("mb-ccd")
-      val sssp = tmp("mb-sssp")
-      val ssspd = tmp("mb-ssspd")
-      val tri = tmp("mb-tri")
-      val trid = tmp("mb-trid")
-      val trussd = tmp("mb-trussd")
-      val kcore = tmp("mb-kcore")
-      val kskew = tmp("mb-kskew")
-      val dcl = tmp("mb-dcl")
-      // sssp_delta's third batch DELETES every (p+su)%5==0 pair — the
-      // damaged-cone maintenance path, not an insert relaxation
-      val delta = weighted
-        .withColumn("del", ((($"src" / 2) + (($"dst" - 1) / 2)) % 5 === 0))
-      val deltaSlices = Seq(
-        delta.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", $"w", lit(1).as("op")),
-        delta.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", $"w", lit(1).as("op")),
-        delta.filter($"del").select($"src", $"dst", lit(0L).as("w"), lit(-1).as("op")))
-      // the decremental 4-batch schedules (insert/insert/delete/re-insert
-      // — the q102/q103 shapes): batch 2 exercises split recompute /
-      // witness-withdrawal deltas, batch 3 resurrection
-      val spd = sp
-        .withColumn("del", expr("((src div 2) + ((dst - 1) div 2)) % 5 = 0"))
-        .withColumn("reins", expr("((src div 2) + ((dst - 1) div 2)) % 10 = 0"))
-      val rpd = rawPairs
-        .withColumn("del", expr("(p + su) % 5 = 0"))
-        .withColumn("reins", expr("(p + su) % 10 = 0"))
-      // q106's shape: the capped part-part projection with an
-      // edge-granular delete/re-insert schedule (truss deletions are
-      // edge-granular; witness-granular lives in the triangle lane)
-      val projd = {
-        val smallSu = rawPairs.groupBy($"su").agg(count(lit(1)).as("d"))
-          .filter($"d" <= GraphQueries.TriDegreeCap).select($"su")
-        val keptp = rawPairs.join(smallSu, Seq("su"), "left_semi")
-        keptp.as("x").join(keptp.as("y"), $"x.su" === $"y.su" && $"x.p" < $"y.p")
-          .select($"x.p".as("a"), $"y.p".as("b")).distinct()
-          .withColumn("del", ($"a" + $"b") % 5 === 0)
-          .withColumn("reins", ($"a" + $"b") % 10 === 0)
-          .cache()
-      }
-      val rows = Seq(
-        run("cc", slices3(sp, "dst div 2"))(
-          (b, i) => CcStream.processBatch(b, i, cc)),
-        run("cc_delta", Seq(
-            spd.filter(expr("(dst div 2) % 2 = 0")).select($"src", $"dst", lit(1).as("op")),
-            spd.filter(expr("(dst div 2) % 2 = 1")).select($"src", $"dst", lit(1).as("op")),
-            spd.filter($"del").select($"src", $"dst", lit(-1).as("op")),
-            spd.filter($"reins").select($"src", $"dst", lit(1).as("op"))))(
-          (b, i) => CcStream.processBatch(b, i, ccd)),
-        run("sssp", slices3(weighted, "dst div 2"))(
-          (b, i) => SsspStream.processBatch(b, i, sssp, source, GraphQueries.ScaleSsspBudget)),
-        run("sssp_delta", deltaSlices)(
-          (b, i) => SsspDeltaStream.processBatch(b, i, ssspd, source, GraphQueries.ScaleSsspBudget)),
-        run("triangle", slices3(rawPairs, "su"))(
-          (b, i) => TriangleStream.processBatch(b, i, tri)),
-        run("triangle_delta", Seq(
-            rpd.filter(expr("su % 2 = 0")).select($"p", $"su", lit(1).as("op")),
-            rpd.filter(expr("su % 2 = 1")).select($"p", $"su", lit(1).as("op")),
-            rpd.filter($"del").select($"p", $"su", lit(-1).as("op")),
-            rpd.filter($"reins").select($"p", $"su", lit(1).as("op"))))(
-          (b, i) => TriangleStream.processBatch(b, i, trid)),
-        run("truss_delta", Seq(
-            projd.filter($"b" % 2 === 0).select($"a", $"b", lit(1).as("op")),
-            projd.filter($"b" % 2 === 1).select($"a", $"b", lit(1).as("op")),
-            projd.filter($"del").select($"a", $"b", lit(-1).as("op")),
-            projd.filter($"reins").select($"a", $"b", lit(1).as("op"))))(
-          (b, i) => TrussStream.processBatch(b, i, trussd)),
-        run("kcore", slices3(sp, "dst div 2"))(
-          (b, i) => KCoreStream.processBatch(b, i, kcore)),
-        run("kcore_skew", Seq(0, 1, 2).map(i =>
-            skew.filter($"slice" === i).select($"src", $"dst")))(
-          (b, i) => KCoreStream.processBatch(b, i, kskew)),
-        run("dedup_cluster", slices3(docs, "doc_id"))(
-          (b, i) => DedupClusterStream.processBatch(spark, b, i, dcl)))
-      sp.unpersist(); rawPairs.unpersist(); weighted.unpersist(); docs.unpersist()
-      skew.unpersist()
+      lanes.unpersist()
       val sf = dir.split("/").last
-      s""""$sf":{"sparse_pairs":$spN,"weighted_edges":$wN,"documents":$docN,"skew_edges":$skewN,${rows.mkString(",")}}"""
+      s""""$sf":{"sparse_pairs":${lanes.spN},"weighted_edges":${lanes.wN},"documents":${lanes.docN},"skew_edges":${lanes.skewN},${rows.mkString(",")}}"""
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. r10 additions: sf0.001 third decade; sssp_delta (batch2 is a DELETE batch - damaged-cone maintenance); kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges (~90% of the nodes) that every node-sliced batch touches, so each batch re-peels ~the whole graph and per-batch cost ~ corpus cost by design (see KCoreStream scaladoc). r11 additions: cc_delta, triangle_delta and truss_delta (the q106 edge-granular insert/insert/delete/re-insert schedule over the capped part-part projection) complete the decremental family's lanes; ALL maintained-store reads (Cc/Triangle/KCore AND Sssp/SsspDelta - edges/events bucket on src, distances on node plus a second pred bucket for the damaged-cone descendant probe) now run over the bucketed layout (batch=<id>/<pb>=<hash>/..., Stores.readPruned / pruneTo) so the restricted scans prune files as well as shuffle - at these SFs the win is bounded by tiny per-batch file counts (listing/open overhead dominates), the property that matters at 100 TB is that scan bytes track touched buckets, asserted plan-level by BucketPruningSpec; SSSP relaxation loops additionally cut lineage per round (localCheckpoint) so each pruned read's bucket-id action evaluates its candidate set once, not once per downstream action. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

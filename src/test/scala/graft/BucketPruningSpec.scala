@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CcStream, SsspDeltaStream, SsspStream, Stores, TriangleStream}
+import graft.streaming.{CcStream, FunnelStream, SsspDeltaStream, SsspStream, Stores, TriangleStream}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -229,6 +229,112 @@ class BucketPruningSpec extends AnyFunSuite {
     assert(lf < totalEventFiles, s"liveEdgesFrom read $lf of $totalEventFiles files")
     assert(le.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((5L, 1L), (5L, 1005L)))
+  }
+
+  test("FunnelStream: the history read prunes the events store to touched user buckets") {
+    import spark.implicits._
+    val store = tmp("bprune-funnel")
+    // many users across two batches so events span every user bucket
+    def ev(r: Range, t: String) = r.map(i => (i.toLong, t, i.toLong * 10))
+    FunnelStream.processBatch(
+      ev(1 to 120, "view").toDF("user_id", "event_type", "ts_us"), 0L, store)
+    FunnelStream.processBatch(
+      ev(121 to 200, "view").toDF("user_id", "event_type", "ts_us"), 1L, store)
+    val totalEventFiles = parquetFilesUnder(s"$store/events")
+    assert(totalEventFiles > Stores.NumBuckets,
+      "fixture too small — events must span buckets for pruning to be visible")
+    // the processBatch history read, verbatim: pruned then semi-joined
+    val touched = Seq(5L).toDF("user_id")
+    val hist = Stores.readPruned(spark, s"$store/events", FunnelStream.UserBucket, touched)
+      .filter($"batch" <= 1L)
+      .join(touched, Seq("user_id"), "left_semi")
+      .select($"user_id", $"event_type", $"ts_us")
+    val (hf, hp) = scanStats(hist, "/events", Set("pbu"))
+    assert(hp, "history scan must carry a pbu partition filter")
+    assert(hf < totalEventFiles, s"history read $hf of $totalEventFiles files")
+    assert(hist.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((5L, "view", 50L)))
+    // compaction keeps the layout AND the served funnel table
+    val before = FunnelStream.snapshot(spark, store).collect()
+      .map(_.toString).toSet
+    FunnelStream.compact(spark, store, throughBatch = 1L)
+    val total = parquetFilesUnder(s"$store/events")
+    val hist2 = Stores.readPruned(spark, s"$store/events", FunnelStream.UserBucket, touched)
+      .join(touched, Seq("user_id"), "left_semi")
+    val (hf2, hp2) = scanStats(hist2, "/events", Set("pbu"))
+    assert(hp2 && hf2 < total,
+      s"post-compaction history read must stay pruned (read $hf2 of $total)")
+    val after = FunnelStream.snapshot(spark, store).collect()
+      .map(_.toString).toSet
+    assert(after === before, "compaction changed the served funnel table")
+  }
+
+  test("bucket ids resolve the key column BY NAME — a reordered frame still prunes correctly") {
+    import spark.implicits._
+    val store = tmp("bprune-byname")
+    CcStream.processBatch(
+      (1L to 200L).map(i => (i, i + 1000L)).toDF("src", "dst"), 0L, store)
+    // keys frame carrying the key column SECOND, behind a decoy whose
+    // values hash to different buckets — positional hashing would prune
+    // to the WRONG buckets and silently drop node 5's rows
+    val reordered = Seq((999999L, 5L)).toDF("decoy", "node")
+    val labs = Stores.pruneTo(
+        Stores.read(spark, s"$store/labels"), CcStream.NodeBucket, reordered)
+      .join(Seq(5L).toDF("node"), Seq("node"), "left_semi")
+      .filter($"component".isNotNull)
+    val (_, lp) = scanStats(labs, "/labels", Set("pbn"))
+    assert(lp, "reordered-frame pruning must still emit the pbn partition filter")
+    assert(labs.select($"node").collect().map(_.getLong(0)).toSet === Set(5L),
+      "by-name resolution must hash the named key column, not the first one")
+    // a multi-column frame WITHOUT the key column is ambiguous — loud
+    // failure, never a silent mis-prune
+    val ambiguous = Seq((5L, 6L)).toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Stores.pruneTo(Stores.read(spark, s"$store/labels"),
+        CcStream.NodeBucket, ambiguous).collect()
+    }
+    assert(ex.getMessage.contains("node"),
+      "the rejection must name the bucket key it could not resolve")
+  }
+
+  test("mixed-layout appends and folds fail loudly with the migration recipe") {
+    import spark.implicits._
+    val flat = tmp("bprune-mixed")
+    // a flat (pre-r11) store with two live batches
+    Stores.writeBatch(Seq((1L, 10L)).toDF("node", "component"), 0L, s"$flat/labels")
+    Stores.writeBatch(Seq((2L, 20L)).toDF("node", "component"), 1L, s"$flat/labels")
+    val b = Stores.Bucket("pbn", "node")
+    // bucketed append onto the flat store: rejected BEFORE it lands
+    val exA = intercept[IllegalStateException] {
+      Stores.writeBatch(Seq((3L, 30L)).toDF("node", "component"),
+        2L, s"$flat/labels", Seq(b))
+    }
+    assert(exA.getMessage.contains("fold"),
+      "the append rejection must point at the fold migration")
+    // partial fold in the new layout beside leftover flat batches: rejected
+    val exF = intercept[IllegalStateException] {
+      Stores.fold(spark, s"$flat/labels", throughBatch = 0L, Seq(b))(
+        df => df.select(col("node"), col("component")))
+    }
+    assert(exF.getMessage.contains("HIGHEST"),
+      "the fold rejection must demand folding through the highest live batch")
+    // the documented migration: fold through the HIGHEST live batch with
+    // the new buckets, then bucketed appends land and reads prune
+    Stores.fold(spark, s"$flat/labels", throughBatch = 1L, Seq(b))(
+      df => df.select(col("node"), col("component")))
+    Stores.writeBatch(Seq((3L, 30L)).toDF("node", "component"),
+      2L, s"$flat/labels", Seq(b))
+    val rows = Stores.read(spark, s"$flat/labels")
+      .select($"node", $"component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "the migrated store must serve every pre- and post-migration row")
+    // and the flat direction: a flat append onto the now-bucketed store
+    val exB = intercept[IllegalStateException] {
+      Stores.writeBatch(Seq((4L, 40L)).toDF("node", "component"),
+        3L, s"$flat/labels")
+    }
+    assert(exB.getMessage.contains("flat"))
   }
 
   test("a store without bucket columns falls back to the unpruned read") {
