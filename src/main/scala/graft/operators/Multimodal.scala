@@ -1064,6 +1064,129 @@ object Multimodal {
       } catch { case _: IndexOutOfBoundsException => None }
     }
 
+    /** A decoded GIF89a animation: full-frame index rasters in stream
+      * order, each with its graphic-control delay (centiseconds; 0 when
+      * the frame carried no control block). */
+    final case class Anim(width: Int, height: Int, palette: Array[Byte],
+        delaysCs: Seq[Int], frames: Seq[Array[Byte]])
+
+    /** Multi-frame decode (round 12 — the animation half of the codec).
+      * Each frame is its own LZW stream behind its own descriptor;
+      * graphic-control extensions (0x21 0xF9) supply per-frame delays and
+      * other extensions (comment, application/NETSCAPE loop) are walked
+      * and skipped. The supported subset stays honest to the S8 rule —
+      * anything outside it decodes to None, never to wrong pixels:
+      * frames must be FULL-FRAME (left=top=0, frame dims = screen dims;
+      * compositing partial frames under the four disposal methods is a
+      * renderer's job, and emitting an un-composited partial raster as if
+      * it were the frame would be wrong pixels), non-interlaced, global
+      * palette only, and at least one frame must precede the trailer. */
+    def decodeFrames(bytes: Array[Byte]): Option[Anim] = {
+      var pos = 0
+      def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
+      def u16(): Int = { val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
+      try {
+        if (bytes.length < 13) return None
+        val sig = new String(bytes, 0, 6, "US-ASCII")
+        if (sig != "GIF89a" && sig != "GIF87a") return None
+        pos = 6
+        val w = u16(); val h = u16()
+        val packed = u8(); u8(); u8()
+        if ((packed & 0x80) == 0) return None
+        if ((packed & 0x07) != 7) return None // see decode: minCode=8 ⇒ 256 entries
+        val tableLen = 3 * (2 << (packed & 0x07))
+        if (pos + tableLen > bytes.length) return None
+        val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + tableLen)
+        pos += tableLen
+        val frames = Seq.newBuilder[Array[Byte]]
+        val delays = Seq.newBuilder[Int]
+        var nFrames = 0
+        var pendingDelay = 0 // a control block governs the NEXT frame only
+        while (true) {
+          u8() match {
+            case 0x21 =>
+              val label = u8()
+              if (label == 0xF9) {
+                // graphic control: size-4 block — packed, delay, transparent
+                if (u8() != 4) return None
+                u8(); pendingDelay = u16(); u8()
+                if (u8() != 0) return None
+              } else {
+                var n = u8()
+                while (n != 0) { pos += n; n = u8() }
+              }
+            case 0x2C =>
+              val left = u16(); val top = u16()
+              val iw = u16(); val ih = u16()
+              val ipacked = u8()
+              if (left != 0 || top != 0 || iw != w || ih != h) return None
+              if ((ipacked & 0x40) != 0) return None
+              if ((ipacked & 0x80) != 0) return None
+              if (u8() != MinCode) return None
+              val data = new java.io.ByteArrayOutputStream()
+              var n = u8()
+              while (n != 0) {
+                if (pos + n > bytes.length) return None
+                data.write(bytes, pos, n); pos += n
+                n = u8()
+              }
+              lzwDecode(data.toByteArray, w * h) match {
+                case Some(px) =>
+                  frames += px; delays += pendingDelay
+                  nFrames += 1; pendingDelay = 0
+                case None => return None
+              }
+            case 0x3B =>
+              return if (nFrames > 0) Some(Anim(w, h, palette, delays.result(), frames.result()))
+                else None
+            case _ => return None
+          }
+        }
+        None
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
+    /** Encode full-frame index rasters as a GIF89a animation: NETSCAPE2.0
+      * loop block, then per frame a graphic-control extension carrying
+      * its delay (centiseconds) and an LZW-compressed full-frame image.
+      * Exact pair of [[decodeFrames]]. */
+    def encodeAnimation(width: Int, height: Int,
+        frames: Seq[Array[Byte]], delaysCs: Seq[Int], loops: Int = 0): Array[Byte] = {
+      require(frames.nonEmpty && frames.length == delaysCs.length,
+        "one delay per frame")
+      require(frames.forall(_.length == width * height), "raster size mismatch")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(u16le(width)); out.write(u16le(height))
+      out.write(0xF7)
+      out.write(0); out.write(0)
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      // NETSCAPE2.0 application extension: loop count (0 = forever)
+      out.write(0x21); out.write(0xFF); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); out.write(u16le(loops)); out.write(0)
+      frames.zip(delaysCs).foreach { case (px, delay) =>
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(0) // disposal none, no transparency
+        out.write(u16le(delay)); out.write(0); out.write(0)
+        out.write(0x2C)
+        out.write(u16le(0)); out.write(u16le(0))
+        out.write(u16le(width)); out.write(u16le(height))
+        out.write(0)
+        out.write(MinCode)
+        val data = lzwEncode(px)
+        var off = 0
+        while (off < data.length) {
+          val n = math.min(255, data.length - off)
+          out.write(n); out.write(data, off, n); off += n
+        }
+        out.write(0)
+      }
+      out.write(0x3B)
+      out.toByteArray
+    }
+
     private def lzwDecode(data: Array[Byte], nPixels: Int): Option[Array[Byte]] = {
       val out = new Array[Byte](nPixels)
       var outN = 0
@@ -1211,6 +1334,77 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Frames per synthesized animation (q107). */
+  val GifFrames = 3
+
+  final case class GifAnimStats(doc_id: Long, n_frames: Int,
+      duration_cs: Int, mean_px: Double)
+
+  /** Per document: a [[GifFrames]]-frame animation whose frame f is the
+    * document's bytes shifted by f (zero-padded to the raster), with
+    * per-frame delays 10+f cs — every frame exercises its own LZW stream
+    * and control block. */
+  def synthesizeGifAnim(rows: Iterator[(Long, Array[Byte])]): Iterator[(Long, Array[Byte])] =
+    rows.map { case (id, txt) =>
+      val frames = (0 until GifFrames).map { f =>
+        val px = new Array[Byte](GifW * GifH)
+        var j = 0
+        while (j < px.length) {
+          if (j + f < txt.length) px(j) = txt(j + f)
+          j += 1
+        }
+        px
+      }
+      (id, Gif.encodeAnimation(GifW, GifH, frames, (0 until GifFrames).map(10 + _)))
+    }
+
+  /** REAL multi-frame decode → frame count, total duration, and the
+    * all-frames pixel mean THROUGH THE PALETTE (the decoder's color
+    * path, matching [[decodeGifStats]]). */
+  def decodeGifAnimStats(rows: Iterator[(Long, Array[Byte])]): Iterator[GifAnimStats] =
+    rows.flatMap { case (id, payload) =>
+      Gif.decodeFrames(payload).map { anim =>
+        val n = anim.width * anim.height
+        var sum = 0L
+        anim.frames.foreach { fr =>
+          var p = 0
+          while (p < n) { sum += anim.palette((fr(p) & 0xFF) * 3) & 0xFF; p += 1 }
+        }
+        GifAnimStats(id, anim.frames.length, anim.delaysCs.sum,
+          sum.toDouble / (n.toLong * anim.frames.length))
+      }
+    }
+
+  /** q107 — the ANIMATION half of the GIF codec: synthesize a 3-frame
+    * GIF89a per document (NETSCAPE loop block, per-frame graphic-control
+    * delays, one LZW stream per frame), decode every frame, emit frame
+    * count + total duration + the all-frames palette mean. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeGifAnimStats(synthesizeGifAnim(rows)))
+      .select($"doc_id", $"n_frames", $"duration_cs", $"mean_px")
+      .orderBy($"doc_id")
+  }
+
+  // oracle = the roundtrip identity per frame: frame f's padded-shift
+  // mean, averaged over frames; duration = Σ (10+f) = 33 cs. Single-byte
+  // corpus assumption as in q101Sql.
+  private val q107Sql = {
+    val raster = GifW * GifH
+    val duration = (0 until GifFrames).map(10 + _).sum
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j + f < len THEN ascii(substr(text, CAST(j + f + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j), range($GifFrames) u(f)),
+       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($GifFrames AS INTEGER) AS n_frames,
+       |  CAST($duration AS INTEGER) AS duration_cs,
+       |  sv / ${raster * GifFrames}.0 AS mean_px
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -1220,5 +1414,6 @@ object Multimodal {
     GQuery("q91_qoi_decode", q91, Some(q91Sql)),
     GQuery("q95_png_decode", q95, Some(q95Sql)),
     GQuery("q101_gif_decode", q101, Some(q101Sql)),
+    GQuery("q107_gif_anim_decode", q107, Some(q107Sql)),
   )
 }

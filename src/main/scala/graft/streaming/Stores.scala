@@ -64,10 +64,25 @@ private[graft] object Stores {
   // and pushes them as a PARTITION filter, so planning prunes the
   // listing and scan to the touched buckets. Dual-keyed stores (labels:
   // node AND component) carry one bucket column per key and prune on
-  // whichever the consumer restricts. NumBuckets is sized for the local
-  // test scale — a deployment sizes it to target-bucket-bytes (hundreds
-  // of buckets at 100 TB); the MECHANISM (shared hash, partition filter,
-  // plan-asserted pruning) is scale-free.
+  // whichever the consumer restricts.
+  //
+  // SIZING — the scale-free part is the MECHANISM (shared hash,
+  // partition filter, plan-asserted pruning), NOT the leaf-directory
+  // count, which a deployment must budget explicitly: one batch writes
+  // up to Π nb_i leaf directories (nb for a single-key store, nb² for a
+  // dual-keyed one — the keys NEST). With B live batches between
+  // compactions the store holds ≤ (B + generations) · Π nb_i leaf dirs,
+  // so the listing bill is bounded by the COMPACTION CADENCE, and nb_i
+  // must be sized jointly: hold Π nb_i at or below a leaf budget (a few
+  // × the cluster's task count — e.g. dual keys at 32×32 ≈ 10³, NOT
+  // 256×256 ≈ 65k, which multiplies into a small-files problem no
+  // cadence repairs). A deployment needing hundreds of buckets on BOTH
+  // keys of one store should split it into two single-key replicas (2×
+  // storage, nb dirs each, same per-consumer pruning) instead of
+  // squaring the leaf count. At the local test scale NumBuckets = 8
+  // keeps Π nb_i ≤ 64. MAINTAB_r12 measures what the layout itself
+  // costs per batch at bench scale (write repartition + extra leaf dirs
+  // + per-read bucket-id action) against the flat r10 layout.
   // ---------------------------------------------------------------------
 
   /** One bucket column of a store's layout: `pbCol` is the partition
@@ -110,7 +125,7 @@ private[graft] object Stores {
   def writeBatch(df: DataFrame, batchId: Long, path: String,
       buckets: Seq[Bucket] = Nil): Unit = {
     val bks = if (bucketingEnabled) buckets else Nil
-    requireLayoutMatches(df.sparkSession, new Path(path), bks.nonEmpty, "writeBatch")
+    requireLayoutMatches(df.sparkSession, new Path(path), bks.map(_.pbCol), "writeBatch")
     val parts = "batch" +: bks.map(_.pbCol)
     val withPb = withBucketCols(df, bks).withColumn("batch", lit(batchId))
     val out =
@@ -120,41 +135,57 @@ private[graft] object Stores {
       .partitionBy(parts: _*).parquet(path)
   }
 
-  /** Layout of the store's existing batches, from ONE representative
-    * batch directory: bucketed layouts nest `pb=<id>` directories under
-    * `batch=<id>`; flat layouts hold parquet files directly. None when
-    * the store is empty/absent (nothing to conflict with). */
-  private def existingLayout(fs: FileSystem, root: Path): Option[Boolean] = {
+  /** Bucket partition columns of the store's existing batches, from ONE
+    * representative batch directory: walk the first child chain
+    * collecting `k=v` directory names under `batch=<id>` (Nil for a flat
+    * layout). None when the store is empty/absent (nothing to conflict
+    * with). */
+  private def existingLayout(fs: FileSystem, root: Path): Option[Seq[String]] = {
     if (!fs.exists(root)) return None
     val batches = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
     if (batches.isEmpty) None
-    else {
-      val children = fs.listStatus(batches.head.getPath)
-      if (children.isEmpty) None
-      else Some(children.exists(c => c.isDirectory && c.getPath.getName.contains("=")))
+    else layoutColsOf(fs, batches.head.getPath)
+  }
+
+  /** The `k=v` directory-name chain under one batch directory (Nil for a
+    * flat batch); None when empty (nothing to compare). */
+  private def layoutColsOf(fs: FileSystem, batchDir: Path): Option[Seq[String]] = {
+    var at = batchDir
+    val cols = Seq.newBuilder[String]
+    while (true) {
+      val children = fs.listStatus(at)
+      if (children.isEmpty) return None
+      children.find(c => c.isDirectory && c.getPath.getName.contains("=")) match {
+        case Some(c) =>
+          cols += c.getPath.getName.takeWhile(_ != '=')
+          at = c.getPath
+        case None => return Some(cols.result())
+      }
     }
+    None
   }
 
   /** MIGRATION GUARD (round 12): appending under a layout that disagrees
-    * with the store's existing batches (bucketed beside flat, or the
-    * reverse) makes parquet partition discovery throw "Conflicting
-    * directory structures" on every subsequent read — AFTER the append
-    * already landed. Fail the append loudly instead, with the documented
-    * migration: fold the store through its HIGHEST live batch id, passing
-    * the NEW layout's buckets ([[fold]] restages every surviving row under
-    * the new layout), before the first append in that layout. Costs two
-    * listing RPCs per write — within the family's existing per-read
-    * survey envelope. */
+    * with the store's existing batches — bucketed beside flat, or a
+    * DIFFERENT bucket-column sequence (a single-key replica beside an
+    * old dual-key batch) — makes parquet partition discovery throw
+    * "Conflicting directory structures" on every subsequent read — AFTER
+    * the append already landed. Fail the append loudly instead, with the
+    * documented migration: fold the store through its HIGHEST live batch
+    * id, passing the NEW layout's buckets ([[fold]] restages every
+    * surviving row under the new layout), before the first append in
+    * that layout. Costs a few listing RPCs per write — within the
+    * family's existing per-read survey envelope. */
   private def requireLayoutMatches(s: SparkSession, root: Path,
-      bucketed: Boolean, who: String): Unit =
+      pbCols: Seq[String], who: String): Unit =
     existingLayout(fsOf(s, root), root).foreach { was =>
-      if (was != bucketed) throw new IllegalStateException(
-        s"$who($root): ${if (bucketed) "bucketed" else "flat"} batch conflicts " +
-          s"with the store's existing ${if (was) "bucketed" else "flat"} layout — " +
-          "mixed directory depth wedges every subsequent partition discovery. " +
-          "Migrate first: Stores.fold through the store's highest live batch id " +
-          "with the new layout's buckets, then append.")
+      if (was != pbCols) throw new IllegalStateException(
+        s"$who($root): batch layout [${pbCols.mkString(",")}] conflicts with " +
+          s"the store's existing [${was.mkString(",")}] — mixed directory " +
+          "layouts wedge every subsequent partition discovery. Migrate first: " +
+          "Stores.fold through the store's highest live batch id with the new " +
+          "layout's buckets, then append.")
     }
 
   /** The distinct bucket ids the restriction keys can live in — ≤ nb
@@ -190,7 +221,13 @@ private[graft] object Stores {
     * falls back unfiltered. */
   def pruneTo(df: DataFrame, b: Bucket, keys: DataFrame): DataFrame =
     if (!pruningEnabled || !df.columns.contains(b.pbCol)) df
-    else df.filter(col(b.pbCol).isInCollection(bucketIdsOf(keys, b)))
+    else {
+      val ids = bucketIdsOf(keys, b)
+      // a restriction touching EVERY bucket prunes nothing — skip the
+      // filter so planning doesn't carry a vacuous IN over the store
+      if (ids.size >= b.nb) df
+      else df.filter(col(b.pbCol).isInCollection(ids))
+    }
 
   /** [[read]] pruned to the buckets the restriction `keys` can live in:
     * the bucket ids become a PARTITION filter, so the scan lists and
@@ -354,15 +391,14 @@ private[graft] object Stores {
     // migration fold to completion before serving.)
     val leftover = live -- sources
     if (leftover.nonEmpty) {
-      val sample = new Path(root, s"batch=${leftover.head}")
-      val kids = fs.listStatus(sample)
-      val was = kids.exists(c => c.isDirectory && c.getPath.getName.contains("="))
-      if (kids.nonEmpty && was != bks.nonEmpty) throw new IllegalStateException(
-        s"fold($root): staging a ${if (bks.nonEmpty) "bucketed" else "flat"} " +
-          s"generation beside ${if (was) "bucketed" else "flat"} live batches " +
-          s"${leftover.toSeq.sorted.mkString("{", ",", "}")} would mix directory " +
-          "depths and wedge partition discovery. A layout migration must fold " +
-          "through the store's HIGHEST live batch id.")
+      layoutColsOf(fs, new Path(root, s"batch=${leftover.head}")).foreach { was =>
+        if (was != bks.map(_.pbCol)) throw new IllegalStateException(
+          s"fold($root): staging a [${bks.map(_.pbCol).mkString(",")}] generation " +
+            s"beside [${was.mkString(",")}] live batches " +
+            s"${leftover.toSeq.sorted.mkString("{", ",", "}")} would mix directory " +
+            "layouts and wedge partition discovery. A layout migration must fold " +
+            "through the store's HIGHEST live batch id.")
+      }
     }
     val stagingId = live.filter(_ < 0).minOption.getOrElse(0L) - 1L
 

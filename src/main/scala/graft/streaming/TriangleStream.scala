@@ -64,10 +64,13 @@ import org.apache.spark.sql.types._
   * full graph is never re-enumerated, and every store read is restricted
   * by a semi/anti join BEFORE any shuffle or distinct (nothing
   * corpus-sized is ever shuffled or materialized per batch). Since
-  * round 11 the restricted scans PRUNE FILES too: `pairs` is bucketed
-  * on supplier and part hash, `edges` on both endpoints
-  * ([[Stores.readPruned]] — each consumer prunes on the key it
-  * restricts by; BucketPruningSpec asserts it on the executed plan).
+  * round 11 the restricted scans PRUNE FILES too, and since round 12
+  * each relation keeps dual SINGLE-KEY REPLICAS (`pairs`/`pairsp` keyed
+  * su/p, `edges`/`edgesb` keyed a/b — see the layout note at the bucket
+  * constants for the MAINTAB_r12 measurement that retired the nested
+  * dual-key layout); each consumer prunes the replica keyed by its
+  * restriction ([[Stores.readPruned]]; BucketPruningSpec asserts it on
+  * the executed plan).
   * TriangleStreamSpec pins equality with
   * batch q83 under splits forcing cross-batch wedge closures, a
   * cap-crossing removal, a deletion destroying a cross-batch triangle,
@@ -91,16 +94,30 @@ object TriangleStream {
     StructField("su", LongType, nullable = false),
     StructField("op", IntegerType, nullable = false)))
 
-  /** Bucketed layout (round 11, [[Stores.readPruned]]): pairs carry
-    * bucket columns for BOTH restriction keys (supplier for the touched
-    * slice, part for the pinned-witness probe); edges for both
-    * endpoints (each [[edgesTouching]] branch prunes on its side). */
-  private val PairPBucket = Stores.Bucket("pbp", "p")
-  private val PairSuBucket = Stores.Bucket("pbsu", "su")
-  private[graft] val PairBuckets = Seq(PairPBucket, PairSuBucket)
-  private val EdgeABucket = Stores.Bucket("pba", "a")
-  private val EdgeBBucket = Stores.Bucket("pbb", "b")
-  private[graft] val EdgeBuckets = Seq(EdgeABucket, EdgeBBucket)
+  /** Bucketed layout (round 12 — dual SINGLE-KEY REPLICAS): this store
+    * has two restriction keys per relation (pairs are probed by supplier
+    * for the touched slice and by part for the pinned-witness check;
+    * edges by either endpoint), and round 11 served both from ONE store
+    * nesting both bucket keys — up to nb² leaf directories per batch.
+    * MAINTAB_r12 (same-JVM A/B, this binary) measured that layout at
+    * 1.46–1.64× the flat lane total across sf0.001–0.1, write-side
+    * dominated (1.28–1.53× from the per-combo files plus the dynamic-
+    * overwrite commit over nb² directories) — the cost did NOT amortize
+    * with SF, contradicting the round-11 note. The replicas fix the
+    * constant structurally: each relation is written TWICE, each copy
+    * bucketed on ONE key (2·nb leaf dirs per batch, linear in nb — a
+    * deployment can size nb to hundreds without squaring the leaf
+    * count), and each consumer prunes the replica keyed by ITS
+    * restriction. Storage doubles for delta-sized relations — the
+    * standard index-replica trade. Reads fall back to the primary copy
+    * (pruned if it still carries the old dual-key columns, else
+    * unpruned-but-semi-joined) when a replica is absent, so pre-replica
+    * stores keep serving; APPENDS to them trip [[Stores]]' layout guard
+    * with the fold-through-highest migration. */
+  private[graft] val PairSuBucket = Stores.Bucket("pbsu", "su")
+  private[graft] val PairPBucket = Stores.Bucket("pbp", "p")
+  private[graft] val EdgeABucket = Stores.Bucket("pba", "a")
+  private[graft] val EdgeBBucket = Stores.Bucket("pbb", "b")
 
   private def exists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -116,20 +133,21 @@ object TriangleStream {
     * every batch corpus-sized). Legacy op-less rows default to inserts
     * ([[Stores.withOpDefault]]). */
   private def rawPairsBefore(s: SparkSession, storeDir: String, upTo: Long,
-      prune: Option[(Stores.Bucket, DataFrame)] = None): DataFrame = {
+      b: Stores.Bucket, keys: DataFrame): DataFrame = {
     import s.implicits._
+    // replica routing: su-keyed probes read `pairs`, p-keyed probes the
+    // `pairsp` replica; a store predating the replica split serves every
+    // probe from `pairs` (readPruned still prunes it when the old
+    // dual-key bucket column is present, else the semi-join alone
+    // restricts — correct, just unpruned)
+    val sub = if (b == PairPBucket && exists(s, s"$storeDir/pairsp")) "pairsp" else "pairs"
     if (!exists(s, s"$storeDir/pairs"))
       s.emptyDataFrame.select(lit(0L).as("p"), lit(0L).as("su"),
         lit(1).as("op"), lit(0L).as("batch")).limit(0)
-    else {
-      val raw = prune match {
-        case Some((b, keys)) => Stores.readPruned(s, s"$storeDir/pairs", b, keys)
-        case None => Stores.read(s, s"$storeDir/pairs")
-      }
-      Stores.withOpDefault(raw)
+    else
+      Stores.withOpDefault(Stores.readPruned(s, s"$storeDir/$sub", b, keys))
         .filter($"batch" < upTo)
         .select($"p", $"su", $"op", $"batch")
-    }
   }
 
   /** LIVE (p, su) witnesses of raw ± rows: the pair's latest insert must
@@ -169,12 +187,14 @@ object TriangleStream {
     if (!exists(s, s"$storeDir/edges"))
       s.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
     else {
-      // per-branch bucket pruning: the a-side branch can only match rows
-      // whose a-bucket is touched, the b-side branch likewise — each
-      // pruned read lists only its side's touched buckets
+      // per-branch replica pruning: the a-side branch reads the a-keyed
+      // copy, the b-side branch its `edgesb` replica — each pruned read
+      // lists only its side's touched buckets of its own copy (fallback
+      // for pre-replica stores: see rawPairsBefore)
+      val bSub = if (exists(s, s"$storeDir/edgesb")) "edgesb" else "edges"
       val rawA = Stores.readPruned(s, s"$storeDir/edges", EdgeABucket, endpoints)
         .filter($"batch" < upTo)
-      val rawB = Stores.readPruned(s, s"$storeDir/edges", EdgeBBucket, endpoints)
+      val rawB = Stores.readPruned(s, s"$storeDir/$bSub", EdgeBBucket, endpoints)
         .filter($"batch" < upTo)
       val restricted = rawA
         .join(endpoints.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
@@ -283,7 +303,12 @@ object TriangleStream {
     // and inserted in one batch is live after it
     val bDel = withOp.filter($"op" === -1).select($"p", $"su").distinct()
       .join(bIns, Seq("p", "su"), "left_anti").localCheckpoint()
-    Stores.writeBatch(withOp.distinct(), batchId, s"$storeDir/pairs", PairBuckets)
+    // dual single-key replicas (see the layout note): the same rows land
+    // twice, each copy bucketed on one restriction key — checkpointed
+    // first so the distinct runs once, not once per replica write
+    val batchRows = withOp.distinct().localCheckpoint()
+    Stores.writeBatch(batchRows, batchId, s"$storeDir/pairs", Seq(PairSuBucket))
+    Stores.writeBatch(batchRows, batchId, s"$storeDir/pairsp", Seq(PairPBucket))
 
     val touchedSu = withOp.select($"su").distinct().localCheckpoint()
     // using-column joins put the join column FIRST in the output — every
@@ -291,7 +316,7 @@ object TriangleStream {
     // Liveness resolution lands AFTER the touched-supplier restriction:
     // only the touched slice is shuffled/materialized, never the store
     val prevTouched = livePairs(
-        rawPairsBefore(s, storeDir, batchId, Some((PairSuBucket, touchedSu)))
+        rawPairsBefore(s, storeDir, batchId, PairSuBucket, touchedSu)
           .join(touchedSu, Seq("su"), "left_semi"))
       .localCheckpoint()
     // live-after = (live-before minus effective deletes) plus inserts
@@ -310,14 +335,14 @@ object TriangleStream {
     val candParts = cand.select($"a".as("p")).union(cand.select($"b")).distinct()
       .localCheckpoint()
     val otherPairs = livePairs(
-        rawPairsBefore(s, storeDir, batchId, Some((PairPBucket, candParts)))
+        rawPairsBefore(s, storeDir, batchId, PairPBucket, candParts)
           .join(touchedSu, Seq("su"), "left_anti")
           .join(candParts, Seq("p"), "left_semi"))
       .localCheckpoint()
     val otherSus = otherPairs.select($"su").distinct()
     val okOther = otherPairs.join(
       livePairs(
-        rawPairsBefore(s, storeDir, batchId, Some((PairSuBucket, otherSus)))
+        rawPairsBefore(s, storeDir, batchId, PairSuBucket, otherSus)
           .join(otherSus, Seq("su"), "left_semi"))
         .groupBy($"su").agg(count(lit(1)).as("d")).filter($"d" <= cap).select($"su"),
       Seq("su"), "left_semi").localCheckpoint()
@@ -347,15 +372,18 @@ object TriangleStream {
     // reads — a batch with no edge/count delta writes nothing (the store
     // is a sum; absent partitions contribute zero, and redelivery of an
     // empty batch id recomputes the same nothing)
-    def writeDelta(df: DataFrame, sub: String, buckets: Seq[Stores.Bucket]): Unit = {
+    def writeDelta(df: DataFrame, subs: Seq[(String, Seq[Stores.Bucket])]): Unit = {
       val d = df.cache()
-      if (!d.isEmpty) Stores.writeBatch(d, batchId, s"$storeDir/$sub", buckets)
+      if (!d.isEmpty) subs.foreach { case (sub, buckets) =>
+        Stores.writeBatch(d, batchId, s"$storeDir/$sub", buckets) }
       d.unpersist(blocking = false)
     }
+    // edge deltas land in both endpoint replicas (see the layout note)
     writeDelta(added.select($"a", $"b", lit(1).as("op"))
-      .union(removed.select($"a", $"b", lit(-1).as("op"))), "edges", EdgeBuckets)
+        .union(removed.select($"a", $"b", lit(-1).as("op"))),
+      Seq("edges" -> Seq(EdgeABucket), "edgesb" -> Seq(EdgeBBucket)))
     // counts stay unbucketed: their only read is the full-store serving sum
-    writeDelta(countDelta, "counts", Nil)
+    writeDelta(countDelta, Seq("counts" -> Nil))
   }
 
   /** Served per-part triangle counts — q83's output shape (parts in at
@@ -395,13 +423,47 @@ object TriangleStream {
     * keep non-zero per-part nets. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/pairs", throughBatch, PairBuckets)(raw =>
+    // each replica folds under ITS key's layout; pre-replica stores have
+    // no pairsp/edgesb roots and Stores.fold no-ops on them
+    Stores.fold(s, s"$storeDir/pairs", throughBatch, Seq(PairSuBucket))(raw =>
       livePairs(Stores.withOpDefault(raw)).select($"p", $"su", lit(1).as("op")))
-    Stores.fold(s, s"$storeDir/edges", throughBatch, EdgeBuckets)(
+    Stores.fold(s, s"$storeDir/pairsp", throughBatch, Seq(PairPBucket))(raw =>
+      livePairs(Stores.withOpDefault(raw)).select($"p", $"su", lit(1).as("op")))
+    Stores.fold(s, s"$storeDir/edges", throughBatch, Seq(EdgeABucket))(
+      _.groupBy($"a", $"b").agg(sum($"op").as("net"))
+        .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
+    Stores.fold(s, s"$storeDir/edgesb", throughBatch, Seq(EdgeBBucket))(
       _.groupBy($"a", $"b").agg(sum($"op").as("net"))
         .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
     Stores.fold(s, s"$storeDir/counts", throughBatch)(
       _.groupBy($"part").agg(sum($"delta").cast("long").as("delta"))
         .filter($"delta" =!= 0L).select($"part", $"delta"))
+    // REPLICA SEEDING (migration): a pre-replica store has no
+    // pairsp/edgesb roots — fold alone cannot create them, and a later
+    // processBatch would otherwise create a replica holding only new
+    // batches, so the p/b-keyed probes would silently miss all history.
+    // Seed each missing replica from its primary's surviving rows ≤
+    // throughBatch, written at id = throughBatch: every prefix read
+    // (batch < upTo with upTo > throughBatch) then sees exactly the
+    // primary's folded content, and a crashed in-flight batch >
+    // throughBatch is excluded (its redelivery rewrites both replicas).
+    def seed(primary: String, replica: String, bucket: Stores.Bucket)(
+        stage: DataFrame => DataFrame): Unit =
+      if (Stores.exists(s, s"$storeDir/$primary") &&
+          !Stores.exists(s, s"$storeDir/$replica")) {
+        val rows = stage(Stores.withOpDefault(Stores.read(s, s"$storeDir/$primary"))
+          .filter($"batch" <= throughBatch)).cache()
+        // an empty seed writes nothing (a zero-partition overwrite would
+        // wedge the root); the replica stays absent and reads keep
+        // falling back to the primary — consistent either way
+        if (!rows.isEmpty)
+          Stores.writeBatch(rows, throughBatch, s"$storeDir/$replica", Seq(bucket))
+        rows.unpersist(blocking = false)
+      }
+    seed("pairs", "pairsp", PairPBucket)(raw =>
+      livePairs(raw).select($"p", $"su", lit(1).as("op")))
+    seed("edges", "edgesb", EdgeBBucket)(
+      _.groupBy($"a", $"b").agg(sum($"op").as("net"))
+        .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
   }
 }

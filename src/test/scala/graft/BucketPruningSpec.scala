@@ -119,24 +119,38 @@ class BucketPruningSpec extends AnyFunSuite {
     assert(after === before, "compaction changed the served labels")
   }
 
-  test("TriangleStream: edgesTouching prunes each branch on its endpoint bucket") {
+  test("TriangleStream: edgesTouching prunes each branch on its endpoint replica") {
     import spark.implicits._
     val store = tmp("bprune-tri")
     // a 120-node path of projected edges: supplier 100+i witnesses edge
     // (i, i+1) — edges span both endpoint buckets
     val pairs = (1L to 120L).flatMap(i => Seq((i, 100L + i), (i + 1, 100L + i)))
     TriangleStream.processBatch(pairs.toDF("p", "su"), 0L, store)
-    val totalEdgeFiles = parquetFilesUnder(s"$store/edges")
-    assert(totalEdgeFiles > Stores.NumBuckets,
-      "fixture too small — edges must span buckets")
+    // round 12: dual single-key replicas — the a-branch reads `edges`
+    // (bucketed pba), the b-branch its `edgesb` replica (bucketed pbb)
+    val totalEdgeFiles =
+      parquetFilesUnder(s"$store/edges") + parquetFilesUnder(s"$store/edgesb")
+    assert(totalEdgeFiles >= 2 * Stores.NumBuckets,
+      "fixture too small — each edge replica must span buckets")
     val et = TriangleStream.edgesTouching(spark, store, 5L,
       Seq(5L).toDF("n"))
     val (f, p) = scanStats(et, "/edges", Set("pba", "pbb"))
     assert(p, "both edgesTouching branches must carry endpoint partition filters")
     assert(f < totalEdgeFiles,
-      s"edgesTouching read $f files — not less than the store's $totalEdgeFiles")
+      s"edgesTouching read $f files — not less than the replicas' $totalEdgeFiles")
     assert(et.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((4L, 5L), (5L, 6L)))
+    // a pre-replica (round-11) store keeps serving: drop the replicas and
+    // the b-branch falls back to the a-keyed copy, semi-join-restricted
+    val fs = new java.io.File(s"$store/edgesb")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(fs); rm(new java.io.File(s"$store/pairsp"))
+    val et2 = TriangleStream.edgesTouching(spark, store, 5L, Seq(5L).toDF("n"))
+    assert(et2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((4L, 5L), (5L, 6L)), "replica-less fallback must serve identically")
   }
 
   test("SsspStream: dist lookups and relaxation edge reads prune to frontier buckets") {
@@ -334,7 +348,8 @@ class BucketPruningSpec extends AnyFunSuite {
       Stores.writeBatch(Seq((4L, 40L)).toDF("node", "component"),
         3L, s"$flat/labels")
     }
-    assert(exB.getMessage.contains("flat"))
+    assert(exB.getMessage.contains("[pbn]"),
+      "the rejection must name the store's existing bucket layout")
   }
 
   test("a store without bucket columns falls back to the unpruned read") {

@@ -153,4 +153,64 @@ class GifSpec extends AnyFunSuite {
     val img = Gif.decode(spliced)
     assert(img.isDefined && img.get.indices.toSeq === Array.tabulate(32)(_.toByte).toSeq)
   }
+
+  test("animation roundtrip: frames, per-frame delays, loop block skipped") {
+    val frames = Seq(
+      Array.fill(32)(3.toByte),
+      Array.tabulate(32)(_.toByte),
+      Array.tabulate(32)(i => (255 - i).toByte))
+    val delays = Seq(10, 0, 250) // a zero delay must survive the roundtrip
+    val bytes = Gif.encodeAnimation(8, 4, frames, delays, loops = 2)
+    val anim = Gif.decodeFrames(bytes)
+    assert(anim.isDefined, "animation roundtrip decode failed")
+    assert(anim.get.width === 8 && anim.get.height === 4)
+    assert(anim.get.frames.map(_.toSeq) === frames.map(_.toSeq))
+    assert(anim.get.delaysCs === delays)
+    // the single-frame reader applied to an animation must refuse (its
+    // contract is one image then trailer), not emit the first frame as
+    // if it were the whole file
+    assert(Gif.decode(bytes).isEmpty,
+      "single-frame decode must not silently truncate an animation")
+    // and decodeFrames over a plain single-frame GIF is the degenerate
+    // animation: one frame, delay 0
+    val single = Gif.encode(8, 4, frames(1))
+    val asAnim = Gif.decodeFrames(single)
+    assert(asAnim.isDefined && asAnim.get.frames.length === 1)
+    assert(asAnim.get.frames.head.toSeq === frames(1).toSeq)
+    assert(asAnim.get.delaysCs === Seq(0))
+  }
+
+  test("animation malformed cases: partial frames, zero frames, truncation → None") {
+    val frames = Seq(Array.fill(32)(1.toByte), Array.fill(32)(2.toByte))
+    val bytes = Gif.encodeAnimation(8, 4, frames, Seq(5, 5))
+    // offset the second frame's descriptor (left = 1): compositing is a
+    // renderer's job — emitting the raw partial raster would be wrong
+    // pixels, so the decoder must refuse
+    val secondDesc = {
+      // walk the block structure (a byte SCAN would false-positive on
+      // 0x2C inside LZW data): header 13 + table 768 + NETSCAPE app
+      // extension 19 + graphic control 8 → first descriptor; then skip
+      // its 9 desc bytes + minCode + sub-blocks + terminator + the
+      // second control block
+      var pos = 13 + 768 + 19 + 8
+      assert((bytes(pos) & 0xFF) === 0x2C, "layout walk lost the first descriptor")
+      pos += 1 + 9 + 1 // introducer + descriptor + minCode
+      var n = bytes(pos) & 0xFF
+      while (n != 0) { pos += 1 + n; n = bytes(pos) & 0xFF }
+      pos += 1 + 8
+      assert((bytes(pos) & 0xFF) === 0x2C, "layout walk lost the second descriptor")
+      pos
+    }
+    val partial = bytes.clone(); partial(secondDesc + 1) = 1 // left = 1
+    assert(Gif.decodeFrames(partial).isEmpty, "partial frame must be rejected")
+    // trailer with no frames at all
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](8, 0, 4, 0)); out.write(0xF7); out.write(0); out.write(0)
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    out.write(0x3B)
+    assert(Gif.decodeFrames(out.toByteArray).isEmpty, "zero frames must be rejected")
+    // truncation mid-second-frame
+    assert(Gif.decodeFrames(bytes.dropRight(10)).isEmpty, "truncated animation")
+  }
 }
