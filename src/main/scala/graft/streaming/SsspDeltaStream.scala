@@ -77,16 +77,25 @@ object SsspDeltaStream {
 
   /** Bucketed layout ([[Stores.readPruned]] — restricted reads must
     * prune FILES, not just shuffle): events bucket on src (every edge
-    * lookup is src-restricted over the symmetrized rows); distances
-    * carry TWO bucket columns — node for the freshest-row restriction
+    * lookup is src-restricted over the symmetrized rows); distances have
+    * TWO restriction keys — node for the freshest-row restriction
     * ([[freshRowsOf]]) and pred for the damaged-cone descendant probe
-    * (which asks "whose rows point AT the frontier?"). Tombstones' null
-    * pred hashes to a fixed bucket — they are only ever read back
-    * node-restricted, so the pred bucket never has to find them. */
+    * (which asks "whose rows point AT the frontier?") — and since
+    * round 12 are kept as dual SINGLE-KEY REPLICAS (`dists` keyed node,
+    * `distsp` keyed pred) instead of one store nesting both bucket
+    * columns: the nested layout's nb² leaf dirs per batch cost the
+    * sssp_delta lane 1.14–1.40× of flat in MAINTAB_r12, write-side
+    * dominated (the [[TriangleStream]] measurement and fix, applied to
+    * this store's pair). Pre-replica stores keep serving — the cone
+    * probe falls back to `dists`, still pruned via its old pbp column —
+    * and [[compact]] seeds the missing replica; appends onto the old
+    * layout trip [[Stores]]' guard with the fold-through-highest
+    * migration. Tombstones' null pred hashes to a fixed bucket — they
+    * are only ever read back node-restricted, so the pred replica never
+    * has to find them. */
   private[graft] val EventBucket = Stores.Bucket("pbs", "src")
   private[graft] val DistNodeBucket = Stores.Bucket("pbn", "node")
   private[graft] val DistPredBucket = Stores.Bucket("pbp", "pred")
-  private[graft] val DistBuckets = Seq(DistNodeBucket, DistPredBucket)
 
   /** Freshest NON-TOMBSTONE (node, dist, pred) rows of `nodes` only,
     * over the per-batch `store` frame (already prefix-bounded to
@@ -154,11 +163,18 @@ object SsspDeltaStream {
       .localCheckpoint()
     Stores.writeBatch(events, batchId, s"$storeDir/events", Seq(EventBucket))
     // one store frame each per batch, shared across rounds (file index
-    // resolved once — per-round cost is a restricted scan, not a listing)
+    // resolved once — per-round cost is a restricted scan, not a
+    // listing); the cone probe gets the pred-keyed replica, falling back
+    // to the node-keyed primary for pre-replica stores (still pruned
+    // there via the legacy pbp column when present)
     val distStore =
       if (Stores.exists(s, s"$storeDir/dists"))
         Some(Stores.read(s, s"$storeDir/dists").filter($"batch" < batchId))
       else None
+    val coneStore =
+      if (Stores.exists(s, s"$storeDir/distsp"))
+        Some(Stores.read(s, s"$storeDir/distsp").filter($"batch" < batchId))
+      else distStore
     val eventsDf = Stores.read(s, s"$storeDir/events").filter($"batch" <= batchId)
 
     // ---- damaged cone: tree edge deleted, then tree descendants ----
@@ -175,7 +191,7 @@ object SsspDeltaStream {
       // freshest-row check — both restricted, and the descendant probe
       // pruned to the frontier's PRED buckets (checkpointed: candNodes
       // feeds freshRowsOf's bucket-id action AND its semi-join)
-      val candNodes = Stores.pruneTo(distStore.get, DistPredBucket, dFrontier)
+      val candNodes = Stores.pruneTo(coneStore.get, DistPredBucket, dFrontier)
         .join(dFrontier.select($"node".as("pred")), Seq("pred"), "left_semi")
         .select($"node").distinct().localCheckpoint()
       val next = freshRowsOf(distStore, candNodes)
@@ -254,8 +270,10 @@ object SsspDeltaStream {
       .select($"node", lit(null).cast("long").as("dist"),
         lit(null).cast("long").as("pred"))
     val out = improvedSoFar.union(tombstones).cache()
-    if (!out.isEmpty)
-      Stores.writeBatch(out, batchId, s"$storeDir/dists", DistBuckets)
+    if (!out.isEmpty) {
+      Stores.writeBatch(out, batchId, s"$storeDir/dists", Seq(DistNodeBucket))
+      Stores.writeBatch(out, batchId, s"$storeDir/distsp", Seq(DistPredBucket))
+    }
     out.unpersist(blocking = false)
   }
 
@@ -304,8 +322,25 @@ object SsspDeltaStream {
         .filter($"bd".isNull || $"bi" >= $"bd")
         .select($"src", $"dst", $"w", lit(1).as("op"))
     }
-    Stores.fold(s, s"$storeDir/dists", throughBatch, DistBuckets)(src =>
+    Stores.fold(s, s"$storeDir/dists", throughBatch, Seq(DistNodeBucket))(src =>
       Stores.freshestPerKey(src, "node").filter($"dist".isNotNull)
         .select($"node", $"dist", $"pred"))
+    Stores.fold(s, s"$storeDir/distsp", throughBatch, Seq(DistPredBucket))(src =>
+      Stores.freshestPerKey(src, "node").filter($"dist".isNotNull)
+        .select($"node", $"dist", $"pred"))
+    // replica seeding (the TriangleStream.compact migration rule): a
+    // pre-replica store folds `dists` but has no `distsp` root — seed it
+    // from the primary's surviving rows ≤ throughBatch so the cone
+    // probe's replica never silently misses history
+    if (Stores.exists(s, s"$storeDir/dists") &&
+        !Stores.exists(s, s"$storeDir/distsp")) {
+      val rows = Stores.freshestPerKey(
+          Stores.read(s, s"$storeDir/dists").filter($"batch" <= throughBatch), "node")
+        .filter($"dist".isNotNull)
+        .select($"node", $"dist", $"pred").cache()
+      if (!rows.isEmpty)
+        Stores.writeBatch(rows, throughBatch, s"$storeDir/distsp", Seq(DistPredBucket))
+      rows.unpersist(blocking = false)
+    }
   }
 }

@@ -225,14 +225,16 @@ class BucketPruningSpec extends AnyFunSuite {
       === Set((5L, 1L, 1L)))
 
     // damaged-cone descendant probe ("whose rows point AT the
-    // frontier?"): pred-restricted → pbp
-    val cone = Stores.pruneTo(Stores.read(spark, s"$store/dists"),
+    // frontier?"): pred-restricted → pbp over the `distsp` replica
+    // (round 12 — dual single-key replicas, the TriangleStream layout)
+    val totalConeFiles = parquetFilesUnder(s"$store/distsp")
+    val cone = Stores.pruneTo(Stores.read(spark, s"$store/distsp"),
         SsspDeltaStream.DistPredBucket, oneNode(5L))
       .join(oneNode(5L).withColumnRenamed("node", "pred"), Seq("pred"), "left_semi")
       .select($"node")
-    val (cf, cp) = scanStats(cone, "/dists", Set("pbp"))
+    val (cf, cp) = scanStats(cone, "/distsp", Set("pbp"))
     assert(cp, "cone probe must carry a pbp partition filter")
-    assert(cf < totalDistFiles, s"cone probe read $cf of $totalDistFiles files")
+    assert(cf < totalConeFiles, s"cone probe read $cf of $totalConeFiles files")
     assert(cone.collect().map(_.getLong(0)).toSet === Set(1005L))
 
     // live-edge lookup: src-restricted → pbs
