@@ -33,10 +33,11 @@ import org.apache.spark.sql.types._
   *      every vertex whose CURRENT label is one of those via a component-
   *      restricted candidate semi-join + freshest-row arbitration
   *      ([[membersOf]] — no store-sized window or aggregate runs per
-  *      batch, and the store SCAN itself is bucket-pruned: the label
-  *      store is partitioned on node AND component hash buckets, so
-  *      each restricted read lists and reads only the touched buckets'
-  *      files, [[LabelBuckets]]). Endpoints never labeled are
+  *      batch, and the store SCAN itself is bucket-pruned: the labels
+  *      live as dual single-key replicas — node-keyed and component-
+  *      keyed — so each restricted read lists and reads only the touched
+  *      buckets' files of ITS replica, [[LabelReplicas]]). Endpoints
+  *      never labeled are
   *      new vertices. An edge of the store always joins
   *      same-component vertices, so filtering store edges by src-side
   *      membership captures exactly the affected components' subgraph;
@@ -72,16 +73,26 @@ object CcStream {
     StructField("dst", LongType, nullable = false),
     StructField("op", IntegerType, nullable = false)))
 
-  /** The stores' bucketed layout (round 11 — [[Stores.readPruned]]):
-    * edges bucket on src (the symmetrized restriction key of every edge
-    * read); labels carry TWO bucket columns — node for the freshest-row
-    * restriction ([[labelsOf]]) and component for the membership
-    * candidate restriction ([[membersOf]]) — so each consumer prunes on
-    * the key it restricts by. */
+  /** The stores' bucketed layout ([[Stores.readPruned]]): edges bucket
+    * on src (the symmetrized restriction key of every edge read). Labels
+    * have two restriction keys — node for the freshest-row restriction
+    * ([[labelsOf]]), component for the membership candidate restriction
+    * ([[membersOf]]) — and since round 12 are kept as dual SINGLE-KEY
+    * REPLICAS (`labels` keyed node, `labelsc` keyed component) instead
+    * of one store nesting both bucket columns: MAINTAB_r12 priced the
+    * nested nb² leaf-dir layout at 1.46–1.64× of flat on the triangle
+    * lanes (write-side dominated, not amortizing with SF), and the same
+    * layout served this store. Each consumer prunes the replica keyed by
+    * its own restriction; pre-replica stores keep serving (the candidate
+    * probe falls back to `labels`, still pruned via its legacy `pbc`
+    * column) and [[compact]] seeds the missing replica
+    * ([[Stores.compactReplicas]]); appends onto the old dual-key layout
+    * trip [[Stores]]' guard with the fold-through-highest migration. */
   private[graft] val EdgeBuckets = Seq(Stores.Bucket("pbs", "src"))
   private[graft] val NodeBucket = Stores.Bucket("pbn", "node")
   private[graft] val CompBucket = Stores.Bucket("pbc", "component")
-  private[graft] val LabelBuckets = Seq(NodeBucket, CompBucket)
+  private[graft] val LabelReplicas =
+    Seq("labels" -> NodeBucket, "labelsc" -> CompBucket)
 
   /** Freshest label per vertex: live batches outrank compacted
     * generations; among negative generations the newest (most negative)
@@ -133,12 +144,27 @@ object CcStream {
     // re-ran the whole membership subtree per driver action)
     val touchedComps = labelsOf(s, storeDir, touched)
       .select($"component").distinct().localCheckpoint()
-    val candidates = Stores.readPruned(s, s"$storeDir/labels", CompBucket, touchedComps)
-      .join(touchedComps, Seq("component"), "left_semi")
+    val candidates = candidateProbe(s, storeDir, touchedComps)
       .select($"node").distinct().localCheckpoint()
     labelsOf(s, storeDir, candidates)
       .join(touchedComps, Seq("component"), "left_semi")
       .select($"node")
+  }
+
+  /** The component-restricted candidate rows of [[membersOf]] —
+    * replica-routed (round 12): reads the component-keyed `labelsc`
+    * replica; a pre-replica store serves it from `labels` (still pruned
+    * via the legacy nested `pbc` column when present, else the semi-join
+    * alone restricts). Split out so the spec can assert the routing and
+    * pruning on THIS frame's executed plan — inside [[membersOf]] it sits
+    * behind an eager localCheckpoint, which hides its scans from the
+    * final plan. */
+  private[graft] def candidateProbe(s: SparkSession, storeDir: String,
+      touchedComps: DataFrame): DataFrame = {
+    val candSub =
+      if (Stores.exists(s, s"$storeDir/labelsc")) "labelsc" else "labels"
+    Stores.readPruned(s, s"$storeDir/$candSub", CompBucket, touchedComps)
+      .join(touchedComps, Seq("component"), "left_semi")
   }
 
   private def labelsExist(s: SparkSession, storeDir: String): Boolean =
@@ -224,8 +250,13 @@ object CcStream {
     // row shadows its older labels (snapshot/labelsOf filter it out)
     val tombstones = affectedNodes.join(labels, Seq("node"), "left_anti")
       .select($"node", lit(null).cast("long").as("component"))
-    Stores.writeBatch(labels.union(tombstones), batchId,
-      s"$storeDir/labels", LabelBuckets)
+    // dual single-key replicas (see the layout note): the same rows land
+    // in the node-keyed primary and the component-keyed replica —
+    // checkpointed first so the tombstone anti-join runs once, not once
+    // per replica write (a tombstone's null component hashes to a real
+    // bucket and is only ever read back node-restricted)
+    val labelRows = labels.union(tombstones).localCheckpoint()
+    Stores.writeReplicaBatch(labelRows, batchId, storeDir, LabelReplicas)
   }
 
   /** File-source stream over an edges directory; `maxFilesPerTrigger=1`
@@ -272,7 +303,12 @@ object CcStream {
         .filter($"bd".isNull || $"bi" >= $"bd")
         .select($"src", $"dst", lit(1).as("op"))
     }
-    Stores.fold(s, s"$storeDir/labels", throughBatch, LabelBuckets)(src =>
+    // each label replica folds under ITS key's layout; a pre-replica
+    // store has no labelsc root — compactReplicas seeds it from the
+    // primary's folded rows so the candidate probe never silently
+    // misses history (the freshest-row stage is idempotent, per the
+    // compactReplicas contract)
+    Stores.compactReplicas(s, storeDir, LabelReplicas, throughBatch)(src =>
       Stores.freshestPerKey(src, "node").filter($"component".isNotNull)
         .select($"node", $"component"))
   }

@@ -96,6 +96,8 @@ object SsspDeltaStream {
   private[graft] val EventBucket = Stores.Bucket("pbs", "src")
   private[graft] val DistNodeBucket = Stores.Bucket("pbn", "node")
   private[graft] val DistPredBucket = Stores.Bucket("pbp", "pred")
+  private[graft] val DistReplicas =
+    Seq("dists" -> DistNodeBucket, "distsp" -> DistPredBucket)
 
   /** Freshest NON-TOMBSTONE (node, dist, pred) rows of `nodes` only,
     * over the per-batch `store` frame (already prefix-bounded to
@@ -270,10 +272,8 @@ object SsspDeltaStream {
       .select($"node", lit(null).cast("long").as("dist"),
         lit(null).cast("long").as("pred"))
     val out = improvedSoFar.union(tombstones).cache()
-    if (!out.isEmpty) {
-      Stores.writeBatch(out, batchId, s"$storeDir/dists", Seq(DistNodeBucket))
-      Stores.writeBatch(out, batchId, s"$storeDir/distsp", Seq(DistPredBucket))
-    }
+    if (!out.isEmpty)
+      Stores.writeReplicaBatch(out, batchId, storeDir, DistReplicas)
     out.unpersist(blocking = false)
   }
 
@@ -322,25 +322,12 @@ object SsspDeltaStream {
         .filter($"bd".isNull || $"bi" >= $"bd")
         .select($"src", $"dst", $"w", lit(1).as("op"))
     }
-    Stores.fold(s, s"$storeDir/dists", throughBatch, Seq(DistNodeBucket))(src =>
+    // each replica folds under ITS key's layout; a pre-replica store has
+    // no distsp root — compactReplicas seeds it from the primary's
+    // folded rows so the cone probe never silently misses history (the
+    // freshest-row stage is idempotent, per the compactReplicas contract)
+    Stores.compactReplicas(s, storeDir, DistReplicas, throughBatch)(src =>
       Stores.freshestPerKey(src, "node").filter($"dist".isNotNull)
         .select($"node", $"dist", $"pred"))
-    Stores.fold(s, s"$storeDir/distsp", throughBatch, Seq(DistPredBucket))(src =>
-      Stores.freshestPerKey(src, "node").filter($"dist".isNotNull)
-        .select($"node", $"dist", $"pred"))
-    // replica seeding (the TriangleStream.compact migration rule): a
-    // pre-replica store folds `dists` but has no `distsp` root — seed it
-    // from the primary's surviving rows ≤ throughBatch so the cone
-    // probe's replica never silently misses history
-    if (Stores.exists(s, s"$storeDir/dists") &&
-        !Stores.exists(s, s"$storeDir/distsp")) {
-      val rows = Stores.freshestPerKey(
-          Stores.read(s, s"$storeDir/dists").filter($"batch" <= throughBatch), "node")
-        .filter($"dist".isNotNull)
-        .select($"node", $"dist", $"pred").cache()
-      if (!rows.isEmpty)
-        Stores.writeBatch(rows, throughBatch, s"$storeDir/distsp", Seq(DistPredBucket))
-      rows.unpersist(blocking = false)
-    }
   }
 }

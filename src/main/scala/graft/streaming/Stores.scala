@@ -246,6 +246,61 @@ private[graft] object Stores {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // ---------------------------------------------------------------------
+  // Dual SINGLE-KEY replicas (round 12): a relation probed by TWO
+  // restriction keys used to nest both bucket columns in one store — up
+  // to nb² leaf directories per batch, which MAINTAB_r12 priced at
+  // 1.46–1.64× of the flat lane total (write-side dominated, NOT
+  // amortizing with SF). The structural fix is the standard index-replica
+  // trade: write the relation TWICE, each copy bucketed on ONE key (2·nb
+  // linear leaf dirs), and point each consumer at the replica keyed by
+  // ITS restriction. The helpers below are the shared write/compact
+  // halves TriangleStream, SsspDeltaStream and CcStream each hand-rolled
+  // first (three already-diverging copies of the seed rule was the same
+  // rot path the fold unification closed in round 9).
+  // ---------------------------------------------------------------------
+
+  /** Write one micro-batch into EVERY replica of a dual single-key
+    * replica relation — one [[writeBatch]] per copy, each bucketed on its
+    * own key. Pass a MATERIALIZED frame (localCheckpoint/cache): the plan
+    * executes once per replica. */
+  def writeReplicaBatch(df: DataFrame, batchId: Long, storeDir: String,
+      replicas: Seq[(String, Bucket)]): Unit =
+    replicas.foreach { case (sub, b) =>
+      writeBatch(df, batchId, s"$storeDir/$sub", Seq(b)) }
+
+  /** Compact a dual single-key replica relation: [[fold]] EACH replica
+    * under its own key's layout with the same `stage` semantics, then
+    * SEED every replica still absent — a store predating the replica
+    * split — from the FIRST listed replica's folded surviving rows ≤
+    * `throughBatch`, written at id = `throughBatch`. Every prefix read
+    * (`batch < upTo` with `upTo > throughBatch`) then sees exactly the
+    * primary's folded content, while a crashed in-flight batch >
+    * `throughBatch` is excluded (its redelivery rewrites all replicas).
+    * `stage` must be IDEMPOTENT (stage ∘ stage = stage): the seed path
+    * re-applies it to already-folded rows — the family's liveness
+    * resolutions and freshest-row folds all are. An empty seed writes
+    * nothing (a zero-partition overwrite would wedge the root); the
+    * replica stays absent and reads keep falling back to the primary —
+    * consistent either way. */
+  def compactReplicas(s: SparkSession, storeDir: String,
+      replicas: Seq[(String, Bucket)], throughBatch: Long)(
+      stage: DataFrame => DataFrame): Unit = {
+    replicas.foreach { case (sub, b) =>
+      fold(s, s"$storeDir/$sub", throughBatch, Seq(b))(stage) }
+    val primary = s"$storeDir/${replicas.head._1}"
+    if (!exists(s, primary)) return
+    replicas.tail.foreach { case (sub, b) =>
+      if (!exists(s, s"$storeDir/$sub")) {
+        val rows = stage(read(s, primary).filter(col("batch") <= throughBatch))
+          .cache()
+        if (!rows.isEmpty)
+          writeBatch(rows, throughBatch, s"$storeDir/$sub", Seq(b))
+        rows.unpersist(blocking = false)
+      }
+    }
+  }
+
   /** THE family's freshest-row precedence, in one place (the round-10
     * review counted eleven hand-rolled copies of this window across the
     * streams — the exact rot path the round-9 fold dedup closed for

@@ -118,6 +118,10 @@ object TriangleStream {
   private[graft] val PairPBucket = Stores.Bucket("pbp", "p")
   private[graft] val EdgeABucket = Stores.Bucket("pba", "a")
   private[graft] val EdgeBBucket = Stores.Bucket("pbb", "b")
+  private[graft] val PairReplicas =
+    Seq("pairs" -> PairSuBucket, "pairsp" -> PairPBucket)
+  private[graft] val EdgeReplicas =
+    Seq("edges" -> EdgeABucket, "edgesb" -> EdgeBBucket)
 
   private def exists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -307,8 +311,7 @@ object TriangleStream {
     // twice, each copy bucketed on one restriction key — checkpointed
     // first so the distinct runs once, not once per replica write
     val batchRows = withOp.distinct().localCheckpoint()
-    Stores.writeBatch(batchRows, batchId, s"$storeDir/pairs", Seq(PairSuBucket))
-    Stores.writeBatch(batchRows, batchId, s"$storeDir/pairsp", Seq(PairPBucket))
+    Stores.writeReplicaBatch(batchRows, batchId, storeDir, PairReplicas)
 
     val touchedSu = withOp.select($"su").distinct().localCheckpoint()
     // using-column joins put the join column FIRST in the output — every
@@ -372,18 +375,18 @@ object TriangleStream {
     // reads — a batch with no edge/count delta writes nothing (the store
     // is a sum; absent partitions contribute zero, and redelivery of an
     // empty batch id recomputes the same nothing)
-    def writeDelta(df: DataFrame, subs: Seq[(String, Seq[Stores.Bucket])]): Unit = {
+    def writeDelta(df: DataFrame)(write: DataFrame => Unit): Unit = {
       val d = df.cache()
-      if (!d.isEmpty) subs.foreach { case (sub, buckets) =>
-        Stores.writeBatch(d, batchId, s"$storeDir/$sub", buckets) }
+      if (!d.isEmpty) write(d)
       d.unpersist(blocking = false)
     }
     // edge deltas land in both endpoint replicas (see the layout note)
     writeDelta(added.select($"a", $"b", lit(1).as("op"))
-        .union(removed.select($"a", $"b", lit(-1).as("op"))),
-      Seq("edges" -> Seq(EdgeABucket), "edgesb" -> Seq(EdgeBBucket)))
+        .union(removed.select($"a", $"b", lit(-1).as("op"))))(
+      Stores.writeReplicaBatch(_, batchId, storeDir, EdgeReplicas))
     // counts stay unbucketed: their only read is the full-store serving sum
-    writeDelta(countDelta, Seq("counts" -> Nil))
+    writeDelta(countDelta)(
+      Stores.writeBatch(_, batchId, s"$storeDir/counts"))
   }
 
   /** Served per-part triangle counts — q83's output shape (parts in at
@@ -423,47 +426,18 @@ object TriangleStream {
     * keep non-zero per-part nets. One compactor at a time. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    // each replica folds under ITS key's layout; pre-replica stores have
-    // no pairsp/edgesb roots and Stores.fold no-ops on them
-    Stores.fold(s, s"$storeDir/pairs", throughBatch, Seq(PairSuBucket))(raw =>
+    // each replica folds under ITS key's layout; a pre-replica store has
+    // no pairsp/edgesb roots — compactReplicas seeds each from its
+    // primary's folded rows so the p/b-keyed probes never silently miss
+    // history (both stages are idempotent, per the compactReplicas
+    // contract: liveness resolution and the net-positive fold)
+    Stores.compactReplicas(s, storeDir, PairReplicas, throughBatch)(raw =>
       livePairs(Stores.withOpDefault(raw)).select($"p", $"su", lit(1).as("op")))
-    Stores.fold(s, s"$storeDir/pairsp", throughBatch, Seq(PairPBucket))(raw =>
-      livePairs(Stores.withOpDefault(raw)).select($"p", $"su", lit(1).as("op")))
-    Stores.fold(s, s"$storeDir/edges", throughBatch, Seq(EdgeABucket))(
-      _.groupBy($"a", $"b").agg(sum($"op").as("net"))
-        .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
-    Stores.fold(s, s"$storeDir/edgesb", throughBatch, Seq(EdgeBBucket))(
+    Stores.compactReplicas(s, storeDir, EdgeReplicas, throughBatch)(
       _.groupBy($"a", $"b").agg(sum($"op").as("net"))
         .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
     Stores.fold(s, s"$storeDir/counts", throughBatch)(
       _.groupBy($"part").agg(sum($"delta").cast("long").as("delta"))
         .filter($"delta" =!= 0L).select($"part", $"delta"))
-    // REPLICA SEEDING (migration): a pre-replica store has no
-    // pairsp/edgesb roots — fold alone cannot create them, and a later
-    // processBatch would otherwise create a replica holding only new
-    // batches, so the p/b-keyed probes would silently miss all history.
-    // Seed each missing replica from its primary's surviving rows ≤
-    // throughBatch, written at id = throughBatch: every prefix read
-    // (batch < upTo with upTo > throughBatch) then sees exactly the
-    // primary's folded content, and a crashed in-flight batch >
-    // throughBatch is excluded (its redelivery rewrites both replicas).
-    def seed(primary: String, replica: String, bucket: Stores.Bucket)(
-        stage: DataFrame => DataFrame): Unit =
-      if (Stores.exists(s, s"$storeDir/$primary") &&
-          !Stores.exists(s, s"$storeDir/$replica")) {
-        val rows = stage(Stores.withOpDefault(Stores.read(s, s"$storeDir/$primary"))
-          .filter($"batch" <= throughBatch)).cache()
-        // an empty seed writes nothing (a zero-partition overwrite would
-        // wedge the root); the replica stays absent and reads keep
-        // falling back to the primary — consistent either way
-        if (!rows.isEmpty)
-          Stores.writeBatch(rows, throughBatch, s"$storeDir/$replica", Seq(bucket))
-        rows.unpersist(blocking = false)
-      }
-    seed("pairs", "pairsp", PairPBucket)(raw =>
-      livePairs(raw).select($"p", $"su", lit(1).as("op")))
-    seed("edges", "edgesb", EdgeBBucket)(
-      _.groupBy($"a", $"b").agg(sum($"op").as("net"))
-        .filter($"net" > 0).select($"a", $"b", lit(1).as("op")))
   }
 }

@@ -65,10 +65,13 @@ class BucketPruningSpec extends AnyFunSuite {
       (1L to 120L).map(i => (i, i + 1000L)).toDF("src", "dst"), 0L, store)
     CcStream.processBatch(
       (121L to 200L).map(i => (i, i + 1000L)).toDF("src", "dst"), 1L, store)
-    val totalLabelFiles = parquetFilesUnder(s"$store/labels")
+    // round 12: dual single-key replicas — labels keyed pbn, labelsc pbc
+    val totalLabelFiles =
+      parquetFilesUnder(s"$store/labels") + parquetFilesUnder(s"$store/labelsc")
     val totalEdgeFiles = parquetFilesUnder(s"$store/edges")
-    assert(totalLabelFiles > Stores.NumBuckets,
-      "fixture too small — labels must span buckets for pruning to be visible")
+    assert(parquetFilesUnder(s"$store/labels") > Stores.NumBuckets &&
+        parquetFilesUnder(s"$store/labelsc") > Stores.NumBuckets,
+      "fixture too small — each label replica must span buckets for pruning to be visible")
 
     // labelsOf: node-restricted → pbn partition filter
     val labs = CcStream.labelsOf(spark, store, oneNode(5L))
@@ -78,15 +81,27 @@ class BucketPruningSpec extends AnyFunSuite {
     assert(labs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((5L, 5L)))
 
-    // membersOf: three label reads (touched labelsOf, pbc candidates,
-    // arbitration labelsOf) — each must prune on ITS restriction key,
-    // and even summed they must read less than one full store scan
+    // membersOf: three label reads (touched labelsOf and the arbitration
+    // labelsOf over the node-keyed primary, pbc candidates over the
+    // labelsc replica) — each must prune on ITS restriction key over ITS
+    // replica, and even summed they must read less than the replicas'
+    // combined file count ("/labels" matches both roots)
     val mem = CcStream.membersOf(spark, store, oneNode(5L))
     val (mf, mp) = scanStats(mem, "/labels", Set("pbn", "pbc"))
     assert(mp, "every membersOf label scan must carry a pbn/pbc partition filter")
     assert(mf < totalLabelFiles,
-      s"membersOf label scans read $mf files — more than one full scan ($totalLabelFiles)")
+      s"membersOf label scans read $mf files — not less than the replicas' $totalLabelFiles")
     assert(mem.collect().map(_.getLong(0)).toSet === Set(5L, 1005L))
+    // the candidate probe sits behind membersOf's eager checkpoint (its
+    // scan never reaches the final plan) — assert routing + pruning on
+    // the probe frame itself: it must read the component-keyed replica,
+    // pbc-pruned, fewer files than the replica holds
+    val probe = CcStream.candidateProbe(spark, store,
+      Seq(5L).toDF("component"))
+    val (cf, cp) = scanStats(probe, "/labelsc", Set("pbc"))
+    assert(cp, "candidate probe must carry a pbc partition filter")
+    assert(cf < parquetFilesUnder(s"$store/labelsc"),
+      s"candidate probe read $cf files — not less than the labelsc replica")
 
     // liveEdgesRestricted: src-restricted → pbs partition filter
     val ind = CcStream.liveEdgesRestricted(spark, store, 10L, oneNode(5L))
@@ -107,9 +122,12 @@ class BucketPruningSpec extends AnyFunSuite {
     val before = CcStream.snapshot(spark, store).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     CcStream.compact(spark, store, throughBatch = 1L)
+    // round 12: the primary is single-key (pbn) — a fully-folded store
+    // holds ONE generation of at most NumBuckets leaf dirs (the nested
+    // dual-key layout this assertion predates held nb² and read `>`)
     val total = parquetFilesUnder(s"$store/labels")
-    assert(total > Stores.NumBuckets,
-      "folded generation must itself span buckets")
+    assert(total >= Stores.NumBuckets,
+      "folded generation must itself span every bucket")
     val labs = CcStream.labelsOf(spark, store, oneNode(5L))
     val (lf, lp) = scanStats(labs, "/labels", Set("pbn"))
     assert(lp && lf < total,
@@ -117,6 +135,45 @@ class BucketPruningSpec extends AnyFunSuite {
     val after = CcStream.snapshot(spark, store).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after === before, "compaction changed the served labels")
+  }
+
+  test("CcStream: replica-less stores fall back, and compaction seeds labelsc") {
+    import spark.implicits._
+    val store = tmp("bprune-cc-seed")
+    CcStream.processBatch(
+      (1L to 120L).map(i => (i, i + 1000L)).toDF("src", "dst"), 0L, store)
+    CcStream.processBatch(
+      (121L to 200L).map(i => (i, i + 1000L)).toDF("src", "dst"), 1L, store)
+    val expect = CcStream.membersOf(spark, store, oneNode(5L))
+      .collect().map(_.getLong(0)).toSet
+    assert(expect === Set(5L, 1005L))
+    // simulate a store predating the replica split: drop the
+    // component-keyed replica — the candidate probe must fall back to
+    // the node-keyed primary, semi-join-restricted (correct, unpruned)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$store/labelsc"))
+    assert(CcStream.membersOf(spark, store, oneNode(5L))
+        .collect().map(_.getLong(0)).toSet === expect,
+      "replica-less fallback must serve identically")
+    // compaction seeds the missing replica from the primary's folded
+    // rows; the candidate probe returns to its own pruned copy
+    CcStream.compact(spark, store, throughBatch = 1L)
+    assert(Stores.exists(spark, s"$store/labelsc"),
+      "compact must seed the missing labelsc replica")
+    // assert on the probe frame, not membersOf — the checkpoint inside
+    // membersOf hides the replica scan from the final plan
+    val probe = CcStream.candidateProbe(spark, store,
+      Seq(5L).toDF("component"))
+    val (sf2, sp2) = scanStats(probe, "/labelsc", Set("pbc"))
+    assert(sp2, "the seeded replica's candidate probe must prune on pbc")
+    assert(sf2 < parquetFilesUnder(s"$store/labelsc"),
+      "the seeded replica's candidate probe must read fewer files than the replica holds")
+    assert(CcStream.membersOf(spark, store, oneNode(5L))
+        .collect().map(_.getLong(0)).toSet === expect,
+      "the seeded replica must serve the same membership")
   }
 
   test("TriangleStream: edgesTouching prunes each branch on its endpoint replica") {
