@@ -1187,6 +1187,170 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** One frame of a composited animation encode: a sub-rectangle raster
+      * at (left, top), its delay, its GIF89a disposal method (0
+      * unspecified / 1 keep / 2 restore-to-background / 3
+      * restore-to-previous) and an optional transparent palette index
+      * (pixels equal to it leave the canvas untouched). */
+    final case class SubFrame(left: Int, top: Int, w: Int, h: Int,
+        px: Array[Byte], delayCs: Int, disposal: Int, transparent: Option[Int])
+
+    /** Encode partial-frame sub-rasters as a GIF89a animation — the
+      * general form of [[encodeAnimation]] (which is the all-full-frame,
+      * disposal-0, opaque special case). Exact pair of
+      * [[decodeComposited]]. */
+    def encodeAnimationSubframes(width: Int, height: Int,
+        subframes: Seq[SubFrame], loops: Int = 0): Array[Byte] = {
+      require(subframes.nonEmpty, "at least one frame")
+      subframes.foreach { f =>
+        require(f.left >= 0 && f.top >= 0 &&
+          f.left + f.w <= width && f.top + f.h <= height, "rect out of canvas")
+        require(f.px.length == f.w * f.h, "raster size mismatch")
+        require(f.disposal >= 0 && f.disposal <= 3, "disposal 0..3")
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(u16le(width)); out.write(u16le(height))
+      out.write(0xF7)
+      out.write(0); out.write(0) // background index 0, no aspect
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      out.write(0x21); out.write(0xFF); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); out.write(u16le(loops)); out.write(0)
+      subframes.foreach { f =>
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write((f.disposal << 2) | (if (f.transparent.isDefined) 1 else 0))
+        out.write(u16le(f.delayCs)); out.write(f.transparent.getOrElse(0)); out.write(0)
+        out.write(0x2C)
+        out.write(u16le(f.left)); out.write(u16le(f.top))
+        out.write(u16le(f.w)); out.write(u16le(f.h))
+        out.write(0)
+        out.write(MinCode)
+        val data = lzwEncode(f.px)
+        var off = 0
+        while (off < data.length) {
+          val n = math.min(255, data.length - off)
+          out.write(n); out.write(data, off, n); off += n
+        }
+        out.write(0)
+      }
+      out.write(0x3B)
+      out.toByteArray
+    }
+
+    /** COMPOSITED multi-frame decode (round 13 — the renderer half that
+      * [[decodeFrames]] deliberately refuses): frames may be PARTIAL
+      * rects with transparency, and each emitted raster is the full
+      * canvas AS DISPLAYED after rendering that frame — the GIF89a
+      * rendering model verbatim. The canvas starts as the screen
+      * descriptor's background index; per frame the sub-rect lands at
+      * (left, top) with transparent pixels leaving the canvas through;
+      * then the frame's disposal method runs: 0/1 keep the canvas, 2
+      * restores the frame's RECT to the background index, 3 restores the
+      * canvas to its pre-frame state. The honest subset still rejects to
+      * None rather than emit wrong pixels: interlaced frames, local
+      * palettes, rects escaping the canvas, reserved disposal methods
+      * (4–7), zero frames, truncation. */
+    def decodeComposited(bytes: Array[Byte]): Option[Anim] = {
+      var pos = 0
+      def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
+      def u16(): Int = { val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
+      try {
+        if (bytes.length < 13) return None
+        val sig = new String(bytes, 0, 6, "US-ASCII")
+        if (sig != "GIF89a" && sig != "GIF87a") return None
+        pos = 6
+        val w = u16(); val h = u16()
+        val packed = u8(); val bgIdx = u8(); u8() // bg index, aspect
+        if ((packed & 0x80) == 0) return None
+        if ((packed & 0x07) != 7) return None // see decode: minCode=8 ⇒ 256 entries
+        val tableLen = 3 * (2 << (packed & 0x07))
+        if (pos + tableLen > bytes.length) return None
+        val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + tableLen)
+        pos += tableLen
+        val canvas = new Array[Byte](w * h)
+        java.util.Arrays.fill(canvas, bgIdx.toByte)
+        val frames = Seq.newBuilder[Array[Byte]]
+        val delays = Seq.newBuilder[Int]
+        var nFrames = 0
+        var pendingDelay = 0
+        var pendingDisposal = 0
+        var pendingTransparent = -1 // <0 = opaque frame
+        while (true) {
+          u8() match {
+            case 0x21 =>
+              val label = u8()
+              if (label == 0xF9) {
+                if (u8() != 4) return None
+                val cpacked = u8()
+                pendingDelay = u16()
+                val tIdx = u8()
+                if (u8() != 0) return None
+                pendingDisposal = (cpacked >> 2) & 0x07
+                if (pendingDisposal > 3) return None // reserved methods
+                pendingTransparent = if ((cpacked & 1) != 0) tIdx else -1
+              } else {
+                var n = u8()
+                while (n != 0) { pos += n; n = u8() }
+              }
+            case 0x2C =>
+              val left = u16(); val top = u16()
+              val iw = u16(); val ih = u16()
+              val ipacked = u8()
+              if (left + iw > w || top + ih > h || iw == 0 || ih == 0) return None
+              if ((ipacked & 0x40) != 0) return None
+              if ((ipacked & 0x80) != 0) return None
+              if (u8() != MinCode) return None
+              val data = new java.io.ByteArrayOutputStream()
+              var n = u8()
+              while (n != 0) {
+                if (pos + n > bytes.length) return None
+                data.write(bytes, pos, n); pos += n
+                n = u8()
+              }
+              lzwDecode(data.toByteArray, iw * ih) match {
+                case Some(px) =>
+                  val before =
+                    if (pendingDisposal == 3) canvas.clone() else null
+                  var y = 0
+                  while (y < ih) {
+                    var x = 0
+                    while (x < iw) {
+                      val v = px(y * iw + x) & 0xFF
+                      if (v != pendingTransparent)
+                        canvas((top + y) * w + (left + x)) = v.toByte
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  frames += canvas.clone(); delays += pendingDelay
+                  nFrames += 1
+                  pendingDisposal match {
+                    case 2 =>
+                      var yy = 0
+                      while (yy < ih) {
+                        java.util.Arrays.fill(canvas,
+                          (top + yy) * w + left, (top + yy) * w + left + iw,
+                          bgIdx.toByte)
+                        yy += 1
+                      }
+                    case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+                    case _ => ()
+                  }
+                  pendingDelay = 0; pendingDisposal = 0; pendingTransparent = -1
+                case None => return None
+              }
+            case 0x3B =>
+              return if (nFrames > 0) Some(Anim(w, h, palette, delays.result(), frames.result()))
+                else None
+            case _ => return None
+          }
+        }
+        None
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+
     private def lzwDecode(data: Array[Byte], nPixels: Int): Option[Array[Byte]] = {
       val out = new Array[Byte](nPixels)
       var outN = 0
@@ -1405,6 +1569,106 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q108: disposal-method compositing (round 13) --------------------
+  // Fixture geometry on the GifW×GifH = 8×4 canvas: frame 0 is the full
+  // doc raster (disposal 2 → canvas restored to background 0); frame 1
+  // fills rect R = cols 1..6 × rows 1..2 (12 px) with AnimC (disposal 1 —
+  // kept); frame 2 lands R2 = cols 2..5 × rows 1..2 (8 px, R2 ⊆ R) with
+  // the doc bytes shifted by 2 and transparent index AnimT = 32 (ASCII
+  // space — guaranteed present in text, so transparency is exercised:
+  // spaces show the AnimC underneath), disposal 3 → canvas restored to
+  // its pre-frame state; frame 3 fills the disjoint R3 = row 3 (8 px)
+  // with AnimD. The composited sums are then integer-exact and each
+  // disposal method is OBSERVABLE: s1 = AnimC·12 proves disposal 2
+  // cleared frame 0; s3 = AnimC·12 + AnimD·8 is doc-INDEPENDENT exactly
+  // because disposal 3 erased frame 2's doc pixels — any compositor bug
+  // leaks doc bytes into it.
+  private val AnimC = 200
+  private val AnimD = 77
+  private val AnimT = 32
+  private val RArea = 12
+  private val R2Area = 8
+  private val R3Area = 8
+
+  final case class GifCompStats(doc_id: Long, n_frames: Int, duration_cs: Int,
+      s0: Long, s1: Long, s2: Long, s3: Long)
+
+  /** Per document: the 4-frame disposal/transparency animation above. */
+  def synthesizeGifDisposalAnim(rows: Iterator[(Long, Array[Byte])]): Iterator[(Long, Array[Byte])] =
+    rows.map { case (id, txt) =>
+      val full = java.util.Arrays.copyOf(txt, GifW * GifH)
+      val shifted = new Array[Byte](R2Area)
+      var j = 0
+      while (j < R2Area) {
+        if (j + 2 < txt.length) shifted(j) = txt(j + 2)
+        j += 1
+      }
+      val sub = Gif.SubFrame
+      (id, Gif.encodeAnimationSubframes(GifW, GifH, Seq(
+        sub(0, 0, GifW, GifH, full, 10, 2, None),
+        sub(1, 1, 6, 2, Array.fill[Byte](RArea)(AnimC.toByte), 11, 1, None),
+        sub(2, 1, 4, 2, shifted, 12, 3, Some(AnimT)),
+        sub(0, 3, GifW, 1, Array.fill[Byte](R3Area)(AnimD.toByte), 13, 0, None))))
+    }
+
+  /** Composited decode → per-frame canvas sums THROUGH THE PALETTE (the
+    * decoder's color path, as [[decodeGifAnimStats]]). */
+  def decodeGifCompStats(rows: Iterator[(Long, Array[Byte])]): Iterator[GifCompStats] =
+    rows.flatMap { case (id, payload) =>
+      Gif.decodeComposited(payload).map { anim =>
+        val n = anim.width * anim.height
+        val sums = anim.frames.map { fr =>
+          var sum = 0L
+          var p = 0
+          while (p < n) { sum += anim.palette((fr(p) & 0xFF) * 3) & 0xFF; p += 1 }
+          sum
+        }
+        GifCompStats(id, anim.frames.length, anim.delaysCs.sum,
+          sums(0), sums(1), sums(2), sums(3))
+      }
+    }
+
+  /** q108 — DISPOSAL-METHOD COMPOSITING on the GIF codec: synthesize a
+    * 4-frame partial-rect animation per document exercising disposal
+    * methods 0/1/2/3 and transparency, render it through the composited
+    * decoder (the GIF89a canvas model: background init, sub-rect landing,
+    * transparent pass-through, per-method canvas restore), emit the
+    * per-frame composited pixel sums. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeGifCompStats(synthesizeGifDisposalAnim(rows)))
+      .select($"doc_id", $"n_frames", $"duration_cs", $"s0", $"s1", $"s2", $"s3")
+      .orderBy($"doc_id")
+  }
+
+  // oracle = the compositing model applied symbolically to the fixture
+  // (see the geometry note above; single-byte-corpus assumption as in
+  // q58Sql): s0 = padded doc-byte sum; s1 = AnimC·|R| (disposal 2 cleared
+  // frame 0); s2 = AnimC·(|R|−|R2|) + Σ over R2 of (space → AnimC, else
+  // the shifted byte; padding 0 is opaque); s3 = AnimC·|R| + AnimD·|R3|
+  // (disposal 3 erased frame 2).
+  private val q108Sql = {
+    val raster = GifW * GifH
+    val s1 = AnimC * RArea
+    val s3 = AnimC * RArea + AnimD * R3Area
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |f0 AS (SELECT doc_id, CAST(SUM(CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END) AS BIGINT) AS s0
+       |  FROM b, range($raster) t(j) GROUP BY doc_id),
+       |f2 AS (SELECT doc_id, CAST(SUM(CASE
+       |    WHEN j + 2 < len AND ascii(substr(text, CAST(j + 3 AS INTEGER), 1)) = $AnimT THEN $AnimC
+       |    WHEN j + 2 < len THEN ascii(substr(text, CAST(j + 3 AS INTEGER), 1))
+       |    ELSE 0 END) AS BIGINT) AS s2p
+       |  FROM b, range($R2Area) t(j) GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(4 AS INTEGER) AS n_frames, CAST(46 AS INTEGER) AS duration_cs,
+       |  f0.s0 AS s0, CAST($s1 AS BIGINT) AS s1,
+       |  CAST(${AnimC * (RArea - R2Area)} + f2.s2p AS BIGINT) AS s2,
+       |  CAST($s3 AS BIGINT) AS s3
+       |FROM b JOIN f0 USING (doc_id) JOIN f2 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -1415,5 +1679,6 @@ object Multimodal {
     GQuery("q95_png_decode", q95, Some(q95Sql)),
     GQuery("q101_gif_decode", q101, Some(q101Sql)),
     GQuery("q107_gif_anim_decode", q107, Some(q107Sql)),
+    GQuery("q108_gif_compositing", q108, Some(q108Sql)),
   )
 }

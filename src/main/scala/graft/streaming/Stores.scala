@@ -89,22 +89,53 @@ private[graft] object Stores {
     * directory column, derived from `keyCol` via [[bucketId]]. */
   case class Bucket(pbCol: String, keyCol: String, nb: Int = NumBuckets)
 
-  /** Buckets per key at local test scale (see the layout note above). */
-  val NumBuckets = 8
+  /** Buckets per key at local test scale (see the layout note above).
+    * Overridable via `-Dgraft.stores.numBuckets=<n>` — the deployment
+    * sizing knob (and the NBSWEEP lever). Read ONCE at class init and
+    * process-lifetime by design: a store must be written and pruned
+    * under ONE nb for pruning to be sound, so the knob must never change
+    * between a store's writes and its reads within a JVM; across JVMs a
+    * changed nb is a layout migration like any other (the bucket-id
+    * VALUES shift even though the directory names don't, so fold through
+    * the highest live batch under the new nb before appending). */
+  val NumBuckets: Int =
+    sys.props.get("graft.stores.numBuckets")
+      .orElse(sys.env.get("GRAFT_NUM_BUCKETS")) // forked-JVM lever (sbt run)
+      .map(_.toInt).getOrElse(8)
 
-  /** Layout/pruning isolation switches (round 12): when
-    * `bucketingEnabled` is false, [[writeBatch]] and [[fold]] treat their
-    * `buckets` as empty (flat layout — [[pruneTo]] then falls back
-    * unfiltered via its missing-column path); when `pruningEnabled` is
-    * false, [[pruneTo]] skips the bucket filter (and its bucket-id driver
-    * action) while the layout stays bucketed. They exist so
+  /** Layout/pruning isolation switches (round 12, THREAD-SCOPED since
+    * round 13): inside [[withLayoutArm]]'s dynamic extent on the CALLING
+    * THREAD, `bucketing = false` makes [[writeBatch]] and [[fold]] treat
+    * their `buckets` as empty (flat layout — [[pruneTo]] then falls back
+    * unfiltered via its missing-column path) and `pruning = false` makes
+    * [[pruneTo]] skip the bucket filter (and its bucket-id driver action)
+    * while the layout stays bucketed. They exist so
     * [[graft.tools.MaintAb]] can interleave bucketed / unpruned /
     * unbucketed arms of the SAME binary in one JVM, splitting the
-    * layout's write cost from pruning's read cost — production leaves
-    * both true and never toggles them mid-store (a toggled write would
-    * trip the mixed-layout guard below by design). */
-  @volatile private[graft] var bucketingEnabled: Boolean = true
-  @volatile private[graft] var pruningEnabled: Boolean = true
+    * layout's write cost from pruning's read cost. The round-12 version
+    * was a pair of process-wide `@volatile var`s — any OTHER stream in
+    * the same JVM during a flat arm would have written flat batches into
+    * its bucketed stores (review finding); the ThreadLocal scopes the
+    * arm to the bench thread, and production code (which never calls
+    * [[withLayoutArm]]) cannot observe a non-default value. All reads
+    * happen at plan-construction time on the calling thread, so the
+    * scope is exact. */
+  private val layoutArm = new ThreadLocal[(Boolean, Boolean)] {
+    override def initialValue(): (Boolean, Boolean) = (true, true)
+  }
+  private def bucketingEnabled: Boolean = layoutArm.get._1
+  private def pruningEnabled: Boolean = layoutArm.get._2
+
+  /** Run `body` with the layout switches above set on this thread —
+    * bench-tool-only entry point ([[graft.tools.MaintAb]]); a toggled
+    * write against a store built under the other arm still trips the
+    * mixed-layout guard by design. */
+  private[graft] def withLayoutArm[T](bucketing: Boolean, pruning: Boolean)(
+      body: => T): T = {
+    val prev = layoutArm.get
+    layoutArm.set((bucketing, pruning))
+    try body finally layoutArm.set(prev)
+  }
 
   /** THE bucket hash — write layout and read pruning must share it for
     * pruning to be sound. xxhash64 is deterministic across JVMs and
@@ -135,17 +166,22 @@ private[graft] object Stores {
       .partitionBy(parts: _*).parquet(path)
   }
 
-  /** Bucket partition columns of the store's existing batches, from ONE
-    * representative batch directory: walk the first child chain
-    * collecting `k=v` directory names under `batch=<id>` (Nil for a flat
-    * layout). None when the store is empty/absent (nothing to conflict
-    * with). */
-  private def existingLayout(fs: FileSystem, root: Path): Option[Seq[String]] = {
-    if (!fs.exists(root)) return None
-    val batches = fs.listStatus(root)
+  /** Bucket partition columns of EVERY existing batch directory of the
+    * store — the distinct `k=v` directory-name chains under each
+    * `batch=<id>` (Nil per flat batch; childless dirs contribute
+    * nothing). Empty when the store is absent/empty. Checking ALL batch
+    * dirs (round 13 — the round-12 version sampled one arbitrary dir)
+    * means a root a crashed partial migration already left MIXED is
+    * caught HERE, at the append/fold that would compound it, not at the
+    * next read. Costs one child-chain walk per live batch dir per
+    * append — bounded by the compaction cadence, within the family's
+    * documented per-write listing envelope. */
+  private def existingLayouts(fs: FileSystem, root: Path): Set[Seq[String]] = {
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (batches.isEmpty) None
-    else layoutColsOf(fs, batches.head.getPath)
+      .flatMap(st => layoutColsOf(fs, st.getPath))
+      .toSet
   }
 
   /** The `k=v` directory-name chain under one batch directory (Nil for a
@@ -178,8 +214,15 @@ private[graft] object Stores {
     * that layout. Costs a few listing RPCs per write — within the
     * family's existing per-read survey envelope. */
   private def requireLayoutMatches(s: SparkSession, root: Path,
-      pbCols: Seq[String], who: String): Unit =
-    existingLayout(fsOf(s, root), root).foreach { was =>
+      pbCols: Seq[String], who: String): Unit = {
+    val layouts = existingLayouts(fsOf(s, root), root)
+    if (layouts.size > 1) throw new IllegalStateException(
+      s"$who($root): the store already MIXES batch layouts " +
+        layouts.map(_.mkString("[", ",", "]")).mkString("{", " vs ", "}") +
+        " — a crashed layout-migration fold left old-layout sources beside " +
+        "its new-layout generation. Re-run the migration fold to completion " +
+        "(its repair pass deletes the covered sources) before appending.")
+    layouts.headOption.foreach { was =>
       if (was != pbCols) throw new IllegalStateException(
         s"$who($root): batch layout [${pbCols.mkString(",")}] conflicts with " +
           s"the store's existing [${was.mkString(",")}] — mixed directory " +
@@ -187,6 +230,7 @@ private[graft] object Stores {
           "Stores.fold through the store's highest live batch id with the new " +
           "layout's buckets, then append.")
     }
+  }
 
   /** The distinct bucket ids the restriction keys can live in — ≤ nb
     * values, one delta-sized single-stage driver action (collect_set
@@ -263,11 +307,46 @@ private[graft] object Stores {
   /** Write one micro-batch into EVERY replica of a dual single-key
     * replica relation — one [[writeBatch]] per copy, each bucketed on its
     * own key. Pass a MATERIALIZED frame (localCheckpoint/cache): the plan
-    * executes once per replica. */
+    * executes once per replica.
+    *
+    * HALF-MIGRATED-STATE GUARD (round 13, review finding): a crash in
+    * [[compactReplicas]] between the primary's fold and the seed write
+    * leaves a replica root ABSENT while the primary holds folded history
+    * — an append here would then CREATE the replica containing only this
+    * batch, and existence-based consumer routing would silently serve it
+    * missing every folded row (wrong results, not an error — the layout
+    * guards can't catch it because each root's layout is internally
+    * consistent). So: a non-primary replica that is absent while the
+    * primary holds ANY rows below `batchId` fails the append loudly with
+    * the repair (re-run the store's compact — [[compactReplicas]] seeds
+    * absent replicas). The legitimate absent-replica states pass: a
+    * fresh store (primary absent too), redelivery of the crashed FIRST
+    * batch (primary holds only `batch = batchId`, rewritten by this
+    * replay), and a primary whose content folded to zero rows (nothing
+    * to miss — this append correctly starts the replica). Costs one
+    * existence probe per non-primary replica per batch; the emptiness
+    * read runs only in the rare absent-replica case. */
   def writeReplicaBatch(df: DataFrame, batchId: Long, storeDir: String,
-      replicas: Seq[(String, Bucket)]): Unit =
+      replicas: Seq[(String, Bucket)]): Unit = {
+    val s = df.sparkSession
+    val primary = s"$storeDir/${replicas.head._1}"
+    if (exists(s, primary)) {
+      val missing = replicas.tail.collect {
+        case (sub, _) if !exists(s, s"$storeDir/$sub") => sub }
+      if (missing.nonEmpty &&
+          !read(s, primary).filter(col("batch") < batchId).isEmpty)
+        throw new IllegalStateException(
+          s"writeReplicaBatch($storeDir): replica(s) ${missing.mkString(", ")} " +
+            s"absent while the primary '${replicas.head._1}' holds history below " +
+            s"batch $batchId — appending would create a replica missing every " +
+            "folded/prior row, which existence-based consumer routing would then " +
+            "silently serve. A crashed compactReplicas left the seed unwritten: " +
+            "re-run the store's compact() to completion (it seeds absent " +
+            "replicas from the primary's folded rows), then resume ingest.")
+    }
     replicas.foreach { case (sub, b) =>
       writeBatch(df, batchId, s"$storeDir/$sub", Seq(b)) }
+  }
 
   /** Compact a dual single-key replica relation: [[fold]] EACH replica
     * under its own key's layout with the same `stage` semantics, then
@@ -282,7 +361,12 @@ private[graft] object Stores {
     * resolutions and freshest-row folds all are. An empty seed writes
     * nothing (a zero-partition overwrite would wedge the root); the
     * replica stays absent and reads keep falling back to the primary —
-    * consistent either way. */
+    * consistent either way. CRASH WINDOW: a death between the primary's
+    * fold and a seed write leaves the replica absent while the primary
+    * holds folded history — [[writeReplicaBatch]]'s half-migrated-state
+    * guard refuses the next append in that state (re-running this
+    * compact writes the seed and repairs it), so the window can no
+    * longer produce a silently incomplete replica. */
   def compactReplicas(s: SparkSession, storeDir: String,
       replicas: Seq[(String, Bucket)], throughBatch: Long)(
       stage: DataFrame => DataFrame): Unit = {
@@ -445,11 +529,14 @@ private[graft] object Stores {
     // sources. Same single-owner compaction contract as ever: re-run the
     // migration fold to completion before serving.)
     val leftover = live -- sources
-    if (leftover.nonEmpty) {
-      layoutColsOf(fs, new Path(root, s"batch=${leftover.head}")).foreach { was =>
+    // every leftover dir is checked (round 13 — sampling leftover.head
+    // let a root already mixed by a crashed partial migration stage yet
+    // another layout beside it); deterministic order for a stable message
+    leftover.toSeq.sorted.foreach { lb =>
+      layoutColsOf(fs, new Path(root, s"batch=$lb")).foreach { was =>
         if (was != bks.map(_.pbCol)) throw new IllegalStateException(
           s"fold($root): staging a [${bks.map(_.pbCol).mkString(",")}] generation " +
-            s"beside [${was.mkString(",")}] live batches " +
+            s"beside [${was.mkString(",")}] live batch $lb of " +
             s"${leftover.toSeq.sorted.mkString("{", ",", "}")} would mix directory " +
             "layouts and wedge partition discovery. A layout migration must fold " +
             "through the store's HIGHEST live batch id.")

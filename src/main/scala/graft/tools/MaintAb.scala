@@ -8,13 +8,15 @@
 // (JIT, page cache, same-box noise) cancels across arms:
 //
 //   bucketed — production: bucketed writes + bucket-pruned reads;
-//   unpruned — bucketed writes, pruning skipped (Stores.pruningEnabled
-//              = false): isolates the READ half (per-read bucket-id
-//              driver action + partition-filter planning) from the
-//              layout itself;
-//   flat     — Stores.bucketingEnabled = false: flat writes (no bucket
-//              repartition shuffle, one leaf dir per batch) and
-//              naturally unpruned reads — the r10 layout.
+//   unpruned — bucketed writes, pruning skipped (Stores.withLayoutArm
+//              pruning=false): isolates the READ half (per-read
+//              bucket-id driver action + partition-filter planning)
+//              from the layout itself;
+//   flat     — bucketing=false: flat writes (no bucket repartition
+//              shuffle, one leaf dir per batch) and naturally unpruned
+//              reads — the r10 layout. Arms are THREAD-SCOPED
+//              (Stores.withLayoutArm ThreadLocal) since round 13, so
+//              nothing else in the JVM can observe a non-default arm.
 //
 // flat vs unpruned = the WRITE-side layout cost (extra repartition
 // shuffle, nb/nb² leaf dirs, listing of more+smaller files);
@@ -58,14 +60,12 @@ object MaintAb {
           .withDefaultValue(Nil)
         schedule.foreach { arm =>
           val store = MaintBench.tmp(s"ab-${lane.name}-${arm.name}")
-          Stores.bucketingEnabled = arm.bucketing
-          Stores.pruningEnabled = arm.pruning
-          val t = try
+          // thread-scoped arm (round 13): the switches live in a
+          // ThreadLocal inside withLayoutArm's extent, so a stream on any
+          // other thread of this JVM keeps the production layout
+          val t = Stores.withLayoutArm(arm.bucketing, arm.pruning) {
             lane.slices.zipWithIndex.map { case (sl, i) =>
               MaintBench.time(lane.step(sl, i.toLong, store)) }.sum
-          finally {
-            Stores.bucketingEnabled = true
-            Stores.pruningEnabled = true
           }
           totals(arm.name) = totals(arm.name) :+ t
           System.err.println(f"[maintab] $dir ${lane.name} ${arm.name}: $t%.2f s")

@@ -11,7 +11,7 @@
 // measure THE SAME ingest schedules — divergent copies would make the
 // A/B incomparable to the headline lanes.
 //
-// Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep]'
+// Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep] [lanes,comma-sep]'
 package graft.tools
 
 import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
@@ -120,6 +120,14 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
     Lane("kcore_skew", Seq(0, 1, 2).map(i =>
         skew.filter($"slice" === i).select($"src", $"dst")),
       (b, i, d) => KCoreStream.processBatch(b, i, d)),
+    // the truss giant-component honesty probe (round 13): the SAME skew
+    // fixture through TrussStream — one giant low-diameter component
+    // every batch touches, so each batch re-peels ~the whole graph's
+    // supports by design (the KCoreStream cliff with the support-peel
+    // multiplier on top; TrussStream normalizes edge orientation itself)
+    Lane("truss_skew", Seq(0, 1, 2).map(i =>
+        skew.filter($"slice" === i).select($"src".as("a"), $"dst".as("b"))),
+      (b, i, d) => TrussStream.processBatch(b, i, d)),
     Lane("dedup_cluster", slices3(docs, "doc_id"),
       (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)))
 
@@ -201,11 +209,15 @@ object MaintBench {
     val out = if (args.nonEmpty) Some(args(0)) else None
     val sfDirs = (if (args.length > 1) args(1).split(",").toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    val laneFilter = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = session()
 
     val sfJsons = sfDirs.map { dir =>
       val lanes = new MaintLanes(spark, dir)
-      val rows = lanes.all.map { lane =>
+      val picked = laneFilter.fold(lanes.all)(f => lanes.all.filter(l => f(l.name)))
+      laneFilter.foreach(f => require(picked.map(_.name).toSet == f,
+        s"unknown lane in $f (have ${lanes.all.map(_.name)})"))
+      val rows = picked.map { lane =>
         val store = tmp(s"mb-${lane.name}")
         val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
           time(lane.step(sl, i.toLong, store)) }
@@ -218,7 +230,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

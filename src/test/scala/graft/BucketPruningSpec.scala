@@ -411,6 +411,101 @@ class BucketPruningSpec extends AnyFunSuite {
       "the rejection must name the store's existing bucket layout")
   }
 
+  test("writeReplicaBatch refuses an absent replica beside a primary with history (crashed seed)") {
+    import spark.implicits._
+    val store = tmp("bprune-seedcrash")
+    val replicas = Seq("ra" -> Stores.Bucket("pba", "a"), "rb" -> Stores.Bucket("pbb", "b"))
+    val rows0 = (1L to 40L).map(i => (i, i + 100L)).toDF("a", "b")
+    Stores.writeReplicaBatch(rows0, 0L, store, replicas)
+    Stores.compactReplicas(spark, store, replicas, throughBatch = 0L)(df =>
+      df.select($"a", $"b"))
+    // simulate the compactReplicas crash window: primary folded, seed
+    // never written — the replica root vanishes while the primary holds
+    // the folded generation
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$store/rb"))
+    // the next append must FAIL LOUDLY: landing it would create `rb`
+    // holding only batch 1, and existence-based routing would silently
+    // serve a replica missing all folded history
+    val ex = intercept[IllegalStateException] {
+      Stores.writeReplicaBatch(Seq((50L, 150L)).toDF("a", "b"), 1L, store, replicas)
+    }
+    assert(ex.getMessage.contains("compact"),
+      "the rejection must point at the compactReplicas repair")
+    // the documented repair: re-run the compaction — it seeds the absent
+    // replica from the primary's folded rows; ingest then resumes
+    Stores.compactReplicas(spark, store, replicas, throughBatch = 0L)(df =>
+      df.select($"a", $"b"))
+    assert(Stores.exists(spark, s"$store/rb"), "re-run compact must seed rb")
+    Stores.writeReplicaBatch(Seq((50L, 150L)).toDF("a", "b"), 1L, store, replicas)
+    val served = Stores.read(spark, s"$store/rb").select($"a", $"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === (rows0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet + ((50L, 150L))),
+      "the repaired replica must hold the folded history plus the resumed batch")
+    // legitimate absent-replica state: redelivery of a crashed FIRST
+    // batch (primary holds only batch = batchId) must pass — the replay
+    // rewrites both copies
+    val fresh = tmp("bprune-seedcrash-fresh")
+    Stores.writeBatch(rows0, 0L, s"$fresh/ra", Seq(replicas.head._2))
+    Stores.writeReplicaBatch(rows0, 0L, fresh, replicas)
+    assert(Stores.read(spark, s"$fresh/rb").count() === 40L,
+      "first-batch redelivery must create the replica with the full batch")
+  }
+
+  test("a crashed migration fold (manifest renamed, sources undeleted) wedges reads loudly and the re-run fold repairs it") {
+    import spark.implicits._
+    val store = tmp("bprune-migcrash") + "/labels"
+    val b = Stores.Bucket("pbn", "node")
+    // a flat (pre-r11) store with two live batches
+    Stores.writeBatch(Seq((1L, 10L)).toDF("node", "component"), 0L, store)
+    Stores.writeBatch(Seq((2L, 20L)).toDF("node", "component"), 1L, store)
+    // hand-build the migration fold's crash state: the staged generation
+    // ALREADY RENAMED IN under the new bucketed layout, its cover
+    // manifest in place (the atomic visibility switch has happened), but
+    // the covered flat sources NOT YET DELETED — the documented window
+    // in Stores.fold between the manifest rename and the reclamation
+    val gen = tmp("bprune-migcrash-gen")
+    Stores.writeBatch(Seq((1L, 10L), (2L, 20L)).toDF("node", "component"),
+      -1L, gen, Seq(b))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$gen/batch=-1"),
+      new org.apache.hadoop.fs.Path(root, "batch=-1")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_cover_1"), true)
+    try out.write("0,1".getBytes("UTF-8")) finally out.close()
+    // the mixed-depth root must fail LOUDLY, never serve silently-wrong
+    // rows: partition discovery rejects the conflicting structures
+    val exR = intercept[Throwable] {
+      Stores.read(spark, store).collect()
+    }
+    assert(exR.getMessage != null && exR.getMessage.contains("Conflicting"),
+      s"the wedged read must name the conflicting structures, got: ${exR.getMessage}")
+    // an append in EITHER layout is refused by the all-dirs guard — the
+    // root already mixes layouts, so there is no right answer to append in
+    val exW = intercept[IllegalStateException] {
+      Stores.writeBatch(Seq((3L, 30L)).toDF("node", "component"), 2L, store, Seq(b))
+    }
+    assert(exW.getMessage.contains("MIXES"),
+      "the append rejection must say the store already mixes layouts")
+    // the documented repair: re-run the migration fold to completion —
+    // its repair pass deletes the covered flat sources, then re-folds
+    Stores.fold(spark, store, throughBatch = 1L, Seq(b))(df =>
+      df.select($"node", $"component"))
+    val rows = Stores.read(spark, store).select($"node", $"component")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 10L), (2L, 20L)),
+      "the repaired store must serve exactly the pre-crash rows")
+    // and ingest resumes under the new layout
+    Stores.writeBatch(Seq((3L, 30L)).toDF("node", "component"), 2L, store, Seq(b))
+    assert(Stores.read(spark, store).select($"node", $"component")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("a store without bucket columns falls back to the unpruned read") {
     import spark.implicits._
     val store = tmp("bprune-legacy")

@@ -213,4 +213,98 @@ class GifSpec extends AnyFunSuite {
     // truncation mid-second-frame
     assert(Gif.decodeFrames(bytes.dropRight(10)).isEmpty, "truncated animation")
   }
+
+  test("composited decode: disposal 1/2/3 + transparency on the q108 fixture shape") {
+    // the q108 fixture, hand-walked: doc "ab cd" (the space at byte 2
+    // makes transparency fire in frame 2)
+    val txt = "ab cd".getBytes("US-ASCII")
+    val full = java.util.Arrays.copyOf(txt, 32)
+    val shifted = Array.tabulate[Byte](8)(j => if (j + 2 < txt.length) txt(j + 2) else 0)
+    val C = 200.toByte
+    val bytes = Gif.encodeAnimationSubframes(8, 4, Seq(
+      Gif.SubFrame(0, 0, 8, 4, full, 10, 2, None),
+      Gif.SubFrame(1, 1, 6, 2, Array.fill(12)(C), 11, 1, None),
+      Gif.SubFrame(2, 1, 4, 2, shifted, 12, 3, Some(32)),
+      Gif.SubFrame(0, 3, 8, 1, Array.fill[Byte](8)(77), 13, 0, None)))
+    val anim = Gif.decodeComposited(bytes)
+    assert(anim.isDefined, "composited decode failed")
+    val a = anim.get
+    assert(a.width === 8 && a.height === 4)
+    assert(a.delaysCs === Seq(10, 11, 12, 13))
+    def sum(fr: Array[Byte]) = fr.map(_ & 0xFF).map(_.toLong).sum
+    def px(fr: Array[Byte], row: Int, col: Int) = fr(row * 8 + col) & 0xFF
+    // frame 0: the raw doc raster (97+98+32+99+100)
+    assert(sum(a.frames(0)) === 426L)
+    // frame 1: disposal 2 on frame 0 restored the canvas to background 0,
+    // then rect R (cols 1..6 × rows 1..2) filled with 200
+    assert(sum(a.frames(1)) === 2400L)
+    assert(px(a.frames(1), 0, 0) === 0, "outside R must be background")
+    assert(px(a.frames(1), 1, 1) === 200)
+    // frame 2: R2 ⊆ R lands the shifted bytes; the space (32) is
+    // TRANSPARENT, showing the 200 underneath; the padding 0s are OPAQUE
+    assert(px(a.frames(2), 1, 2) === 200, "transparent space must show the canvas")
+    assert(px(a.frames(2), 1, 3) === 99)
+    assert(px(a.frames(2), 1, 4) === 100)
+    assert(px(a.frames(2), 1, 5) === 0, "opaque zero must overwrite the canvas")
+    assert(px(a.frames(2), 1, 6) === 200, "R \\ R2 keeps frame 1's fill")
+    assert(sum(a.frames(2)) === (200L * 4 + 200 + 99 + 100))
+    // frame 3: disposal 3 on frame 2 RESTORED the pre-frame canvas — its
+    // doc pixels must be gone (doc-independent sum), and the disjoint
+    // row-3 rect carries 77
+    assert(px(a.frames(3), 1, 3) === 200, "disposal 3 must erase frame 2's pixels")
+    assert(px(a.frames(3), 3, 0) === 77)
+    assert(sum(a.frames(3)) === (200L * 12 + 77L * 8))
+  }
+
+  test("composited decode: partial-rect disposal 2 restores only its rect") {
+    val bytes = Gif.encodeAnimationSubframes(8, 4, Seq(
+      Gif.SubFrame(0, 0, 8, 4, Array.fill[Byte](32)(5), 1, 1, None),
+      Gif.SubFrame(0, 0, 2, 2, Array.fill[Byte](4)(9), 1, 2, None),
+      Gif.SubFrame(7, 3, 1, 1, Array[Byte](1), 1, 0, None)))
+    val a = Gif.decodeComposited(bytes).get
+    def px(fr: Array[Byte], row: Int, col: Int) = fr(row * 8 + col) & 0xFF
+    assert(px(a.frames(1), 0, 0) === 9)
+    assert(px(a.frames(2), 0, 0) === 0, "disposal 2 must clear ITS rect to background")
+    assert(px(a.frames(2), 0, 2) === 5, "disposal 2 must not touch outside its rect")
+    assert(px(a.frames(2), 3, 7) === 1)
+  }
+
+  test("composited decode agrees with decodeFrames on full-frame opaque animations") {
+    val frames = Seq(
+      Array.tabulate(32)(_.toByte),
+      Array.tabulate(32)(i => (255 - i).toByte))
+    val bytes = Gif.encodeAnimation(8, 4, frames, Seq(5, 7))
+    val raw = Gif.decodeFrames(bytes).get
+    val comp = Gif.decodeComposited(bytes).get
+    assert(comp.frames.map(_.toSeq) === raw.frames.map(_.toSeq),
+      "full-frame opaque compositing must equal the raw rasters")
+    assert(comp.delaysCs === raw.delaysCs)
+  }
+
+  test("composited decode malformed cases: reserved disposal, escaping rect → None") {
+    val bytes = Gif.encodeAnimationSubframes(8, 4, Seq(
+      Gif.SubFrame(0, 0, 8, 4, Array.fill[Byte](32)(5), 1, 1, None)))
+    // the first graphic-control packed byte: header 13 + table 768 +
+    // NETSCAPE extension 19 + (0x21 0xF9 0x04) → offset +3
+    val ctl = 13 + 768 + 19 + 3
+    assert((bytes(ctl - 1) & 0xFF) === 4, "layout walk lost the control block")
+    val badDisp = bytes.clone(); badDisp(ctl) = (4 << 2).toByte
+    assert(Gif.decodeComposited(badDisp).isEmpty,
+      "reserved disposal method must be rejected")
+    // descriptor left=1 on a full-width frame → rect escapes the canvas
+    val desc = ctl + 5 // packed, delay(2), tIdx, terminator → 0x2C
+    assert((bytes(desc) & 0xFF) === 0x2C, "layout walk lost the descriptor")
+    val badRect = bytes.clone(); badRect(desc + 1) = 1
+    assert(Gif.decodeComposited(badRect).isEmpty,
+      "a rect escaping the canvas must be rejected")
+    // the encoder refuses to build either state
+    intercept[IllegalArgumentException] {
+      Gif.encodeAnimationSubframes(8, 4, Seq(
+        Gif.SubFrame(1, 0, 8, 4, Array.fill[Byte](32)(5), 1, 1, None)))
+    }
+    intercept[IllegalArgumentException] {
+      Gif.encodeAnimationSubframes(8, 4, Seq(
+        Gif.SubFrame(0, 0, 8, 4, Array.fill[Byte](32)(5), 1, 4, None)))
+    }
+  }
 }
