@@ -218,11 +218,26 @@ object MaintBench {
       laneFilter.foreach(f => require(picked.map(_.name).toSet == f,
         s"unknown lane in $f (have ${lanes.all.map(_.name)})"))
       val rows = picked.map { lane =>
-        val store = tmp(s"mb-${lane.name}")
-        val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
-          time(lane.step(sl, i.toLong, store)) }
-        System.err.println(f"[maintbench] $dir ${lane.name}: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
-        s""""${lane.name}":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}}"""
+        // min-of-N (round 13, SPARK_GRAFT_MAINT_RUNS, default 1): the r13
+        // session's ambient box noise put 5-20x spikes on single-shot
+        // lanes (one sf0.01 batch read 207 s on one run, 12 s on the
+        // next) — repeating the lane's FULL schedule against a fresh
+        // store and keeping the best-total run reports the maintainer's
+        // actual cost the way Bench's min-of-5 already does for queries;
+        // every run's total is emitted so a reader still sees the spread
+        val runs = sys.env.getOrElse("SPARK_GRAFT_MAINT_RUNS", "1").toInt.max(1)
+        val attempts = (1 to runs).map { _ =>
+          val store = tmp(s"mb-${lane.name}")
+          val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
+            time(lane.step(sl, i.toLong, store)) }
+          System.err.println(f"[maintbench] $dir ${lane.name}: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
+          ts
+        }
+        val ts = attempts.minBy(_.sum)
+        val runsJson =
+          if (runs == 1) ""
+          else s""","runs":[${attempts.map(_.sum).mkString(",")}]"""
+        s""""${lane.name}":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}$runsJson}"""
       }
       lanes.unpersist()
       val sf = dir.split("/").last
@@ -230,7 +245,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs')."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
