@@ -1057,6 +1057,72 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q109 — k-means cluster summary over the embedding corpus: the
+    * user-facing CLUSTERING operator of the similarity family (semantic
+    * bucketing for domain mixing and cluster-balanced sampling — the
+    * training-data step that needs the clusters THEMSELVES, where
+    * q28/q61/q78/q86 use them only as retrieval cells). Serves from the
+    * same [[trainedCentroids]] set every retrieval query shares. One row
+    * per cluster: member count, representative (minimum) member id, and
+    * the EXACT integer within-cluster inertia over the int8-quantized
+    * codes (q62's representation): per (cluster, dim) the floored-mean
+    * center c = floorDiv(Σx, n) (the q86 pmod identity), contributing
+    * Σx² − 2·c·Σx + n·c² — the algebraic expansion of Σ(x − c)² — so the
+    * whole statistic needs ONE aggregation pass carrying (Σx, Σx², n)
+    * with no member↔center rejoin, and is an exact order-independent
+    * integer (hash-oracle-able, the q90 discipline).
+    *
+    * Scale shape: corpus-sized work is the zero-shuffle literal-centroid
+    * assignment projection plus map-side partial aggregation; the one
+    * shuffle moves ≤ k·dim·partitions partial rows — independent of
+    * corpus size — and everything after operates on k-row frames. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val cents = trainedCentroids(s, dir)
+    val assigned = assignToCentroids(emb, cents).select($"vec_id", $"cell")
+    val sizes = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("rep_vec_id"))
+    val perDim = assigned.join(int8Codes(emb), "vec_id")
+      .select($"cell", posexplode($"qs"))
+      .toDF("cell", "pos", "x")
+      .groupBy($"cell", $"pos")
+      .agg(sum($"x").as("s1"), sum($"x" * $"x").as("s2"), count(lit(1)).as("n"))
+    val inertia = perDim
+      // floorDiv(s1, n) for possibly-negative sums: pmod is the
+      // non-negative remainder in both engines, so s1 − pmod(s1, n) is
+      // exactly divisible and `div` is exact — no floating point anywhere
+      .withColumn("c", expr("(s1 - pmod(s1, n)) div n"))
+      .withColumn("contrib", $"s2" - lit(2L) * $"c" * $"s1" + $"n" * $"c" * $"c")
+      .groupBy($"cell").agg(sum($"contrib").as("inertia"))
+    sizes.join(inertia, "cell")
+      .select($"cell".as("cluster"), $"n_members", $"rep_vec_id", $"inertia")
+      .orderBy($"cluster")
+  }
+
+  /** Oracle: the identical pipeline over [[batchAnnCtes]]' full-corpus
+    * `assign` relation — per-(cluster, dim) integer sums over the same
+    * int8 codes (t_qz), the pmod floored-mean identity (≡ floorDiv), and
+    * the same algebraic inertia. The dim index bases differ between the
+    * engines (posexplode 0-based, range(1, 65) 1-based) but the position
+    * is only an intra-engine grouping key — it never reaches the output. */
+  private val q109Sql =
+    s"""${batchAnnCtes(BatchQueryMod)},
+       |acq AS (SELECT a.cell, a.vec_id, q.qs FROM assign a JOIN t_qz q USING (vec_id)),
+       |kdims AS (SELECT cell, j AS pos, CAST(qs[j] AS BIGINT) AS x
+       |  FROM acq, range(1, 65) t(j)),
+       |kperdim AS (SELECT cell, pos, CAST(SUM(x) AS BIGINT) AS s1,
+       |    CAST(SUM(x*x) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM kdims GROUP BY cell, pos),
+       |kcdim AS (SELECT cell, s1, s2, n, (s1 - ((s1 % n + n) % n)) // n AS c FROM kperdim),
+       |kinert AS (SELECT cell, CAST(SUM(s2 - 2*c*s1 + n*c*c) AS BIGINT) AS inertia
+       |  FROM kcdim GROUP BY cell),
+       |ksizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    MIN(vec_id) AS rep_vec_id FROM assign GROUP BY cell)
+       |SELECT s.cell AS cluster, s.n_members, s.rep_vec_id, i.inertia
+       |FROM ksizes s JOIN kinert i USING (cell)
+       |ORDER BY cluster""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
@@ -1067,5 +1133,6 @@ object Similarity {
     GQuery("q69_label_centroid_outliers", q69, Some(q69Sql)),
     GQuery("q78_quantized_retrieval", q78, Some(q78Sql), bench = true),
     GQuery("q86_pq_retrieval", q86, Some(q86Sql), bench = true),
+    GQuery("q109_kmeans_clusters", q109, Some(q109Sql)),
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q109's cluster summary against an INDEPENDENT driver-side walk: local
+  * quantization, local cosine argmax assignment (ties to the smallest
+  * centroid id — the registered rule), floorDiv centers and a direct
+  * Σ(x − c)² inertia, recomputed per cluster and compared exactly. The
+  * query's algebraic one-pass form (Σx² − 2cΣx + nc²) must equal the
+  * direct form on every cluster, the cluster sizes must partition the
+  * corpus, and the fixture must exercise the negative-sum floorDiv path
+  * (the pmod identity's only interesting case). */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** q62's quantization arithmetic, locally: scale = max|x|/127,
+    * q_i = ⌊x_i/scale + 0.5⌋ (all-zero vector → all-zero codes). */
+  private def quantize(v: Seq[Double]): Array[Long] = {
+    val scale = v.map(math.abs).max / 127.0
+    if (scale == 0.0) Array.fill(v.length)(0L)
+    else v.map(x => math.floor(x / scale + 0.5).toLong).toArray
+  }
+
+  test("q109 equals an independent driver-side brute force and partitions the corpus") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q109_kmeans_clusters")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val emb = Similarity.embeddings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = Similarity.trainedCentroids(spark, dir).sortBy(_._1)
+
+    // independent assignment: best cosine, ties to the smallest centroid id
+    val assigned = emb.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (cid, cosLocal(v, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      (id, best, quantize(v))
+    }
+    assert(assigned.map(_._2).distinct.length > 1, "fixture must span clusters")
+
+    val byCluster = assigned.groupBy(_._2)
+    // non-vacuity: multiple non-singleton clusters, and at least one
+    // negative per-dim sum so floorDiv ≠ truncating division somewhere
+    assert(byCluster.count(_._2.length > 1) >= 2)
+    val dims = assigned.head._3.length
+    val anyNegSum = byCluster.values.exists { ms =>
+      (0 until dims).exists(d => ms.map(_._3(d)).sum < 0) }
+    assert(anyNegSum, "fixture must exercise the negative-sum floorDiv path")
+
+    assert(got.keySet == byCluster.keySet)
+    byCluster.foreach { case (cid, ms) =>
+      val n = ms.length.toLong
+      val rep = ms.map(_._1).min
+      val inertia = (0 until dims).map { d =>
+        val xs = ms.map(_._3(d))
+        val c = Math.floorDiv(xs.sum, n)
+        xs.map(x => (x - c) * (x - c)).sum
+      }.sum
+      assert(got(cid) == ((n, rep, inertia)),
+        s"cluster $cid: got ${got(cid)}, want ($n, $rep, $inertia)")
+    }
+    assert(got.values.map(_._1).sum == emb.length.toLong)
+  }
+}
