@@ -253,20 +253,29 @@ object Similarity {
       .select($"vec_id", $"vec", $"cell")
   }
 
-  /** (vec_id, qs) int8 codes of a (vec_id, vec) frame — q62's per-vector
-    * symmetric quantization arithmetic, reused as the TRAINING
-    * representation (see [[trainCentroids]]). */
-  def int8Codes(emb: DataFrame): DataFrame = {
-    import emb.sparkSession.implicits._
+  /** Replace a frame's `vec` column with its int8 code column `qs` —
+    * q62's per-vector symmetric quantization arithmetic — KEEPING every
+    * other column (q109 rides assignment and quantization through one
+    * projection instead of re-joining two corpus-sized derivations of the
+    * same scan). The scale lands in a named intermediate column so it is
+    * evaluated once per row, not once per element inside the transform
+    * lambdas. */
+  def withInt8Codes(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
     // zero-scale branch preserves the input vector's length (the oracle's
     // per-element CASE does too) — a fixed-length literal would silently
     // couple this helper to the shipped 64-dim corpus
-    emb.withColumn("scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
+    df.withColumn("scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
       .withColumn("qs",
         when($"scale" === 0.0, transform($"vec", _ => lit(0L)))
           .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
-      .select($"vec_id", $"qs")
+      .drop("scale", "vec")
   }
+
+  /** (vec_id, qs) int8 codes of a (vec_id, vec) frame — the historical
+    * two-column shape [[trainCentroids]]/q62/q78/q86 consume. */
+  def int8Codes(emb: DataFrame): DataFrame =
+    withInt8Codes(emb).select(col("vec_id"), col("qs"))
 
   /** Lloyd iterations / training-sample modulus of the REGISTERED queries
     * (q28/q61/q67/q78 all serve from one trained centroid set per
@@ -1072,30 +1081,35 @@ object Similarity {
     * with no member↔center rejoin, and is an exact order-independent
     * integer (hash-oracle-able, the q90 discipline).
     *
-    * Scale shape: corpus-sized work is the zero-shuffle literal-centroid
-    * assignment projection plus map-side partial aggregation; the one
-    * shuffle moves ≤ k·dim·partitions partial rows — independent of
-    * corpus size — and everything after operates on k-row frames. */
+    * Scale shape: ONE corpus scan and ZERO joins — assignment and
+    * quantization ride one projection (the first cut joined `assigned` to
+    * `int8Codes(emb)` on vec_id: a corpus×corpus join of two per-row
+    * functions of the same scan, broadcastable only at toy scale —
+    * caught in the plan audit), the sizes ride the per-(cell, dim)
+    * aggregate (min vec_id per dim; member count = the per-dim count,
+    * every corpus vector carrying all dims — the same fixed-dim premise
+    * the 64-dim oracle already hardcodes), so the one shuffle moves
+    * ≤ k·dim·partitions partial rows — independent of corpus size — and
+    * everything after operates on k-row frames. */
   private def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
     val cents = trainedCentroids(s, dir)
-    val assigned = assignToCentroids(emb, cents).select($"vec_id", $"cell")
-    val sizes = assigned.groupBy($"cell")
-      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("rep_vec_id"))
-    val perDim = assigned.join(int8Codes(emb), "vec_id")
-      .select($"cell", posexplode($"qs"))
-      .toDF("cell", "pos", "x")
+    val perDim = withInt8Codes(assignToCentroids(emb, cents))
+      .select($"cell", $"vec_id", posexplode($"qs"))
+      .toDF("cell", "vec_id", "pos", "x")
       .groupBy($"cell", $"pos")
-      .agg(sum($"x").as("s1"), sum($"x" * $"x").as("s2"), count(lit(1)).as("n"))
-    val inertia = perDim
+      .agg(sum($"x").as("s1"), sum($"x" * $"x").as("s2"),
+        count(lit(1)).as("n"), min($"vec_id").as("mid"))
+    perDim
       // floorDiv(s1, n) for possibly-negative sums: pmod is the
       // non-negative remainder in both engines, so s1 − pmod(s1, n) is
       // exactly divisible and `div` is exact — no floating point anywhere
       .withColumn("c", expr("(s1 - pmod(s1, n)) div n"))
       .withColumn("contrib", $"s2" - lit(2L) * $"c" * $"s1" + $"n" * $"c" * $"c")
-      .groupBy($"cell").agg(sum($"contrib").as("inertia"))
-    sizes.join(inertia, "cell")
+      .groupBy($"cell")
+      .agg(max($"n").as("n_members"), min($"mid").as("rep_vec_id"),
+        sum($"contrib").as("inertia"))
       .select($"cell".as("cluster"), $"n_members", $"rep_vec_id", $"inertia")
       .orderBy($"cluster")
   }
@@ -1109,18 +1123,18 @@ object Similarity {
   private val q109Sql =
     s"""${batchAnnCtes(BatchQueryMod)},
        |acq AS (SELECT a.cell, a.vec_id, q.qs FROM assign a JOIN t_qz q USING (vec_id)),
-       |kdims AS (SELECT cell, j AS pos, CAST(qs[j] AS BIGINT) AS x
+       |kdims AS (SELECT cell, vec_id, j AS pos, CAST(qs[j] AS BIGINT) AS x
        |  FROM acq, range(1, 65) t(j)),
        |kperdim AS (SELECT cell, pos, CAST(SUM(x) AS BIGINT) AS s1,
-       |    CAST(SUM(x*x) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS n
+       |    CAST(SUM(x*x) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS n,
+       |    MIN(vec_id) AS mid
        |  FROM kdims GROUP BY cell, pos),
-       |kcdim AS (SELECT cell, s1, s2, n, (s1 - ((s1 % n + n) % n)) // n AS c FROM kperdim),
-       |kinert AS (SELECT cell, CAST(SUM(s2 - 2*c*s1 + n*c*c) AS BIGINT) AS inertia
-       |  FROM kcdim GROUP BY cell),
-       |ksizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
-       |    MIN(vec_id) AS rep_vec_id FROM assign GROUP BY cell)
-       |SELECT s.cell AS cluster, s.n_members, s.rep_vec_id, i.inertia
-       |FROM ksizes s JOIN kinert i USING (cell)
+       |kcdim AS (SELECT cell, s1, s2, n, mid,
+       |    (s1 - ((s1 % n + n) % n)) // n AS c FROM kperdim)
+       |SELECT cell AS cluster, CAST(MAX(n) AS BIGINT) AS n_members,
+       |  MIN(mid) AS rep_vec_id,
+       |  CAST(SUM(s2 - 2*c*s1 + n*c*c) AS BIGINT) AS inertia
+       |FROM kcdim GROUP BY cell
        |ORDER BY cluster""".stripMargin
 
   val all: Seq[GQuery] = Seq(
