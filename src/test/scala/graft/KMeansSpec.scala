@@ -71,4 +71,15 @@ class KMeansSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._1).sum == emb.length.toLong)
   }
+
+  test("q109's plan is join-free (one corpus scan, aggregation only)") {
+    // the scale property the first cut violated: assignment and
+    // quantization are per-row functions of ONE scan, so no plan node may
+    // be a join — a corpus×corpus equi-join on vec_id is broadcastable
+    // only at toy scale
+    val df = SparkEntry.queries("q109_kmeans_clusters")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"q109 plan contains joins: $joins")
+  }
 }
