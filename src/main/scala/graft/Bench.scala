@@ -30,45 +30,62 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val benched = SparkEntry.registry.filter(_.bench)
-    // min-of-N with N defaulting to 5 (was 3): the round-5 artifact showed
-    // byte-identical binaries moving ±31% per query under min-of-3 — the
-    // per-query MEDIAN and SPREAD of the warm runs are emitted alongside so
-    // a reader can tell a real regression from that noise floor
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    // INTERLEAVED passes (round 14): repeats of one query must not run
+    // back-to-back — the r13 session proved this box's ambient noise
+    // arrives in MULTI-MINUTE bursts, long enough to cover an entire
+    // min-of-5 of a single query (q24 read 5.26 s as a min of five in one
+    // window, 0.85 s an hour later, identical binary). So the bench runs
+    // N full PASSES over the whole query list — pass 0 cold, passes
+    // 1..N−1 warm — and takes per-query stats ACROSS passes: a burst now
+    // poisons at most one pass of every query (visible as a uniform
+    // inflation in that pass, filtered by the min), never every repeat of
+    // one query. The per-query MEDIAN and SPREAD over the warm passes
+    // ride along so a reader can tell a real regression from noise.
+    val runsEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5")
+    require(scala.util.Try(runsEnv.toInt).isSuccess,
+      s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$runsEnv'")
+    val runs = runsEnv.toInt.max(1)
     final case class R(name: String, best: Double, cold: Double,
       median: Double, spread: Double)
-    val results = benched.map { q =>
-      val name = q.name
+    def runOnce(q: GQuery): (Boolean, Double) = {
       // production configuration where one exists (e.g. xxhash64 dedup
       // hashing instead of the oracle-only md5 family)
       val fn = q.benchRun.getOrElse(q.run)
-      // drop this session's materialized prepare-stage stores so run 1 is
-      // a true COLD run — it pays the query's own tokenize/shingle/index
-      // build, the cost a pipeline's first pass over a fresh corpus pays
-      graft.store.Materialized.invalidate(spark)
-      // min over repeated runs: filters ambient machine noise, reports the
-      // plan's actual cost; a failed query is marked -1, never a fast time
-      val timings = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-        (ok, (System.nanoTime() - t0) / 1e9)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
       }
-      val ok = timings.forall(_._1)
-      if (!ok) R(name, -1.0, -1.0, -1.0, -1.0)
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    // pass 0 — COLD: before each query, drop this session's materialized
+    // prepare-stage stores so the run pays the query's own tokenize/
+    // shingle/index build, the cost a pipeline's first pass over a fresh
+    // corpus pays. (Per-query invalidation, so each query's cold time
+    // includes rebuilding the shared stores it depends on.)
+    val coldPass = benched.map { q =>
+      graft.store.Materialized.invalidate(spark)
+      runOnce(q)
+    }
+    // passes 1..N−1 — WARM: full list per pass, no invalidation
+    val warmPasses = (1 until runs).map { p =>
+      System.err.println(s"[bench] warm pass $p/${runs - 1}")
+      benched.map(runOnce)
+    }
+    val results = benched.zipWithIndex.map { case (q, i) =>
+      val timings = coldPass(i) +: warmPasses.map(_(i))
+      if (!timings.forall(_._1)) R(q.name, -1.0, -1.0, -1.0, -1.0)
       else {
-        // headline stays min-of-N (steady-state plan cost); cold rides
-        // along so the amortized prepare stage never disappears from the
-        // artifact; median/spread are over the WARM runs (cold excluded —
-        // it measures the prepare stage, not run-to-run noise)
+        // headline stays min over all runs (steady-state plan cost); cold
+        // rides along so the amortized prepare stage never disappears
+        // from the artifact; median/spread are over the WARM passes (cold
+        // excluded — it measures the prepare stage, not run-to-run noise)
         val times = timings.map(_._2)
         val warm = if (times.length > 1) times.tail else times
         val sorted = warm.sorted
         val median = sorted((sorted.length - 1) / 2)
-        R(name, times.min, times.head, median, sorted.last - sorted.head)
+        R(q.name, times.min, times.head, median, sorted.last - sorted.head)
       }
     }
     def jmap(f: R => Double) =
@@ -79,7 +96,7 @@ object Bench {
     val total = if (failed > 0) -1.0 else results.map(_.best).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
-      s""""runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+      s""""runs":$runs,"interleaved":true,"failed":$failed,"sf":"$sfDir"}"""
     // self-announcing headline on its own short line, BOTH before and after
     // the big JSON: the driver's stdout capture has truncated the JSON two
     // rounds running, and whichever end the capture keeps must still carry

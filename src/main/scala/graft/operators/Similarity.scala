@@ -264,12 +264,15 @@ object Similarity {
     import df.sparkSession.implicits._
     // zero-scale branch preserves the input vector's length (the oracle's
     // per-element CASE does too) — a fixed-length literal would silently
-    // couple this helper to the shipped 64-dim corpus
-    df.withColumn("scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
+    // couple this helper to the shipped 64-dim corpus. The intermediate
+    // lands under an internal name so a caller frame that happens to carry
+    // its own `scale` column passes through untouched (withColumn replaces
+    // by name — the plain name would silently overwrite caller data).
+    df.withColumn("__q62_scale", array_max(transform($"vec", x => abs(x))) / lit(127.0))
       .withColumn("qs",
-        when($"scale" === 0.0, transform($"vec", _ => lit(0L)))
-          .otherwise(transform($"vec", x => floor(x / $"scale" + lit(0.5)).cast("long"))))
-      .drop("scale", "vec")
+        when($"__q62_scale" === 0.0, transform($"vec", _ => lit(0L)))
+          .otherwise(transform($"vec", x => floor(x / $"__q62_scale" + lit(0.5)).cast("long"))))
+      .drop("__q62_scale", "vec")
   }
 
   /** (vec_id, qs) int8 codes of a (vec_id, vec) frame — the historical
@@ -1088,9 +1091,17 @@ object Similarity {
     * caught in the plan audit), the sizes ride the per-(cell, dim)
     * aggregate (min vec_id per dim; member count = the per-dim count,
     * every corpus vector carrying all dims — the same fixed-dim premise
-    * the 64-dim oracle already hardcodes), so the one shuffle moves
-    * ≤ k·dim·partitions partial rows — independent of corpus size — and
-    * everything after operates on k-row frames. */
+    * the 64-dim oracle already hardcodes, and the per-cell aggregate now
+    * RAISES if any dim's count disagrees, so a short/ragged vector array
+    * fails loudly instead of silently under-counting), so the one shuffle
+    * moves ≤ k·dim·partitions partial rows — independent of corpus size —
+    * and everything after operates on k-row frames.
+    *
+    * EVERY trained cluster emits a row, including empty ones — a centroid
+    * with zero assigned members appears as (cluster, 0, NULL, 0), via a
+    * left join from the k-row trained-centroid set (a cluster-balanced-
+    * sampling consumer must be able to tell an empty cluster from a
+    * nonexistent one; both engines emit the same k rows). */
   private def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
@@ -1101,16 +1112,27 @@ object Similarity {
       .groupBy($"cell", $"pos")
       .agg(sum($"x").as("s1"), sum($"x" * $"x").as("s2"),
         count(lit(1)).as("n"), min($"vec_id").as("mid"))
-    perDim
+    val summary = perDim
       // floorDiv(s1, n) for possibly-negative sums: pmod is the
       // non-negative remainder in both engines, so s1 − pmod(s1, n) is
       // exactly divisible and `div` is exact — no floating point anywhere
       .withColumn("c", expr("(s1 - pmod(s1, n)) div n"))
       .withColumn("contrib", $"s2" - lit(2L) * $"c" * $"s1" + $"n" * $"c" * $"c")
       .groupBy($"cell")
-      .agg(max($"n").as("n_members"), min($"mid").as("rep_vec_id"),
-        sum($"contrib").as("inertia"))
-      .select($"cell".as("cluster"), $"n_members", $"rep_vec_id", $"inertia")
+      .agg(max($"n").as("n_max"), min($"n").as("n_min"),
+        min($"mid").as("rep_vec_id"), sum($"contrib").as("inertia"))
+      // fixed-dim premise guard: every member carries all dims, so the
+      // per-dim counts within a cell must agree — a ragged corpus raises
+      // here (k rows, so the guard costs nothing)
+      .select($"cell",
+        when($"n_min" =!= $"n_max",
+            raise_error(concat(lit("q109: ragged vector arrays in cell "), $"cell".cast("string"))))
+          .otherwise($"n_max").as("n_members"),
+        $"rep_vec_id", $"inertia")
+    cents.map(_._1).sorted.toDF("cluster")
+      .join(summary.withColumnRenamed("cell", "cluster"), Seq("cluster"), "left")
+      .select($"cluster", coalesce($"n_members", lit(0L)).as("n_members"),
+        $"rep_vec_id", coalesce($"inertia", lit(0L)).as("inertia"))
       .orderBy($"cluster")
   }
 
@@ -1119,7 +1141,10 @@ object Similarity {
     * int8 codes (t_qz), the pmod floored-mean identity (≡ floorDiv), and
     * the same algebraic inertia. The dim index bases differ between the
     * engines (posexplode 0-based, range(1, 65) 1-based) but the position
-    * is only an intra-engine grouping key — it never reaches the output. */
+    * is only an intra-engine grouping key — it never reaches the output.
+    * The outer left join from the trained-centroid relation `c` mirrors
+    * the Spark side's every-cluster contract: empty cells emit
+    * (cluster, 0, NULL, 0). */
   private val q109Sql =
     s"""${batchAnnCtes(BatchQueryMod)},
        |acq AS (SELECT a.cell, a.vec_id, q.qs FROM assign a JOIN t_qz q USING (vec_id)),
@@ -1130,11 +1155,16 @@ object Similarity {
        |    MIN(vec_id) AS mid
        |  FROM kdims GROUP BY cell, pos),
        |kcdim AS (SELECT cell, s1, s2, n, mid,
-       |    (s1 - ((s1 % n + n) % n)) // n AS c FROM kperdim)
-       |SELECT cell AS cluster, CAST(MAX(n) AS BIGINT) AS n_members,
-       |  MIN(mid) AS rep_vec_id,
-       |  CAST(SUM(s2 - 2*c*s1 + n*c*c) AS BIGINT) AS inertia
-       |FROM kcdim GROUP BY cell
+       |    (s1 - ((s1 % n + n) % n)) // n AS c FROM kperdim),
+       |ksum AS (SELECT cell, CAST(MAX(n) AS BIGINT) AS n_members,
+       |    MIN(mid) AS rep_vec_id,
+       |    CAST(SUM(s2 - 2*c*s1 + n*c*c) AS BIGINT) AS inertia
+       |  FROM kcdim GROUP BY cell)
+       |SELECT c.cent_id AS cluster,
+       |  COALESCE(k.n_members, CAST(0 AS BIGINT)) AS n_members,
+       |  k.rep_vec_id AS rep_vec_id,
+       |  COALESCE(k.inertia, CAST(0 AS BIGINT)) AS inertia
+       |FROM c LEFT JOIN ksum k ON k.cell = c.cent_id
        |ORDER BY cluster""".stripMargin
 
   val all: Seq[GQuery] = Seq(
@@ -1147,6 +1177,9 @@ object Similarity {
     GQuery("q69_label_centroid_outliers", q69, Some(q69Sql)),
     GQuery("q78_quantized_retrieval", q78, Some(q78Sql), bench = true),
     GQuery("q86_pq_retrieval", q86, Some(q86Sql), bench = true),
-    GQuery("q109_kmeans_clusters", q109, Some(q109Sql)),
+    // benched from r14 (verdict directive 2): its warm time is the serving
+    // path; the COLD column carries the shared centroid training every
+    // retrieval query amortizes (the q28/q61/q78/q86 prepare stage)
+    GQuery("q109_kmeans_clusters", q109, Some(q109Sql), bench = true),
   )
 }

@@ -175,7 +175,20 @@ private[graft] object Stores {
     * caught HERE, at the append/fold that would compound it, not at the
     * next read. Costs one child-chain walk per live batch dir per
     * append — bounded by the compaction cadence, within the family's
-    * documented per-write listing envelope. */
+    * documented per-write listing envelope.
+    *
+    * Object-store note (S3-style semantics): each child-chain walk is a
+    * LIST call per layout level, so an append against a store with B
+    * live batch dirs and an L-deep bucket chain issues O(B·L) LIST
+    * requests — on HDFS-like stores a cheap namenode RPC, on S3-like
+    * stores a billed, ~tens-of-ms round trip each. At a production
+    * cadence (compaction every few hundred batches, L ≤ 2) that is
+    * hundreds of LISTs per append — acceptable for a maintenance write
+    * but worth budgeting; a deployment that cannot afford it should
+    * tighten compaction cadence (B is the knob) or front the store with
+    * a listing cache, NOT disable the guard — the guard is what turns a
+    * crashed half-migrated layout into a loud refusal instead of silent
+    * wrong reads. */
   private def existingLayouts(fs: FileSystem, root: Path): Set[Seq[String]] = {
     if (!fs.exists(root)) return Set.empty
     fs.listStatus(root)

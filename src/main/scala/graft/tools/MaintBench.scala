@@ -184,6 +184,16 @@ object MaintBench {
       .filter($"src" =!= $"dst")
   }
 
+  /** Integer env knob with a loud failure mode: a malformed value aborts
+    * with a message NAMING the variable (the lane-filter error style),
+    * not a bare NumberFormatException from nowhere. */
+  private[tools] def envInt(name: String, default: Int): Int =
+    sys.env.get(name).fold(default) { v =>
+      require(scala.util.Try(v.toInt).isSuccess,
+        s"$name must be an integer, got '$v'")
+      v.toInt
+    }
+
   private[tools] def time[T](f: => T): Double = {
     val t0 = System.nanoTime()
     f
@@ -217,22 +227,32 @@ object MaintBench {
       val picked = laneFilter.fold(lanes.all)(f => lanes.all.filter(l => f(l.name)))
       laneFilter.foreach(f => require(picked.map(_.name).toSet == f,
         s"unknown lane in $f (have ${lanes.all.map(_.name)})"))
-      val rows = picked.map { lane =>
-        // min-of-N (round 13, SPARK_GRAFT_MAINT_RUNS, default 1): the r13
-        // session's ambient box noise put 5-20x spikes on single-shot
-        // lanes (one sf0.01 batch read 207 s on one run, 12 s on the
-        // next) — repeating the lane's FULL schedule against a fresh
-        // store and keeping the best-total run reports the maintainer's
-        // actual cost the way Bench's min-of-5 already does for queries;
-        // every run's total is emitted so a reader still sees the spread
-        val runs = sys.env.getOrElse("SPARK_GRAFT_MAINT_RUNS", "1").toInt.max(1)
-        val attempts = (1 to runs).map { _ =>
+      // min-of-N (SPARK_GRAFT_MAINT_RUNS, default 1), attempts INTERLEAVED
+      // ACROSS LANES (round 14): the r13 artifacts proved back-to-back
+      // repeats of one lane share a multi-minute ambient burst (both
+      // attempts of several sf0.1 lanes in MAINTBENCH_r13_minof2 were
+      // poisoned together; single-shot lanes took 5-20x spikes — one
+      // sf0.01 batch read 207 s on one run, 12 s on the next). Attempt
+      // k of every lane runs before attempt k+1 of any lane — the MaintAb
+      // arm-interleaving trick applied to the headline bench — so a burst
+      // lands in at most one attempt per lane and the best-total attempt
+      // filters it. Every attempt's total is emitted so a reader still
+      // sees the spread.
+      val runs = envInt("SPARK_GRAFT_MAINT_RUNS", 1).max(1)
+      val attemptsByLane: Map[String, Seq[Seq[Double]]] = {
+        val acc = scala.collection.mutable.Map.empty[String, Vector[Seq[Double]]]
+          .withDefaultValue(Vector.empty)
+        for (_ <- 1 to runs; lane <- picked) {
           val store = tmp(s"mb-${lane.name}")
           val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
             time(lane.step(sl, i.toLong, store)) }
           System.err.println(f"[maintbench] $dir ${lane.name}: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
-          ts
+          acc(lane.name) = acc(lane.name) :+ ts
         }
+        acc.toMap
+      }
+      val rows = picked.map { lane =>
+        val attempts = attemptsByLane(lane.name)
         val ts = attempts.minBy(_.sum)
         val runsJson =
           if (runs == 1) ""
@@ -245,7 +265,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs')."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

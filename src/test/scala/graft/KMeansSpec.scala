@@ -31,9 +31,12 @@ class KMeansSpec extends AnyFunSuite {
 
   test("q109 equals an independent driver-side brute force and partitions the corpus") {
     import spark.implicits._
+    // rep_vec_id is NULL for an empty cluster (the every-cluster contract:
+    // one row per TRAINED centroid, empty cells as (cluster, 0, NULL, 0))
     val got = SparkEntry.queries("q109_kmeans_clusters")(spark, dir)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))))
       .toMap
 
     val emb = Similarity.embeddings(spark, dir)
@@ -57,7 +60,9 @@ class KMeansSpec extends AnyFunSuite {
       (0 until dims).exists(d => ms.map(_._3(d)).sum < 0) }
     assert(anyNegSum, "fixture must exercise the negative-sum floorDiv path")
 
-    assert(got.keySet == byCluster.keySet)
+    // one row per TRAINED centroid — populated cells match the brute
+    // force; any empty cell must read (0, NULL, 0)
+    assert(got.keySet == cents.map(_._1).toSet)
     byCluster.foreach { case (cid, ms) =>
       val n = ms.length.toLong
       val rep = ms.map(_._1).min
@@ -66,20 +71,30 @@ class KMeansSpec extends AnyFunSuite {
         val c = Math.floorDiv(xs.sum, n)
         xs.map(x => (x - c) * (x - c)).sum
       }.sum
-      assert(got(cid) == ((n, rep, inertia)),
+      assert(got(cid) == ((n, Some(rep), inertia)),
         s"cluster $cid: got ${got(cid)}, want ($n, $rep, $inertia)")
+    }
+    (got.keySet -- byCluster.keySet).foreach { cid =>
+      assert(got(cid) == ((0L, None, 0L)), s"empty cluster $cid: got ${got(cid)}")
     }
     assert(got.values.map(_._1).sum == emb.length.toLong)
   }
 
-  test("q109's plan is join-free (one corpus scan, aggregation only)") {
+  test("q109's plan has no corpus-side join (one corpus scan, aggregation only)") {
     // the scale property the first cut violated: assignment and
     // quantization are per-row functions of ONE scan, so no plan node may
-    // be a join — a corpus×corpus equi-join on vec_id is broadcastable
-    // only at toy scale
+    // join two corpus-derived relations — a corpus×corpus equi-join on
+    // vec_id is broadcastable only at toy scale. The ONLY permitted join
+    // is the every-cluster left join, whose probe side is the k-row
+    // driver-literal centroid-id frame (a LocalRelation)
     val df = SparkEntry.queries("q109_kmeans_clusters")(spark, dir)
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-    assert(joins.isEmpty, s"q109 plan contains joins: $joins")
+    assert(joins.length <= 1, s"q109 plan contains extra joins: $joins")
+    joins.foreach { j =>
+      val literalSide = Seq(j.left, j.right).exists(_.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+      assert(literalSide, s"q109 join lacks a k-row driver-literal side: $j")
+    }
   }
 }
