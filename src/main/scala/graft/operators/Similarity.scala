@@ -188,18 +188,44 @@ object Similarity {
   private[graft] def ivfServeTopK(s: SparkSession, dir: String, idxDir: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import s.implicits._
-    val emb = embeddings(s, dir)
+    val qvec = queryVector(s, dir)
+    val cells = probeCells(qvec, cents)
+    val cand = s.read.parquet(idxDir).filter($"cell".isInCollection(cells))
+    rankTopK(cand, qvec)
+  }
+
+  /** The registered query vector (vec 0) — driver-side, one point lookup. */
+  private[graft] def queryVector(s: SparkSession, dir: String): Seq[Double] = {
+    import s.implicits._
+    embeddings(s, dir).filter($"vec_id" === QueryVecId).collect()(0).getSeq[Double](1)
+  }
+
+  /** Driver-side probe selection: the [[NProbe]] centroids nearest the
+    * query by cosine, ties to the smaller id — over k tiny rows. */
+  private[graft] def probeCells(qvec: Seq[Double],
+      cents: Seq[(Long, Seq[Double])]): Seq[Long] = {
     def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val qvec = emb.filter($"vec_id" === QueryVecId).collect()(0).getSeq[Double](1)
-    val cells = cents
-      .map { case (id, c) => (cosLocal(c, qvec), id) }
+    cents.map { case (id, c) => (cosLocal(c, qvec), id) }
       .sortBy { case (sim, id) => (-sim, id) }
       .take(NProbe).map(_._2)
-    val topk = queryIvfIndex(s, idxDir, qvec, cells, K + 1)
+  }
+
+  /** Exact re-rank of a candidate frame (vec_id, vec, …) against the
+    * query vector — the q28 serving tail, shared by the batch index, the
+    * [[graft.streaming.AnnStream]] serve (q89) and the
+    * [[graft.streaming.AnnDeltaStream]] liveness-resolved serve (q110),
+    * so every serve is oracle-comparable by construction. The rank window
+    * runs over just K rows. */
+  private[graft] def rankTopK(cand: DataFrame, qvec: Seq[Double]): DataFrame = {
+    import cand.sparkSession.implicits._
+    val topk = cand
+      .withColumn("sim", round(cosine($"vec",
+        array(qvec.map(lit): _*).cast("array<double>")), 3))
+      .select($"vec_id", $"sim")
       .filter($"vec_id" =!= QueryVecId)
       .orderBy($"sim".desc, $"vec_id")
       .limit(K)
@@ -212,7 +238,14 @@ object Similarity {
     * training unrolled (see [[lloydCtes]]), argmax cell assignment against
     * the TRAINED centroids, top-[[NProbe]] probe, exact re-rank within
     * probed cells. */
-  private[graft] def q28Sql =
+  private[graft] def q28Sql: String = q28SqlOn("")
+
+  /** q28's oracle with an extra predicate on the CANDIDATE rows (`a` =
+    * the assigned corpus): the q110 parameterization — training, probe
+    * selection and ranking are untouched (the frozen-codebook contract:
+    * deletions remove index rows, never retrain), only the servable
+    * corpus shrinks. Mirrors [[GraphQueries.q80SqlOn]]'s shape. */
+  private[graft] def q28SqlOn(candPred: String): String =
     s"""WITH ${lloydCtes(Centroids, TrainIters, TrainSampleMod)},
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT cent_id, cv FROM t_cent$TrainIters),
@@ -225,7 +258,7 @@ object Similarity {
        |probed AS (SELECT c.cent_id AS cell FROM c CROSS JOIN q
        |    ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cent_id LIMIT $NProbe),
        |cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probed p ON a.cell = p.cell
-       |    WHERE a.vec_id <> $QueryVecId),
+       |    WHERE a.vec_id <> $QueryVecId$candPred),
        |ranked AS (SELECT vec_id, ROUND(list_cosine_similarity(v, q.qv), 3) AS sim
        |    FROM cand CROSS JOIN q),
        |top AS (SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank

@@ -546,6 +546,45 @@ object StreamServe {
   private val q106Sql = GraphQueries.q105SqlOn(
     " AND ((x.p + y.p) % 5 <> 0 OR (x.p + y.p) % 10 = 0)")
 
+  /** q110 — ANN retrieval under vector DELETIONS served from the
+    * [[AnnDeltaStream]] store: the q89 corpus arrives as two insert
+    * batches (vec_id parity), then a DELETE batch tombstoning every
+    * vec_id % 5 == 0 vector (the takedown / decontamination-removal
+    * event — indexed vectors genuinely leave the servable corpus), then
+    * a partial RE-INSERT batch restoring the % 10 == 0 half
+    * (resurrection; the registered query vector 0 is deleted and
+    * re-inserted, so the probe side is exercised through the event too).
+    * The store is compacted THROUGH the delete batch (tombstones and
+    * dead rows fold away, survivors keep their `srcb` provenance) with
+    * the re-insert batch live — one row exercises tombstone resolution,
+    * fold-of-deletions, and resurrection against a negative generation.
+    * Frozen codebook ⇒ training and probe selection are untouched by
+    * deletions, so the oracle is q28's SQL with only the CANDIDATE set
+    * restricted to the surviving vec_ids. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("anndeltaserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val cents = Similarity.trainedCentroids(s, dir)
+    val emb = Similarity.embeddings(s, dir)
+      .withColumn("del", $"vec_id" % 5 === 0)
+      .withColumn("reins", $"vec_id" % 10 === 0)
+      .cache()
+    writeSlices(inDir, "ev", Seq(
+      emb.filter($"vec_id" % 2 === 0).select($"vec_id", $"vec", lit(1).as("op")),
+      emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"vec", lit(1).as("op")),
+      emb.filter($"del").select($"vec_id",
+        lit(null).cast("array<double>").as("vec"), lit(-1).as("op")),
+      emb.filter($"reins").select($"vec_id", $"vec", lit(1).as("op"))))
+    AnnDeltaStream.start(s, inDir, storeDir, cents).awaitTermination()
+    emb.unpersist()
+    AnnDeltaStream.compact(s, storeDir, throughBatch = 2L)
+    AnnDeltaStream.serveTopK(s, dir, storeDir, cents)
+  }
+
+  private val q110Sql = Similarity.q28SqlOn(
+    " AND (a.vec_id % 5 <> 0 OR a.vec_id % 10 = 0)")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -561,5 +600,6 @@ object StreamServe {
     GQuery("q103_stream_triangle_delta_serve", q103, Some(q103Sql)),
     GQuery("q104_stream_kcore_delta_serve", q104, Some(q104Sql)),
     GQuery("q106_stream_truss_delta_serve", q106, Some(q106Sql)),
+    GQuery("q110_stream_ann_delete_serve", q110, Some(q110Sql)),
   )
 }

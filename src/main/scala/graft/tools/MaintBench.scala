@@ -14,15 +14,19 @@
 // Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep] [lanes,comma-sep]'
 package graft.tools
 
-import graft.streaming.{CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
+import graft.streaming.{AnnDeltaStream, CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
 import graft.operators.GraphQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One maintainer's bench lane: its micro-batch schedule plus the step
-  * that folds a batch into a store rooted at the caller's directory. */
+  * that folds a batch into a store rooted at the caller's directory.
+  * `prepare` runs UNTIMED before each attempt — for shared prepare-stage
+  * cost (e.g. ann_delta's centroid training) that is not per-batch
+  * maintenance and must not land in batch 0's cell. */
 private[tools] final case class Lane(name: String,
-    slices: Seq[DataFrame], step: (DataFrame, Long, String) => Unit)
+    slices: Seq[DataFrame], step: (DataFrame, Long, String) => Unit,
+    prepare: () => Unit = () => ())
 
 /** The maintenance lanes' shared fixtures and schedules at one SF dir —
   * cached frames; call [[unpersist]] when done. */
@@ -53,6 +57,18 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
   val docN: Long = docs.count()
   val skew: DataFrame = MaintBench.skewEdges(spark, spN).cache()
   val skewN: Long = skew.count()
+  val embd: DataFrame = graft.Tables.t(spark, dir, "embeddings")
+    .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    .withColumn("del", $"vec_id" % 5 === 0)
+    .withColumn("reins", $"vec_id" % 10 === 0)
+    .cache()
+  val embN: Long = embd.count()
+  // frozen codebook for the ann_delta lane — LAZY so lane-filtered runs
+  // that exclude it never pay centroid training (the lane's step closure
+  // forces it on first batch; training cost is the shared prepare stage
+  // every retrieval query amortizes, not a per-batch maintenance cost)
+  lazy val cents: Seq[(Long, Seq[Double])] =
+    graft.operators.Similarity.trainedCentroids(spark, dir)
 
   private def slices3(d: DataFrame, col_ : String): Seq[DataFrame] =
     Seq(0, 1, 2).map(i => d.filter(expr(s"($col_) % 3 = $i")))
@@ -129,11 +145,21 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
         skew.filter($"slice" === i).select($"src".as("a"), $"dst".as("b"))),
       (b, i, d) => TrussStream.processBatch(b, i, d)),
     Lane("dedup_cluster", slices3(docs, "doc_id"),
-      (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)))
+      (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)),
+    // the q110 shape: insert/insert/delete/re-insert over the embedding
+    // corpus against the frozen trained codebook (deletes carry null vecs)
+    Lane("ann_delta", Seq(
+        embd.filter($"vec_id" % 2 === 0).select($"vec_id", $"vec", lit(1).as("op")),
+        embd.filter($"vec_id" % 2 === 1).select($"vec_id", $"vec", lit(1).as("op")),
+        embd.filter($"del").select($"vec_id",
+          lit(null).cast("array<double>").as("vec"), lit(-1).as("op")),
+        embd.filter($"reins").select($"vec_id", $"vec", lit(1).as("op"))),
+      (b, i, d) => AnnDeltaStream.processBatch(b, i, d, cents),
+      prepare = () => { cents; () }))
 
   def unpersist(): Unit = {
     sp.unpersist(); rawPairs.unpersist(); weighted.unpersist()
-    docs.unpersist(); skew.unpersist(); projd.unpersist()
+    docs.unpersist(); skew.unpersist(); projd.unpersist(); embd.unpersist()
   }
 }
 
@@ -243,6 +269,7 @@ object MaintBench {
         val acc = scala.collection.mutable.Map.empty[String, Vector[Seq[Double]]]
           .withDefaultValue(Vector.empty)
         for (_ <- 1 to runs; lane <- picked) {
+          lane.prepare()
           val store = tmp(s"mb-${lane.name}")
           val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
             time(lane.step(sl, i.toLong, store)) }
@@ -261,11 +288,11 @@ object MaintBench {
       }
       lanes.unpersist()
       val sf = dir.split("/").last
-      s""""$sf":{"sparse_pairs":${lanes.spN},"weighted_edges":${lanes.wN},"documents":${lanes.docN},"skew_edges":${lanes.skewN},${rows.mkString(",")}}"""
+      s""""$sf":{"sparse_pairs":${lanes.spN},"weighted_edges":${lanes.wN},"documents":${lanes.docN},"skew_edges":${lanes.skewN},"embeddings":${lanes.embN},${rows.mkString(",")}}"""
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 addition: ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

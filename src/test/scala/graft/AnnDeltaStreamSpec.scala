@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Similarity
+import graft.streaming.AnnDeltaStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decremental ANN store's liveness contract: after any ±op schedule,
+  * [[AnnDeltaStream.liveRows]] must equal the batch assignment of the
+  * SURVIVING corpus (frozen codebook); insert wins inside a batch;
+  * deletion then re-insertion resurrects; compaction folds through
+  * deletes preserving `srcb` provenance — so a tombstone left behind by
+  * a crashed compaction can never kill a resurrected vector; redelivery
+  * of a batch id converges. */
+class AnnDeltaStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+  }
+
+  private def cents = Similarity.trainedCentroids(spark, dir)
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("anndelta").toString + "/store"
+
+  private def ins(df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select($"vec_id", $"vec", lit(1).as("op"))
+  }
+  private def del(df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select($"vec_id", lit(null).cast("array<double>").as("vec"), lit(-1).as("op"))
+  }
+
+  private def liveSet(store: String): Set[(Long, Long)] =
+    AnnDeltaStream.liveRows(spark, store).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+
+  private def wantSet(corpus: DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    Similarity.assignToCentroids(corpus, cents)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("±op schedule ≡ batch assignment of the surviving corpus, before and after compaction") {
+    import spark.implicits._
+    val e = emb.cache()
+    val store = tmpStore()
+    AnnDeltaStream.processBatch(ins(e.filter($"vec_id" % 2 === 0)), 0L, store, cents)
+    AnnDeltaStream.processBatch(ins(e.filter($"vec_id" % 2 === 1)), 1L, store, cents)
+    AnnDeltaStream.processBatch(del(e.filter($"vec_id" % 5 === 0)), 2L, store, cents)
+    AnnDeltaStream.processBatch(ins(e.filter($"vec_id" % 10 === 0)), 3L, store, cents)
+    val surv = e.filter($"vec_id" % 5 =!= 0 || $"vec_id" % 10 === 0)
+    val want = wantSet(surv)
+    assert(want.size < wantSet(e).size, "deletions must be non-vacuous")
+    assert(liveSet(store) === want, "pre-compaction liveness diverged")
+    // fold THROUGH the delete batch; the re-insert batch stays live
+    AnnDeltaStream.compact(spark, store, throughBatch = 2L)
+    assert(liveSet(store) === want, "post-compaction liveness diverged")
+    // second compaction folds the generation + live batch — still equal
+    AnnDeltaStream.compact(spark, store, throughBatch = 3L)
+    assert(liveSet(store) === want, "re-compaction liveness diverged")
+  }
+
+  test("insert wins inside a micro-batch; deletion then re-insertion resurrects") {
+    import spark.implicits._
+    val e = emb.filter($"vec_id" < 20).cache()
+    val store = tmpStore()
+    // batch 0: vec 3 both inserted and deleted — insert wins
+    AnnDeltaStream.processBatch(
+      ins(e.filter($"vec_id" <= 5)).union(del(e.filter($"vec_id" === 3))),
+      0L, store, cents)
+    assert(liveSet(store).map(_._1).contains(3L), "same-batch insert must win")
+    // batch 1: delete 3 for real
+    AnnDeltaStream.processBatch(del(e.filter($"vec_id" === 3)), 1L, store, cents)
+    assert(!liveSet(store).map(_._1).contains(3L), "cross-batch delete must hide")
+    // batch 2: resurrect
+    AnnDeltaStream.processBatch(ins(e.filter($"vec_id" === 3)), 2L, store, cents)
+    assert(liveSet(store).map(_._1).contains(3L), "re-insert must resurrect")
+  }
+
+  test("leftover tombstone from a crashed compaction cannot kill a resurrected vector") {
+    import spark.implicits._
+    val e = emb.filter($"vec_id" < 20).cache()
+    val store = tmpStore()
+    AnnDeltaStream.processBatch(ins(e), 0L, store, cents)
+    AnnDeltaStream.processBatch(del(e.filter($"vec_id" === 7)), 1L, store, cents)
+    AnnDeltaStream.processBatch(ins(e.filter($"vec_id" === 7)), 2L, store, cents)
+    val want = liveSet(store)
+    assert(want.map(_._1).contains(7L))
+    AnnDeltaStream.compact(spark, store, throughBatch = 2L)
+    assert(liveSet(store) === want)
+    // simulate the crash window: the staged generation is in place but the
+    // dead/batch=1 tombstone was never deleted — re-create it verbatim
+    e.filter($"vec_id" === 7)
+      .select($"vec_id", lit(1L).as("deadb"), lit(1L).as("batch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$store/dead")
+    // srcb provenance: vec 7's folded row carries srcb = 2 > deadb = 1,
+    // so the leftover tombstone must NOT hide it
+    assert(liveSet(store) === want,
+      "leftover tombstone killed a resurrected vector — srcb provenance broken")
+    // and the re-run compaction converges (tombstone swept, content equal)
+    AnnDeltaStream.compact(spark, store, throughBatch = 2L)
+    assert(liveSet(store) === want, "re-run compaction diverged")
+  }
+
+  test("redelivery of a batch id converges; serve excludes deleted ids") {
+    import spark.implicits._
+    val e = emb.cache()
+    val store = tmpStore()
+    AnnDeltaStream.processBatch(ins(e), 0L, store, cents)
+    AnnDeltaStream.processBatch(del(e.filter($"vec_id" % 5 === 0)), 1L, store, cents)
+    val want = liveSet(store)
+    // redeliver both (crash-replay): content must converge, not double
+    AnnDeltaStream.processBatch(ins(e), 0L, store, cents)
+    AnnDeltaStream.processBatch(del(e.filter($"vec_id" % 5 === 0)), 1L, store, cents)
+    assert(liveSet(store) === want, "redelivery diverged")
+    val served = AnnDeltaStream.serveTopK(spark, dir, store, cents)
+      .collect().map(_.getLong(1))
+    assert(served.nonEmpty, "serve returned nothing — vacuous")
+    assert(served.forall(id => id % 5 != 0), "serve returned a deleted vector")
+  }
+}
