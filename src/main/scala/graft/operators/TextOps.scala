@@ -3,7 +3,7 @@ package graft.operators
 import graft.GQuery
 import graft.Tables.t
 import graft.functions.HashFamily
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: token counting (whitespace and
@@ -650,6 +650,151 @@ object TextOps {
        |SELECT doc_id, rank, term, round(score_raw, 6) AS score
        |FROM ranked WHERE rank <= $TfIdfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q111 — subword tokenizer (round-14 verdict directive 4): a training
+  // pipeline tokenizes with a LEARNED subword vocab, not whitespace
+  // words. The vocab here is corpus-derived and fully deterministic —
+  // the 36 single chars [0-9a-z] (always present, so every word
+  // tokenizes without an UNK) plus the SubGramK most frequent intra-word
+  // substrings of length 2..SubMaxLen, ranked by occurrence count with
+  // ties to the lexicographically smaller gram — which is what makes the
+  // whole operator exactly SQL-oracle-able, unlike a merge-order-
+  // dependent learned BPE. Tokenization is GREEDY LONGEST-MATCH against
+  // that vocab, the classic WordPiece-style inference rule.
+  // ---------------------------------------------------------------------
+
+  /** Max learned-gram length (greedy match tries 4, 3, 2, then the
+    * guaranteed single char). */
+  val SubMaxLen = 4
+  /** Learned grams kept beside the 36 base chars. */
+  val SubGramK = 64
+  private val SubBaseChars: Seq[String] =
+    "0123456789abcdefghijklmnopqrstuvwxyz".map(_.toString)
+
+  /** (w, cnt) — DISTINCT corpus words (maximal [a-z0-9]+ runs of the
+    * lowercased text) with occurrence counts, served from the
+    * [[graft.store.Materialized]] store: vocab learning and tokenization
+    * both consume it, and identical words tokenize identically, so every
+    * downstream stage runs over the distinct-word relation (vocab-scale,
+    * orders below corpus token volume — the scale trick that makes the
+    * tokenizer one small shuffle instead of a corpus-volume explode). */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"wordcounts:$dir") {
+      t(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    }
+
+  /** The learned vocab as (token, id): base chars get ids 1..36 in byte
+    * order; learned grams ids 37.. in (count DESC, gram ASC) rank order.
+    * Driver-side — 36 + [[SubGramK]] rows, the broadcast-as-literals
+    * scale shape of the trained centroids. */
+  def subwordVocab(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    import s.implicits._
+    val grams = wordCounts(s, dir)
+      .select($"w", $"cnt",
+        // all substrings of length 2..SubMaxLen — guarded per length:
+        // sequence(a, b) with b < a DESCENDS in Spark, so a short word
+        // must yield an empty position list, not positions [1, 0]
+        explode(flatten(transform(sequence(lit(2), lit(SubMaxLen)), l =>
+          when(length($"w") >= l,
+            transform(sequence(lit(1), length($"w") - l + 1),
+              p => $"w".substr(p, l)))
+            .otherwise(array().cast("array<string>"))))).as("g"))
+      .groupBy($"g").agg(sum($"cnt").as("n"))
+      .orderBy($"n".desc, $"g")
+      .limit(SubGramK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val base = SubBaseChars.sorted
+    base.zipWithIndex.map { case (c, i) => (c, (i + 1).toLong) } ++
+      grams.zipWithIndex.map { case ((g, _), i) => (g, (base.size + i + 1).toLong) }
+  }
+
+  /** Token-id array of one word column under greedy longest-match — a
+    * single codegen'd `aggregate` over character positions with the
+    * vocab embedded as ONE literal map (broadcast-free, no join, no
+    * shuffle): at each unconsumed position try the longest vocab entry
+    * that fits the remaining suffix, emit its id, jump past it. The
+    * single-char fallback always matches (base chars cover the word
+    * character class), so the fold is total. */
+  private[graft] def subwordIds(w: Column, vocab: Seq[(String, Long)]): Column = {
+    val m = map(vocab.flatMap { case (tok, id) => Seq(lit(tok), lit(id)) }: _*)
+    aggregate(
+      sequence(lit(0), length(w) - 1),
+      struct(lit(0).as("nxt"), array().cast("array<bigint>").as("ids")),
+      (acc, i) => {
+        def hit(l: Int) = element_at(m, w.substr(i + 1, lit(l)))
+        def ok(l: Int) = (length(w) - i >= l) && hit(l).isNotNull
+        def adv(l: Int) = struct((i + l).as("nxt"),
+          concat(acc.getField("ids"), array(hit(l))).as("ids"))
+        val step = (SubMaxLen to 2 by -1)
+          .foldLeft(when(lit(false), acc)) { (c, l) => c.when(ok(l), adv(l)) }
+          .otherwise(adv(1))
+        when(i < acc.getField("nxt"), acc).otherwise(step)
+      },
+      acc => acc.getField("ids"))
+  }
+
+  /** q111 — subword token-id counts over the corpus: learn the vocab,
+    * tokenize every DISTINCT word once (greedy longest-match as a pure
+    * column fold), weight by word occurrence counts, and emit the FULL
+    * vocab inventory (id, tok, n) — unused entries as n = 0, the q109
+    * every-cluster discipline. Scale shape: one corpus scan into the
+    * materialized distinct-word relation, the vocab action over
+    * 36 + [[SubGramK]] rows, then a vocab-sized aggregation; the only
+    * corpus-volume work is the word split. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = subwordVocab(s, dir)
+    val counts = wordCounts(s, dir)
+      .select(explode(subwordIds($"w", vocab)).as("id"), $"cnt")
+      .groupBy($"id").agg(sum($"cnt").as("n"))
+    vocab.toDF("tok", "id")
+      .join(counts, Seq("id"), "left")
+      .select($"id", $"tok", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"id")
+  }
+
+  /** Oracle: the identical deterministic pipeline — distinct words, gram
+    * counting, the same (count DESC, gram ASC) top-K and id assignment,
+    * then greedy longest-match as a per-(word, position) best-match table
+    * (longest vocab entry matching at each position) walked by a
+    * recursive CTE that jumps by the matched length. Both engines
+    * implement the same total greedy function, so the token streams are
+    * identical word by word. */
+  private val q111Sql =
+    s"""WITH RECURSIVE
+       |wds AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+       |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wds GROUP BY w),
+       |pos AS (SELECT w, cnt, unnest(generate_series(1, length(w))) AS p FROM wc),
+       |gr AS (SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS g, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM pos, range(2, ${SubMaxLen + 1}) t(l)
+       |  WHERE p + l - 1 <= length(w) GROUP BY 1),
+       |topg AS (SELECT g, n FROM gr ORDER BY n DESC, g LIMIT $SubGramK),
+       |basec AS (SELECT unnest(regexp_extract_all('0123456789abcdefghijklmnopqrstuvwxyz', '.')) AS g),
+       |vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY pri, n DESC, tok) AS BIGINT) AS id,
+       |    length(tok) AS l
+       |  FROM (SELECT g AS tok, 0 AS pri, CAST(0 AS BIGINT) AS n FROM basec
+       |        UNION ALL SELECT g, 1, n FROM topg)),
+       |best AS (SELECT w, p, id, len FROM (
+       |    SELECT pos.w, pos.p, v.id, v.l AS len,
+       |      ROW_NUMBER() OVER (PARTITION BY pos.w, pos.p ORDER BY v.l DESC) AS rn
+       |    FROM pos JOIN vocab v
+       |      ON pos.p + v.l - 1 <= length(pos.w)
+       |     AND substr(pos.w, CAST(pos.p AS INTEGER), CAST(v.l AS INTEGER)) = v.tok
+       |  ) WHERE rn = 1),
+       |walk AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS p FROM wc
+       |  UNION ALL
+       |  SELECT k.w, k.p + b.len FROM walk k JOIN best b ON b.w = k.w AND b.p = k.p),
+       |tk AS (SELECT b.id, wc.cnt FROM walk k
+       |  JOIN best b ON b.w = k.w AND b.p = k.p
+       |  JOIN wc ON wc.w = k.w),
+       |cnts AS (SELECT id, CAST(SUM(cnt) AS BIGINT) AS n FROM tk GROUP BY id)
+       |SELECT v.id, v.tok, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+       |FROM vocab v LEFT JOIN cnts c USING (id) ORDER BY v.id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -665,5 +810,6 @@ object TextOps {
     GQuery("q68_tfidf_topterms", q68, Some(q68Sql)),
     GQuery("q70_sequence_packing", q70, Some(q70Sql)),
     GQuery("q75_bm25_topterms", q75, Some(q75Sql)),
+    GQuery("q111_subword_tokens", q111, Some(q111Sql)),
   )
 }
