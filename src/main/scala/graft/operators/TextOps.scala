@@ -810,6 +810,9 @@ object TextOps {
     GQuery("q68_tfidf_topterms", q68, Some(q68Sql)),
     GQuery("q70_sequence_packing", q70, Some(q70Sql)),
     GQuery("q75_bm25_topterms", q75, Some(q75Sql)),
-    GQuery("q111_subword_tokens", q111, Some(q111Sql)),
+    // benched from birth: warm = the distinct-word tokenize + vocab-sized
+    // aggregation; cold additionally pays the materialized word-count
+    // build and the vocab action (the prepare stage)
+    GQuery("q111_subword_tokens", q111, Some(q111Sql), bench = true),
   )
 }
