@@ -90,13 +90,19 @@ object Bench {
     }
     def jmap(f: R => Double) =
       results.map(r => s"\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    // per-pass wall totals (cold pass first): a multi-minute ambient burst
+    // shows up as ONE inflated entry here, telling the reader exactly
+    // which pass to discount — the per-query min already filtered it
+    val passTotals = (coldPass +: warmPasses)
+      .map(_.map(_._2).sum).map(t => f"$t%.3f").mkString("[", ",", "]")
     // any failed query poisons the headline total (-1): a regression must
     // never read as a speedup by dropping its own time out of the sum
     val failed = results.count(_.best < 0.0)
     val total = if (failed > 0) -1.0 else results.map(_.best).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
-      s""""runs":$runs,"interleaved":true,"failed":$failed,"sf":"$sfDir"}"""
+      s""""runs":$runs,"interleaved":true,"pass_totals":$passTotals,""" +
+      s""""failed":$failed,"sf":"$sfDir"}"""
     // self-announcing headline on its own short line, BOTH before and after
     // the big JSON: the driver's stdout capture has truncated the JSON two
     // rounds running, and whichever end the capture keeps must still carry
