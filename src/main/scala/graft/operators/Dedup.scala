@@ -215,8 +215,12 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
   }
 
-  private val q24Sql =
-    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+  /** q24's oracle with an extra predicate on the DOCUMENT rows — the q112
+    * parameterization (takedowns shrink the servable corpus; the pair
+    * semantics are untouched). Mirrors [[Similarity.q28SqlOn]]. */
+  private[graft] def q24SqlOn(docPred: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') ws FROM documents
+       |           WHERE TRUE$docPred),
        |sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) s
        |       FROM w WHERE len(ws) >= 3),
        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
@@ -229,6 +233,8 @@ object Dedup {
        |FROM pairs p JOIN sz sa ON sa.doc_id = p.i JOIN sz sb ON sb.doc_id = p.j
        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val q24Sql = q24SqlOn("")
 
   val MinHashPerms = 64
   val Bands = 16 // × 4 rows
@@ -490,10 +496,14 @@ object Dedup {
   /** Oracle: transitive closure of the q24 pair set as a recursive CTE
     * (UNION-dedup'd reachability), component label = min reachable id —
     * the same min-label semantics GraphX CC converges to. */
-  private[graft] def q63SqlShared: String = q63Sql
+  private[graft] def q63SqlShared: String = q63SqlOn("")
 
-  private val q63Sql =
-    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q24Sql) q),
+  /** q63's oracle over the corpus restricted by a document predicate —
+    * the q112 parameterization: clusters recomputed from scratch on the
+    * SURVIVING documents, which is exactly what the takedown-maintaining
+    * stream must still equal. */
+  private[graft] def q63SqlOn(docPred: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (${q24SqlOn(docPred)}) q),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |nodes AS (SELECT DISTINCT u FROM edges),
@@ -623,7 +633,7 @@ object Dedup {
       benchRun = Some((s, d) => simhashPairs(s, d, HashFamily.Fast))),
     GQuery("q56_source_dup_report", q56, Some(q56Sql)),
     GQuery("q57_minhash_lsh_fast", q57, Some(q24Sql)),
-    GQuery("q63_dedup_clusters", q63, Some(q63Sql)),
+    GQuery("q63_dedup_clusters", q63, Some(q63SqlShared)),
     GQuery("q71_source_overlap", q71, Some(q71Sql)),
     GQuery("q74_dup_spans", q74, Some(q74Sql)),
   )

@@ -40,6 +40,7 @@ object DedupClusterStream {
   private def indexDir(root: String) = s"$root/index"
   private def pairsDir(root: String) = s"$root/pairs"
   private def ccDir(root: String) = s"$root/cc"
+  private def removedDir(root: String) = s"$root/removed"
 
   private def exists(s: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -52,16 +53,68 @@ object DedupClusterStream {
     org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
 
-  /** Fold one micro-batch of (doc_id, text) documents: dedup against the
-    * index, then fold the new verified pairs into the cluster store. */
+  /** Fold one micro-batch of documents: dedup against the index, then
+    * fold the new verified pairs into the cluster store.
+    *
+    * ±op batches (round 14 — the TAKEDOWN surface: a licensing claim or
+    * decontamination finding removes documents a cluster consumer must
+    * stop seeing): a batch may carry an `op` column; op = −1 rows retire
+    * their doc_id. Retirement is TERMINAL (the [[DedupStream]] contract
+    * — re-upload under a new id; a retired id re-insert is refused
+    * loudly), and REMOVAL WINS inside one micro-batch (a doc added and
+    * retired together never enters the index — the terminal-retirement
+    * analogue of the family's liveness rule). Per retirement batch:
+    *
+    *   1. the retired ids land in a batch-partitioned `removed/` store —
+    *      the probe mask [[DedupStream.processBatch]] applies, so later
+    *      documents can never pair with a retired one;
+    *   2. every VERIFIED pair touching a retired doc (from strictly
+    *      earlier batches; this batch's own pairs cannot touch retired
+    *      docs — the mask precedes them) is withdrawn from the nested
+    *      [[CcStream]] as op = −1 edges IN THE SAME CC BATCH as the new
+    *      pairs — cluster SPLITS, shrinks, canonical-survivor handoffs
+    *      (min-id doc retired → next-smallest takes over) and isolation
+    *      tombstones (a doc whose only near-dup was retired leaves the
+    *      served table, matching batch q63 on survivors) all fall out of
+    *      the q102 machinery;
+    *   3. the retired docs' own label rows isolate to tombstones the
+    *      same way.
+    *
+    * Scale: the dead-pair derivation is two broadcast semi-joins of the
+    * pair store (dup volume) against the batch's retired set (deletion
+    * volume); everything else is the insert path's working set. Replay-
+    * safe: the removed store is a batch-keyed dynamic overwrite, the
+    * dead-pair read is prefix-bounded (`batch < id`), and CcStream's
+    * recompute converges under redelivery. Op-less callers are
+    * byte-compatible (no `op` column → pure insert batch). */
   def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
       rootDir: String, family: HashFamily = HashFamily.Fast,
       threshold: Double = Dedup.JaccardThreshold): Unit = {
     import s.implicits._
     // empty-batch guard (the CcStream note, uniform across the family)
     if (batch.isEmpty) return
-    DedupStream.processBatch(s, batch, batchId,
-      indexDir(rootDir), pairsDir(rootDir), family, threshold)
+    val hasOps = batch.columns.contains("op")
+    val dels =
+      if (hasOps) batch.filter($"op" === -1).select($"doc_id")
+      else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    // removal wins within a batch: terminal retirement admits no
+    // same-batch resurrection ordering question
+    val adds =
+      (if (hasOps) batch.filter($"op" =!= -1) else batch)
+        .select($"doc_id", $"text")
+        .join(dels, Seq("doc_id"), "left_anti")
+    val anyDels = hasOps && !dels.isEmpty
+    if (anyDels)
+      // recorded BEFORE the insert path runs, so this batch's own new
+      // docs already see the mask
+      dels.select($"doc_id", lit(batchId).as("rmb"), lit(batchId).as("batch"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(removedDir(rootDir))
+    if (!adds.isEmpty)
+      DedupStream.processBatch(s, adds, batchId,
+        indexDir(rootDir), pairsDir(rootDir), family, threshold,
+        removedDir = Some(removedDir(rootDir)))
     // explicit schema (no inference): a run prefix that never verified a
     // pair leaves pairsDir missing or an all-_SUCCESS root with no data
     // files — both must read as empty, not throw
@@ -72,10 +125,29 @@ object DedupClusterStream {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairsSchema)
     val newPairs = pairsSrc
       .filter($"batch" === batchId)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    // a batch may verify no new pair — nothing for the cluster store
+      .select($"doc_a".as("src"), $"doc_b".as("dst"), lit(1).as("op"))
+    // withdrawals: verified pairs from EARLIER batches touching a doc
+    // retired in THIS batch (disjoint semi-join branches — a pair with
+    // both endpoints retired must be withdrawn once, not twice)
+    val deadPairs =
+      if (!anyDels) newPairs.limit(0)
+      else {
+        val prior = pairsSrc.filter($"batch" < batchId)
+          .select($"doc_a", $"doc_b")
+        val rmA = prior.join(broadcast(dels.select($"doc_id".as("__rm"))),
+          $"doc_a" === $"__rm", "left_semi")
+        val rmBOnly = prior
+          .join(broadcast(dels.select($"doc_id".as("__rm"))),
+            $"doc_b" === $"__rm", "left_semi")
+          .join(broadcast(dels.select($"doc_id".as("__rm"))),
+            $"doc_a" === $"__rm", "left_anti")
+        rmA.union(rmBOnly)
+          .select($"doc_a".as("src"), $"doc_b".as("dst"), lit(-1).as("op"))
+      }
+    val ccBatch = deadPairs.union(newPairs)
+    // a batch may move no edge at all — nothing for the cluster store
     // (CcStream's label read path requires at least one prior write)
-    if (!newPairs.isEmpty) CcStream.processBatch(newPairs, batchId, ccDir(rootDir))
+    if (!ccBatch.isEmpty) CcStream.processBatch(ccBatch, batchId, ccDir(rootDir))
   }
 
   /** Served cluster table — q63's output shape verbatim: one row per
@@ -94,13 +166,26 @@ object DedupClusterStream {
         ($"doc_id" === $"cluster_id").as("keep"))
   }
 
+  /** (doc_id, text, op) schema for takedown-carrying streams — op = −1
+    * retires the doc_id (text unread on those rows). */
+  val opDocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
   /** File-source wiring over a documents directory (doc_id, text) — the
     * [[DedupStream.start]] shape with a durable checkpoint so restarts
-    * resume the batch-id sequence. */
+    * resume the batch-id sequence. `withOps = true` reads (doc_id, text,
+    * op) event files instead (the takedown surface). */
   def start(s: SparkSession, docsDir: String, rootDir: String,
       family: HashFamily = HashFamily.Fast,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    s.readStream.schema(DedupStream.docSchema)
+      trigger: Trigger = Trigger.AvailableNow(),
+      withOps: Boolean = false): StreamingQuery =
+    s.readStream.schema(if (withOps) opDocSchema else DedupStream.docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream

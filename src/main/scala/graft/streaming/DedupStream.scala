@@ -154,23 +154,70 @@ object DedupStream {
     probeIndex(s, newBands, batchId, indexDir).union(newNew).distinct()
   }
 
+  private val removedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("rmb", LongType),
+    StructField("batch", LongType)))
+
   /** Process one micro-batch of new documents against the persisted index
     * — also the unit the spec drives directly. Idempotent under
-    * redelivery of the same `batchId` (see class doc). */
+    * redelivery of the same `batchId` (see class doc).
+    *
+    * `removedDir` (round 14, the takedown surface): a batch-partitioned
+    * (doc_id, rmb) store of RETIRED documents. Retirement is TERMINAL —
+    * a removed doc_id never comes back (real pipelines re-upload under a
+    * new id; content identity is not a mutable key), which is what keeps
+    * the mask monotone and this method free of per-doc liveness
+    * resolution. Candidates touching a retired doc are masked out before
+    * verification (two broadcast anti-joins over the deletion-volume-
+    * sized mask — candidate-sized work, the index itself is still never
+    * rescanned); re-inserting a retired id is REFUSED loudly rather than
+    * silently resurrecting bands the mask would keep hiding. The
+    * retired docs' bands/shingles stay physically in the append-layout
+    * index until an index compaction job rewrites it — masking is
+    * logical deletion, the probe-correctness half; physical purge is a
+    * maintenance rewrite outside the ingest path. */
   def processBatch(s: SparkSession, batch: DataFrame, batchId: Long,
       indexDir: String, pairsDir: String, family: HashFamily,
-      threshold: Double = Dedup.JaccardThreshold): Unit = {
+      threshold: Double = Dedup.JaccardThreshold,
+      removedDir: Option[String] = None): Unit = {
     val newSh = Dedup.shinglesOf(batch).cache()
     val newBands = Dedup.bandsOf(newSh, family).cache()
     val table = ensureBandsTable(s, indexDir)
+
+    val removed = removedDir.map(d => readIfExists(s, d, removedSchema))
+    removed.foreach { rm =>
+      // loud refusal of retired-id re-inserts (strictly earlier batches:
+      // a doc added and removed in ONE batch was already dropped from
+      // `batch` by the caller's removal-wins split, and this batch's own
+      // removal partition may already exist on replay)
+      val revived = batch.select(col("doc_id"))
+        .join(rm.filter(col("batch") < batchId).select(col("doc_id")), "doc_id")
+        .limit(1).collect()
+      require(revived.isEmpty,
+        s"DedupStream: doc_id ${revived.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+          s"was retired in an earlier batch and cannot be re-inserted " +
+          s"(retirement is terminal; re-upload under a new doc_id)")
+    }
 
     val oldSh = readIfExists(s, s"$indexDir/shingles", shingleSchema)
       .filter(col("batch") < batchId)
       .select(col("doc_id"), col("sh"))
 
-    val verified = Dedup.verifyPairs(
-      candidates(s, newBands, batchId, indexDir),
-      oldSh.unionByName(newSh), threshold)
+    val cand0 = candidates(s, newBands, batchId, indexDir)
+    val cand = removed.fold(cand0) { rm =>
+      // mask = every retirement recorded at or before this batch (the
+      // caller records this batch's removals first, so same-batch new
+      // docs cannot pair with docs removed beside them)
+      val mask = rm.filter(col("batch") <= batchId)
+      cand0
+        .join(broadcast(mask.select(col("doc_id").as("__rm_a"))),
+          col("doc_a") === col("__rm_a"), "left_anti")
+        .join(broadcast(mask.select(col("doc_id").as("__rm_b"))),
+          col("doc_b") === col("__rm_b"), "left_anti")
+    }
+
+    val verified = Dedup.verifyPairs(cand, oldSh.unionByName(newSh), threshold)
 
     // three per-batch-partition dynamic overwrites: each rewrites ONLY
     // partition batch=<id>, so any replay (full or after a partial crash)

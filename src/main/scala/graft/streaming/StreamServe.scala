@@ -585,6 +585,43 @@ object StreamServe {
   private val q110Sql = Similarity.q28SqlOn(
     " AND (a.vec_id % 5 <> 0 OR a.vec_id % 10 = 0)")
 
+  /** q112 — near-dup clustering under document TAKEDOWNS served from the
+    * [[DedupClusterStream]] composition: the q99 corpus arrives in two
+    * doc-id-interleaved insert batches, then a TAKEDOWN batch retires
+    * every already-ingested doc_id % 5 == 0 document (the licensing /
+    * decontamination removal — pairs through them are withdrawn from the
+    * nested CC store, so clusters SPLIT, shrink, hand their canonical
+    * survivor to the next-smallest id, or dissolve entirely when a doc's
+    * only near-dup is retired), then the LAST third of the corpus
+    * arrives — the index-MASK path is load-bearing: the sf0.001/sf0.01
+    * fixtures each contain verified pairs between slice-2 docs and
+    * retired docs (5 at both SFs, checked offline) that an unmasked
+    * probe would wrongly emit. Cluster store compacted through the
+    * takedown batch with the late batch live. Oracle: q63's SQL on the
+    * SURVIVING documents. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("dcldeltaserve")
+    val (inDir, store) = (s"$root/in", s"$root/store")
+    val docs = graft.Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text").cache()
+    // retire only already-ingested ids: retirement is terminal, so a
+    // doc_id may never be retired before its insert batch
+    val retire = $"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 2
+    writeSlices(inDir, "ev", Seq(
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"text", lit(1).as("op")),
+      docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text", lit(1).as("op")),
+      docs.filter(retire).select($"doc_id", lit("").as("text"), lit(-1).as("op")),
+      docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text", lit(1).as("op"))))
+    DedupClusterStream.start(s, inDir, store, withOps = true).awaitTermination()
+    docs.unpersist()
+    DedupClusterStream.compact(s, store, throughBatch = 2L)
+    DedupClusterStream.snapshot(s, store).orderBy($"doc_id")
+  }
+
+  private val q112Sql = graft.operators.Dedup.q63SqlOn(
+    " AND (doc_id % 5 <> 0 OR doc_id % 3 = 2)")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -601,5 +638,6 @@ object StreamServe {
     GQuery("q104_stream_kcore_delta_serve", q104, Some(q104Sql)),
     GQuery("q106_stream_truss_delta_serve", q106, Some(q106Sql)),
     GQuery("q110_stream_ann_delete_serve", q110, Some(q110Sql)),
+    GQuery("q112_stream_dedup_takedown_serve", q112, Some(q112Sql)),
   )
 }
