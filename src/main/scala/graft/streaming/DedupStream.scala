@@ -185,7 +185,11 @@ object DedupStream {
     val newBands = Dedup.bandsOf(newSh, family).cache()
     val table = ensureBandsTable(s, indexDir)
 
-    val removed = removedDir.map(d => readIfExists(s, d, removedSchema))
+    // an op-less stream never materializes the removed store — one cheap
+    // existence probe keeps the mask joins and the revived-check action
+    // entirely off the insert-only hot path
+    val removed = removedDir.filter(pathExists(s, _))
+      .map(d => s.read.schema(removedSchema).parquet(d))
     removed.foreach { rm =>
       // loud refusal of retired-id re-inserts (strictly earlier batches:
       // a doc added and removed in ONE batch was already dropped from

@@ -146,6 +146,17 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
       (b, i, d) => TrussStream.processBatch(b, i, d)),
     Lane("dedup_cluster", slices3(docs, "doc_id"),
       (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)),
+    // the q112 shape: insert/insert/retire/late-insert — batch 2 retires
+    // every already-ingested doc_id % 5 == 0 document (pair withdrawals
+    // through the nested CC store + the index mask), batch 3 probes the
+    // masked index
+    Lane("dedup_takedown", Seq(
+        docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"text", lit(1).as("op")),
+        docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text", lit(1).as("op")),
+        docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 2)
+          .select($"doc_id", lit("").as("text"), lit(-1).as("op")),
+        docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text", lit(1).as("op"))),
+      (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)),
     // the q110 shape: insert/insert/delete/re-insert over the embedding
     // corpus against the frozen trained codebook (deletes carry null vecs)
     Lane("ann_delta", Seq(
@@ -292,7 +303,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 addition: ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 additions: dedup_takedown - the q112 insert/insert/retire/late-insert schedule through DedupClusterStream (pair withdrawals via the nested CC store + the probe mask; batch 3 measures the masked-probe path); ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
