@@ -59,49 +59,69 @@ object Bench {
       }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
-    // pass 0 — COLD: before each query, drop this session's materialized
-    // prepare-stage stores so the run pays the query's own tokenize/
-    // shingle/index build, the cost a pipeline's first pass over a fresh
-    // corpus pays. (Per-query invalidation, so each query's cold time
-    // includes rebuilding the shared stores it depends on.)
-    val coldPass = benched.map { q =>
-      graft.store.Materialized.invalidate(spark)
-      runOnce(q)
+    // COLD passes: before each query, drop this session's materialized
+    // prepare-stage stores (and the stream-serve bench stores) so the run
+    // pays the query's own tokenize/shingle/index build, the cost a
+    // pipeline's first pass over a fresh corpus pays. (Per-query
+    // invalidation, so each query's cold time includes rebuilding the
+    // shared stores it depends on.) SPARK_GRAFT_BENCH_COLD_RUNS > 1
+    // (round 15) repeats the whole cold pass with fresh invalidation and
+    // reports the per-query MIN across cold passes — a single-shot cold
+    // pass was the one lane a burst could still poison beyond repair
+    // within one artifact (r14 runA needed runB to arbitrate its colds).
+    val coldRunsEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_RUNS", "1")
+    require(scala.util.Try(coldRunsEnv.toInt).isSuccess,
+      s"SPARK_GRAFT_BENCH_COLD_RUNS must be an integer, got '$coldRunsEnv'")
+    val coldRuns = coldRunsEnv.toInt.max(1)
+    val coldPasses = (0 until coldRuns).map { c =>
+      System.err.println(s"[bench] cold pass ${c + 1}/$coldRuns")
+      benched.map { q =>
+        graft.store.Materialized.invalidate(spark)
+        streaming.StreamServe.invalidateBenchStores()
+        runOnce(q)
+      }
     }
-    // passes 1..N−1 — WARM: full list per pass, no invalidation
+    // warm passes: full list per pass, no invalidation
     val warmPasses = (1 until runs).map { p =>
       System.err.println(s"[bench] warm pass $p/${runs - 1}")
       benched.map(runOnce)
     }
     val results = benched.zipWithIndex.map { case (q, i) =>
-      val timings = coldPass(i) +: warmPasses.map(_(i))
+      val timings = (coldPasses ++ warmPasses).map(_(i))
       if (!timings.forall(_._1)) R(q.name, -1.0, -1.0, -1.0, -1.0)
       else {
         // headline stays min over all runs (steady-state plan cost); cold
-        // rides along so the amortized prepare stage never disappears
-        // from the artifact; median/spread are over the WARM passes (cold
-        // excluded — it measures the prepare stage, not run-to-run noise)
+        // (min across cold passes) rides along so the amortized prepare
+        // stage never disappears from the artifact; median/spread are
+        // over the WARM passes (cold excluded — it measures the prepare
+        // stage, not run-to-run noise)
         val times = timings.map(_._2)
-        val warm = if (times.length > 1) times.tail else times
+        val cold = times.take(coldRuns).min
+        val warm = if (warmPasses.nonEmpty) times.drop(coldRuns) else times
         val sorted = warm.sorted
         val median = sorted((sorted.length - 1) / 2)
-        R(q.name, times.min, times.head, median, sorted.last - sorted.head)
+        R(q.name, times.min, cold, median, sorted.last - sorted.head)
       }
     }
     def jmap(f: R => Double) =
       results.map(r => s"\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
-    // per-pass wall totals (cold pass first): a multi-minute ambient burst
-    // shows up as ONE inflated entry here, telling the reader exactly
-    // which pass to discount — the per-query min already filtered it
-    val passTotals = (coldPass +: warmPasses)
-      .map(_.map(_._2).sum).map(t => f"$t%.3f").mkString("[", ",", "]")
+    // per-pass wall totals (cold passes first): a multi-minute ambient
+    // burst shows up as ONE inflated entry here, telling the reader
+    // exactly which pass to discount — the per-query min already filtered
+    // it. A pass containing any FAILED run emits null, not a number: a
+    // failure's wall time can be a fast exception path, and a normal-
+    // looking total would mislead exactly the burst-hunting reader this
+    // column exists for (the headline already poisons to -1).
+    val passTotals = (coldPasses ++ warmPasses)
+      .map(p => if (p.exists(!_._1)) "null" else f"${p.map(_._2).sum}%.3f")
+      .mkString("[", ",", "]")
     // any failed query poisons the headline total (-1): a regression must
     // never read as a speedup by dropping its own time out of the sum
     val failed = results.count(_.best < 0.0)
     val total = if (failed > 0) -1.0 else results.map(_.best).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
-      s""""runs":$runs,"interleaved":true,"pass_totals":$passTotals,""" +
+      s""""runs":$runs,"cold_runs":$coldRuns,"interleaved":true,"pass_totals":$passTotals,""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     // self-announcing headline on its own short line, BOTH before and after
     // the big JSON: the driver's stdout capture has truncated the JSON two

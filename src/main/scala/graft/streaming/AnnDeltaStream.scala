@@ -26,6 +26,21 @@ import org.apache.spark.sql.types._
   * after a partial crash) converges — the [[DedupStream]] recovery
   * design on both stores.
   *
+  * EVERY EVENT TOMBSTONES STRICTLY-OLDER COPIES of its vec_id (round
+  * 15): a delete hides them; an insert SUPERSEDES them — upsert
+  * semantics. Superseding at ingest is what makes the cell-pruned serve
+  * exact under CELL DRIFT: a re-insert whose vector assigns to a
+  * different cell leaves its stale copy behind in the old cell, where a
+  * probe scanning only that cell would otherwise resolve it as the
+  * freshest row and serve a vector the caller replaced. The re-insert's
+  * own tombstone (`deadb` = its batch) kills the stale copy wherever it
+  * sits — no probe ever has to look outside its candidate cells to
+  * learn a row is stale — while the fresh copy survives it (`srcb` =
+  * `deadb` resolves live; only STRICTLY older copies die). Writing the
+  * tombstone costs the batch its own distinct ids — it never reads the
+  * index to ask whether a row IS a re-insert, which would defeat the
+  * read-free ingest.
+  *
   * PER-ROW PROVENANCE (`srcb` = the batch id that inserted the row,
   * carried as a DATA column beside the `batch` layout column) is what
   * makes liveness exact across compaction: a row is dead iff some
@@ -44,9 +59,10 @@ import org.apache.spark.sql.types._
   * batches (the [[AnnStream]] I/O bound), resolves freshest-insert-per-
   * vec_id over just those CANDIDATE rows (one probe-sized hash
   * exchange), and anti-resolves against the tombstone set — tombstones
-  * are deletion-volume-sized, orders below the corpus, and join only
-  * the candidates. Compaction pays one read of the folded slice, as all
-  * the family's compactors do.
+  * are DELTA-sized (one row per event since the last compaction sweep;
+  * compaction deletes every tombstone it folds through), orders below
+  * the corpus, and join only the candidates. Compaction pays one read
+  * of the folded slice, as all the family's compactors do.
   */
 object AnnDeltaStream {
 
@@ -61,25 +77,29 @@ object AnnDeltaStream {
   private def deadPath(dir: String) = s"$dir/dead"
 
   /** Fold one ±op micro-batch: inserts assigned + appended under their
-    * cells with `srcb` provenance; deletes (minus same-batch re-inserts —
-    * insert wins inside a batch) appended to the tombstone store.
+    * cells with `srcb` provenance; EVERY event id (insert or delete)
+    * appended to the tombstone store, superseding strictly-older copies
+    * — a same-batch insert survives its own tombstone (`srcb` = `deadb`),
+    * so insert wins inside a batch and a bare re-insert retires its
+    * stale copy even when cell drift moved it (see class doc).
     * Idempotent under redelivery of the same `batchId`. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
       cents: Seq[(Long, Seq[Double])]): Unit = {
     import batch.sparkSession.implicits._
     val ins = batch.filter($"op" === 1).select($"vec_id", $"vec")
+    // the ONE bounded driver probe of the ingest path (an all-delete
+    // batch must not leave a schema-less all-_SUCCESS live root); the
+    // tombstone side needs none — a non-empty batch always has ids
     if (!ins.isEmpty)
       Similarity.assignToCentroids(ins, cents)
         .withColumn("srcb", lit(batchId))
         .withColumn("batch", lit(batchId))
         .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch", "cell").parquet(livePath(storeDir))
-    val dels = batch.filter($"op" === -1).select($"vec_id")
-      .join(ins.select($"vec_id"), Seq("vec_id"), "left_anti")
-    if (!dels.isEmpty)
-      dels.select($"vec_id", lit(batchId).as("deadb"), lit(batchId).as("batch"))
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(deadPath(storeDir))
+    batch.select($"vec_id").distinct()
+      .select($"vec_id", lit(batchId).as("deadb"), lit(batchId).as("batch"))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(deadPath(storeDir))
   }
 
   /** File-source stream over an events directory of (vec_id, vec, op)
@@ -101,25 +121,38 @@ object AnnDeltaStream {
       .start()
 
   /** Liveness-resolved rows of the store, optionally restricted to probed
-    * cells (partition-pruned): freshest insert per vec_id (max `srcb`;
-    * duplicate copies a crashed compaction leaves behind are
-    * content-identical and collapse here), then tombstone resolution —
-    * dead iff the freshest tombstone post-dates the freshest insert
-    * (strictly: same-batch insert+delete already resolved insert-wins at
-    * ingest, and equality cannot arise otherwise). */
+    * cells (partition-pruned): freshest copy per vec_id within the
+    * scanned cells (max `srcb`; duplicate copies a crashed compaction
+    * leaves behind are content-identical and collapse here), then
+    * tombstone resolution — dead iff some tombstone STRICTLY post-dates
+    * the copy's `srcb`. Because every event tombstones older copies (see
+    * class doc), the tombstone join — not the window — is what retires a
+    * stale copy whose fresher re-insert drifted to an unscanned cell, so
+    * the pruned path never serves a replaced vector. */
   def liveRows(s: SparkSession, storeDir: String,
       cells: Option[Seq[Long]] = None): DataFrame = {
     import s.implicits._
-    val live = s.read.parquet(livePath(storeDir))
-    val pruned = cells.fold(live)(cs => live.filter($"cell".isInCollection(cs)))
-    val fresh = pruned
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"srcb".desc, $"batch".desc)))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"vec", $"cell", $"srcb")
-    // a dead root can exist yet hold no batch dirs (compaction swept all
-    // tombstones) — parquet cannot infer a schema from an empty dir, so
-    // gate on the batch listing, not bare existence
+    // either side's root can be missing (a store that has only ever seen
+    // the other op) or exist with no batch dirs (compaction swept it) —
+    // parquet cannot infer a schema from an empty dir, so gate BOTH
+    // sides on the batch listing, not bare existence
+    val fresh =
+      if (batchIdsUnder(s, livePath(storeDir)).isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("vec_id", LongType, nullable = false),
+            StructField("vec", ArrayType(DoubleType, containsNull = true)),
+            StructField("cell", LongType),
+            StructField("srcb", LongType))))
+      else {
+        val live = s.read.parquet(livePath(storeDir))
+        val pruned = cells.fold(live)(cs => live.filter($"cell".isInCollection(cs)))
+        pruned
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"srcb".desc, $"batch".desc)))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"vec", $"cell", $"srcb")
+      }
     val resolved =
       if (batchIdsUnder(s, deadPath(storeDir)).isEmpty) fresh
       else {

@@ -128,12 +128,22 @@ object DedupClusterStream {
       .select($"doc_a".as("src"), $"doc_b".as("dst"), lit(1).as("op"))
     // withdrawals: verified pairs from EARLIER batches touching a doc
     // retired in THIS batch (disjoint semi-join branches — a pair with
-    // both endpoints retired must be withdrawn once, not twice)
+    // both endpoints retired must be withdrawn once, not twice). Pairs
+    // with an endpoint retired in a PREVIOUS batch were withdrawn back
+    // then — the pair store is append-only, so without the anti-join
+    // below a later retirement of the other endpoint would re-withdraw
+    // the same pair, re-marking its dead component as touched and
+    // re-running that component's label recompute on every takedown
+    // that grazes it.
     val deadPairs =
       if (!anyDels) newPairs.limit(0)
       else {
+        val prevRm = s.read.parquet(removedDir(rootDir))
+          .filter($"batch" < batchId).select($"doc_id".as("__prm"))
         val prior = pairsSrc.filter($"batch" < batchId)
           .select($"doc_a", $"doc_b")
+          .join(broadcast(prevRm), $"doc_a" === $"__prm", "left_anti")
+          .join(broadcast(prevRm), $"doc_b" === $"__prm", "left_anti")
         val rmA = prior.join(broadcast(dels.select($"doc_id".as("__rm"))),
           $"doc_a" === $"__rm", "left_semi")
         val rmBOnly = prior

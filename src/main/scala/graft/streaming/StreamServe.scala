@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * ingest → compact → serve path earns a CORRECTNESS row per round,
   * exactly as q36/q37/q54 do for the stateless streaming operators.
   *
-  * Not in the bench set: the timings would measure stream start-up and
-  * temp-dir I/O, not an operator; the serving-path costs are already
-  * benched through q28/q82.
+  * Mostly not in the bench set: full-pipeline timings would measure
+  * stream start-up and temp-dir I/O, not an operator; the serving-path
+  * costs are already benched through q28/q82. The EXCEPTIONS are the
+  * deletion maintainers q110/q112 (round 15), whose liveness-resolved
+  * serve paths exist nowhere else — their bench rows reuse a
+  * once-per-session store (see `benchStores`) so warm passes time only
+  * the serve.
   */
 object StreamServe {
 
@@ -561,7 +565,7 @@ object StreamServe {
     * Frozen codebook ⇒ training and probe selection are untouched by
     * deletions, so the oracle is q28's SQL with only the CANDIDATE set
     * restricted to the surviving vec_ids. */
-  private def q110(s: SparkSession, dir: String): DataFrame = {
+  private def q110Store(s: SparkSession, dir: String): String = {
     import s.implicits._
     val root = tempRoot("anndeltaserve")
     val (inDir, storeDir) = (s"$root/in", s"$root/store")
@@ -579,8 +583,12 @@ object StreamServe {
     AnnDeltaStream.start(s, inDir, storeDir, cents).awaitTermination()
     emb.unpersist()
     AnnDeltaStream.compact(s, storeDir, throughBatch = 2L)
-    AnnDeltaStream.serveTopK(s, dir, storeDir, cents)
+    storeDir
   }
+
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    AnnDeltaStream.serveTopK(s, dir, q110Store(s, dir),
+      Similarity.trainedCentroids(s, dir))
 
   private val q110Sql = Similarity.q28SqlOn(
     " AND (a.vec_id % 5 <> 0 OR a.vec_id % 10 = 0)")
@@ -599,7 +607,7 @@ object StreamServe {
     * probe would wrongly emit. Cluster store compacted through the
     * takedown batch with the late batch live. Oracle: q63's SQL on the
     * SURVIVING documents. */
-  private def q112(s: SparkSession, dir: String): DataFrame = {
+  private def q112Store(s: SparkSession, dir: String): String = {
     import s.implicits._
     val root = tempRoot("dcldeltaserve")
     val (inDir, store) = (s"$root/in", s"$root/store")
@@ -616,6 +624,37 @@ object StreamServe {
     DedupClusterStream.start(s, inDir, store, withOps = true).awaitTermination()
     docs.unpersist()
     DedupClusterStream.compact(s, store, throughBatch = 2L)
+    store
+  }
+
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DedupClusterStream.snapshot(s, q112Store(s, dir)).orderBy($"doc_id")
+  }
+
+  // -----------------------------------------------------------------
+  // Steady-state SERVE rows for the deletion maintainers (round 15,
+  // verdict directive 5): the full ±op pipelines build ONCE per session
+  // into a cached store — the prepare stage, paid by the bench's cold
+  // pass, which invalidates this cache beside Materialized — and warm
+  // passes time ONLY the serve path (liveness-resolved probe / snapshot
+  // window), so a serve-latency regression is visible per round the way
+  // q89/q99's ingest-dominated timings never made it. The correctness
+  // gate always runs the full pipeline; StreamServeBenchSpec pins the
+  // two configurations to each other.
+  // -----------------------------------------------------------------
+  private val benchStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private[graft] def invalidateBenchStores(): Unit = benchStores.clear()
+
+  private[graft] def q110Serve(s: SparkSession, dir: String): DataFrame = {
+    val store = benchStores.computeIfAbsent(("q110", dir), _ => q110Store(s, dir))
+    AnnDeltaStream.serveTopK(s, dir, store, Similarity.trainedCentroids(s, dir))
+  }
+
+  private[graft] def q112Serve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = benchStores.computeIfAbsent(("q112", dir), _ => q112Store(s, dir))
     DedupClusterStream.snapshot(s, store).orderBy($"doc_id")
   }
 
@@ -637,7 +676,9 @@ object StreamServe {
     GQuery("q103_stream_triangle_delta_serve", q103, Some(q103Sql)),
     GQuery("q104_stream_kcore_delta_serve", q104, Some(q104Sql)),
     GQuery("q106_stream_truss_delta_serve", q106, Some(q106Sql)),
-    GQuery("q110_stream_ann_delete_serve", q110, Some(q110Sql)),
-    GQuery("q112_stream_dedup_takedown_serve", q112, Some(q112Sql)),
+    GQuery("q110_stream_ann_delete_serve", q110, Some(q110Sql),
+      bench = true, benchRun = Some(q110Serve)),
+    GQuery("q112_stream_dedup_takedown_serve", q112, Some(q112Sql),
+      bench = true, benchRun = Some(q112Serve)),
   )
 }

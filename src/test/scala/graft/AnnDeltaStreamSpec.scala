@@ -111,6 +111,44 @@ class AnnDeltaStreamSpec extends AnyFunSuite {
     assert(liveSet(store) === want, "re-run compaction diverged")
   }
 
+  test("a re-insert that DRIFTS CELLS retires its stale copy even on a probe of the old cell only") {
+    import spark.implicits._
+    val e = emb.cache()
+    val assigned = Similarity.assignToCentroids(e, cents)
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pick two vectors in different cells; re-insert X carrying Y's vector
+    val sortedAssign = assigned.toSeq.sortBy(_._1)
+    val (x, oldCell) = sortedAssign.head
+    val (y, newCell) = sortedAssign.find(_._2 != oldCell)
+      .getOrElse(fail("fixture degenerate: every vector in one cell"))
+    val store = tmpStore()
+    AnnDeltaStream.processBatch(ins(e), 0L, store, cents)
+    val drifted = e.filter($"vec_id" === y).select(lit(x).as("vec_id"), $"vec")
+    AnnDeltaStream.processBatch(ins(drifted), 1L, store, cents)
+    def cellsOfX(cs: Seq[Long]) =
+      AnnDeltaStream.liveRows(spark, store, Some(cs))
+        .filter($"vec_id" === x).select($"cell").collect()
+        .map(_.getAs[Number](0).longValue).toSeq
+    assert(cellsOfX(Seq(oldCell)).isEmpty,
+      "old-cell probe served the stale pre-drift copy")
+    assert(cellsOfX(Seq(newCell)) === Seq(newCell),
+      "new-cell probe must serve the fresh copy")
+    assert(AnnDeltaStream.liveRows(spark, store)
+      .filter($"vec_id" === x).count() === 1L, "unpruned read must hold exactly one copy")
+    // compaction heals the drift physically and the contract still holds
+    AnnDeltaStream.compact(spark, store, throughBatch = 1L)
+    assert(cellsOfX(Seq(oldCell)).isEmpty && cellsOfX(Seq(newCell)) === Seq(newCell))
+  }
+
+  test("a store that has only ever seen tombstones serves empty, not a crash") {
+    import spark.implicits._
+    val e = emb.filter($"vec_id" < 10).cache()
+    val store = tmpStore()
+    AnnDeltaStream.processBatch(del(e), 0L, store, cents)
+    assert(AnnDeltaStream.liveRows(spark, store).count() === 0L)
+    assert(AnnDeltaStream.serveTopK(spark, dir, store, cents).count() === 0L)
+  }
+
   test("redelivery of a batch id converges; serve excludes deleted ids") {
     import spark.implicits._
     val e = emb.cache()
