@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated query names — dump (and emit
+    // oracle SQL for) only those, for spot-gating one query at a bigger
+    // SF without paying the full registry
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,10 +40,11 @@ object Verify {
     // longer sees a fixture dir it would report as an un-oracled query.
     val fixtureDir =
       Paths.get(outDir).toAbsolutePath.toString + "/eve_jump_risks/_fixture"
-    try operators.EveQueries.persistFixture(spark, fixtureDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] fixture persist failed: ${e.getMessage}")
-    }
+    if (only.forall(_.exists(_.startsWith("eve_"))))
+      try operators.EveQueries.persistFixture(spark, fixtureDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] fixture persist failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,6 +58,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{EVE_FIXTURE}}", fixtureDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

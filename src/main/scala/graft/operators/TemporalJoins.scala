@@ -376,8 +376,12 @@ object TemporalJoins {
     funnelStages(graft.Tables.events(s, dir)).orderBy($"user_id")
   }
 
-  private[graft] val q82Sql =
-    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+  /** q82's oracle with an extra predicate on the EVENTS (the q113
+    * parameterization — the funnel definition is untouched, only the
+    * surviving event set shrinks; mirrors [[graft.operators.Dedup]]'s
+    * `q63SqlOn` / [[graft.operators.Similarity]]'s `q28SqlOn` shape). */
+  private[graft] def q82SqlOn(pred: String): String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events WHERE 1=1$pred),
        |v AS (SELECT user_id, event_type, ts_us,
        |  MIN(CASE WHEN event_type = 'view' THEN ts_us END)
        |    OVER (PARTITION BY user_id) AS v_us FROM e),
@@ -392,6 +396,8 @@ object TemporalJoins {
        |           WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage,
        |  CAST(MAX(p_us - v_us) AS BIGINT) AS ttc_us
        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private[graft] val q82Sql = q82SqlOn("")
 
   /** Day length for q87's retention offsets — single-sourced into the
     * oracle. Epoch micros are non-negative, so truncating integer

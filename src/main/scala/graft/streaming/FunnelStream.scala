@@ -41,6 +41,40 @@ import org.apache.spark.sql.types._
   * per-batch directory growth that the history read and the snapshot
   * would otherwise pay (one partition per batch ever ingested) is bounded
   * by periodic [[compact]]ion into negative-id generations.
+  *
+  * ±op EVENT RETRACTION (round 15 — the last maintained store that was
+  * insert-only): a batch may carry an `op` column; op = −1 RETRACTS the
+  * exact (user_id, event_type, ts_us) triple — the funnel analogue of a
+  * document takedown (a deleted user, a bot purge, a consent withdrawal
+  * must stop counting toward conversion). Retraction is the case the
+  * targeted-recompute design absorbs almost for free, because it never
+  * folded per-batch partials in the first place:
+  *
+  *   - events land in the store WITH their op and an `srcb` provenance
+  *     column (the batch id that wrote the row — the
+  *     [[AnnDeltaStream]] rule, so compaction can fold rows into a
+  *     negative generation without making them look infinitely old);
+  *   - a triple's liveness is its FRESHEST row: the greatest
+  *     (srcb, op) — so a later op decides, and a triple both inserted
+  *     and retracted in ONE batch resolves insert-wins (the
+  *     [[SsspDeltaStream]] convention). Retraction is NOT terminal:
+  *     re-inserting the triple in a later batch resurrects it. Liveness
+  *     is SET-semantics per triple (duplicate copies of a triple stand
+  *     or fall together — invisible to the MIN/MAX funnel either way);
+  *   - the recompute then runs on the touched users' SURVIVING events.
+  *     A touched user left with NO surviving events gets a TOMBSTONE
+  *     funnel row (null stage) that outranks their stale rows in the
+  *     freshest-row serving window — without it the snapshot would keep
+  *     serving the last pre-retraction row forever. [[snapshot]] filters
+  *     tombstones; batch q82 on the surviving events has no row for such
+  *     a user either, so the served table stays oracle-equal.
+  *
+  * The liveness resolution costs one aggregation over the touched
+  * users' histories, keyed (user_id, event_type, ts_us) — and since the
+  * pruned history read's semi-join already hash-exchanges on user_id,
+  * Catalyst satisfies the wider grouping key with that same exchange
+  * (user_id is a prefix), so retraction adds NO new shuffle to the
+  * ingest path.
   */
 object FunnelStream {
 
@@ -55,15 +89,39 @@ object FunnelStream {
     StructField("event_type", StringType, nullable = false),
     StructField("ts_us", LongType, nullable = false)))
 
-  /** Ingest one micro-batch and refresh the funnel rows of every touched
-    * user. Idempotent under redelivery of the same `batchId`. */
+  /** (user_id, event_type, ts_us, op) — the ±op retraction surface;
+    * op = −1 retracts the exact triple. */
+  val opEventSchema: StructType =
+    StructType(eventSchema.fields :+ StructField("op", IntegerType, nullable = false))
+
+  /** The surviving events of a (±op, srcb)-carrying history slice: per
+    * triple, the freshest (srcb, op) row decides — greater srcb wins;
+    * within one batch the insert wins the tie. An aggregation, not a
+    * window: its (user_id, event_type, ts_us) grouping key extends the
+    * user_id hash exchange the caller's semi-join already paid, so
+    * Catalyst inserts no new shuffle. */
+  private def liveEvents(hist: DataFrame): DataFrame = {
+    import hist.sparkSession.implicits._
+    hist
+      .groupBy($"user_id", $"event_type", $"ts_us")
+      .agg(max(struct($"srcb", $"op")).as("__m"))
+      .filter($"__m.op" === 1)
+      .select($"user_id", $"event_type", $"ts_us")
+  }
+
+  /** Ingest one micro-batch — optionally ±op-carrying (a missing `op`
+    * column means all-inserts) — and refresh the funnel rows of every
+    * touched user from their surviving history. Idempotent under
+    * redelivery of the same `batchId`. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
     val s = batch.sparkSession
     import s.implicits._
     // empty-batch guard (the CcStream note): a zero-partition dynamic
     // overwrite on a fresh store leaves an all-_SUCCESS events root
     if (batch.isEmpty) return
-    Stores.writeBatch(batch.select($"user_id", $"event_type", $"ts_us"),
+    Stores.writeBatch(
+      Stores.withOpDefault(batch)
+        .select($"user_id", $"event_type", $"ts_us", $"op", lit(batchId).as("srcb")),
       batchId, s"$storeDir/events", Seq(UserBucket))
     val touched = batch.select($"user_id").distinct().localCheckpoint()
     // touched feeds the pruned read's bucket-id action AND the semi-join
@@ -71,8 +129,12 @@ object FunnelStream {
     val hist = Stores.readPruned(s, s"$storeDir/events", UserBucket, touched)
       .filter($"batch" <= batchId)
       .join(touched, Seq("user_id"), "left_semi")
-      .select($"user_id", $"event_type", $"ts_us")
-    TemporalJoins.funnelStages(hist)
+      .select($"user_id", $"event_type", $"ts_us", $"op", $"srcb")
+    // LEFT join from touched: a touched user with no surviving events
+    // gets a (null stage) TOMBSTONE row — see class doc
+    touched
+      .join(TemporalJoins.funnelStages(liveEvents(hist)), Seq("user_id"), "left")
+      .select($"user_id", $"stage", $"ttc_us")
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$storeDir/funnel")
@@ -91,8 +153,9 @@ object FunnelStream {
     * documents), but the store doubles; a durable checkpoint resumes the
     * id sequence so only new files ingest. */
   def start(s: SparkSession, eventsDir: String, storeDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    s.readStream.schema(eventSchema)
+      trigger: Trigger = Trigger.AvailableNow(),
+      withOps: Boolean = false): StreamingQuery =
+    s.readStream.schema(if (withOps) opEventSchema else eventSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(eventsDir)
       .writeStream
@@ -112,6 +175,9 @@ object FunnelStream {
   def snapshot(s: SparkSession, storeDir: String): DataFrame = {
     import s.implicits._
     Stores.freshestPerKey(Stores.read(s, s"$storeDir/funnel"), "user_id")
+      // a null-stage row is a retraction tombstone: the user's surviving
+      // history is empty, so batch q82 has no row for them either
+      .filter($"stage".isNotNull)
       .select($"user_id", $"stage", $"ttc_us")
   }
 
@@ -142,9 +208,26 @@ object FunnelStream {
     * their own non-negative ids. */
   def compact(s: SparkSession, storeDir: String, throughBatch: Long): Unit = {
     import s.implicits._
-    Stores.fold(s, s"$storeDir/events", throughBatch, Seq(UserBucket))(
-      _.select($"user_id", $"event_type", $"ts_us"))
+    // events: resolve per-triple liveness over the folded slice and keep
+    // only survivors, PRESERVING their original srcb (the AnnDeltaStream
+    // provenance rule) — a live retraction above `throughBatch` must
+    // still outrank a folded row, and a folded row must still outrank a
+    // retraction it post-dated. Retractions at or below `throughBatch`
+    // fold away: every row they could kill is folded here with them.
+    Stores.fold(s, s"$storeDir/events", throughBatch, Seq(UserBucket)) { src =>
+      src
+        .groupBy($"user_id", $"event_type", $"ts_us")
+        .agg(max(struct($"srcb", $"op")).as("__m"))
+        .filter($"__m.op" === 1)
+        .select($"user_id", $"event_type", $"ts_us",
+          $"__m.op".as("op"), $"__m.srcb".as("srcb"))
+    }
+    // funnel: freshest row per user, DROPPING resolved tombstones (a
+    // tombstone's kill set is folded with it; filtering must run after
+    // the freshest-row pick, or an older real row would resurface)
     Stores.fold(s, s"$storeDir/funnel", throughBatch)(src =>
-      Stores.freshestPerKey(src, "user_id").select($"user_id", $"stage", $"ttc_us"))
+      Stores.freshestPerKey(src, "user_id")
+        .filter($"stage".isNotNull)
+        .select($"user_id", $"stage", $"ttc_us"))
   }
 }

@@ -632,6 +632,42 @@ object StreamServe {
     DedupClusterStream.snapshot(s, q112Store(s, dir)).orderBy($"doc_id")
   }
 
+  /** q113 — the funnel under event RETRACTIONS served from the
+    * [[FunnelStream]] store: events arrive in two user-parity insert
+    * batches, then a RETRACTION batch withdraws (a) EVERY event of users
+    * `user_id % 7 == 0` — the deleted-user case, whose funnel rows must
+    * tombstone out of the served table entirely — and (b) the CLICK
+    * events of users `% 5 == 3` — the stage-demotion case (their
+    * conversions must fall back to stage 1, and purchases lose their
+    * click anchor) — then a partial RE-INSERT batch restores the clicks
+    * of users `% 10 == 3` (resurrection). The store is compacted THROUGH
+    * the retraction batch (retractions and their kill sets fold away;
+    * tombstoned users drop from the generation) with the re-insert batch
+    * live. Oracle: q82's SQL on the SURVIVING events. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("funnelretract")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val e = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts_us").cache()
+    val gone = $"user_id" % 7 === 0
+    val clickDemoted = $"user_id" % 7 =!= 0 &&
+      $"user_id" % 5 === 3 && $"event_type" === "click"
+    writeSlices(inDir, "ev", Seq(
+      e.filter($"user_id" % 2 === 0).withColumn("op", lit(1)),
+      e.filter($"user_id" % 2 === 1).withColumn("op", lit(1)),
+      e.filter(gone || clickDemoted).withColumn("op", lit(-1)),
+      e.filter(clickDemoted && $"user_id" % 10 === 3).withColumn("op", lit(1))))
+    FunnelStream.start(s, inDir, storeDir, withOps = true).awaitTermination()
+    e.unpersist()
+    FunnelStream.compact(s, storeDir, throughBatch = 2L)
+    FunnelStream.snapshot(s, storeDir).orderBy($"user_id")
+  }
+
+  private val q113Sql = TemporalJoins.q82SqlOn(
+    " AND user_id % 7 <> 0" +
+      " AND (event_type <> 'click' OR user_id % 5 <> 3 OR user_id % 10 = 3)")
+
   // -----------------------------------------------------------------
   // Steady-state SERVE rows for the deletion maintainers (round 15,
   // verdict directive 5): the full ±op pipelines build ONCE per session
@@ -680,5 +716,6 @@ object StreamServe {
       bench = true, benchRun = Some(q110Serve)),
     GQuery("q112_stream_dedup_takedown_serve", q112, Some(q112Sql),
       bench = true, benchRun = Some(q112Serve)),
+    GQuery("q113_stream_funnel_retract_serve", q113, Some(q113Sql)),
   )
 }

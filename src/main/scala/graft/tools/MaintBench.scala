@@ -14,7 +14,7 @@
 // Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep] [lanes,comma-sep]'
 package graft.tools
 
-import graft.streaming.{AnnDeltaStream, CcStream, DedupClusterStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
+import graft.streaming.{AnnDeltaStream, CcStream, DedupClusterStream, FunnelStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
 import graft.operators.GraphQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,6 +57,9 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
   val docN: Long = docs.count()
   val skew: DataFrame = MaintBench.skewEdges(spark, spN).cache()
   val skewN: Long = skew.count()
+  val events: DataFrame = graft.Tables.events(spark, dir)
+    .select($"user_id", $"event_type", $"ts_us").cache()
+  val evN: Long = events.count()
   val embd: DataFrame = graft.Tables.t(spark, dir, "embeddings")
     .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     .withColumn("del", $"vec_id" % 5 === 0)
@@ -157,6 +160,20 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
           .select($"doc_id", lit("").as("text"), lit(-1).as("op")),
         docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text", lit(1).as("op"))),
       (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)),
+    // the q113 shape: insert/insert/retract/re-insert over the events
+    // corpus — batch 2 retracts every event of the % 7 == 0 users (the
+    // deleted-user tombstone path) plus the % 5 == 3 users' clicks (stage
+    // demotion), batch 3 resurrects the % 10 == 3 users' clicks
+    Lane("funnel_delta", {
+      val gone = $"user_id" % 7 === 0
+      val demoted = $"user_id" % 7 =!= 0 && $"user_id" % 5 === 3 &&
+        $"event_type" === "click"
+      Seq(
+        events.filter($"user_id" % 2 === 0).withColumn("op", lit(1)),
+        events.filter($"user_id" % 2 === 1).withColumn("op", lit(1)),
+        events.filter(gone || demoted).withColumn("op", lit(-1)),
+        events.filter(demoted && $"user_id" % 10 === 3).withColumn("op", lit(1)))
+    }, (b, i, d) => FunnelStream.processBatch(b, i, d)),
     // the q110 shape: insert/insert/delete/re-insert over the embedding
     // corpus against the frozen trained codebook (deletes carry null vecs)
     Lane("ann_delta", Seq(
@@ -171,6 +188,7 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
   def unpersist(): Unit = {
     sp.unpersist(); rawPairs.unpersist(); weighted.unpersist()
     docs.unpersist(); skew.unpersist(); projd.unpersist(); embd.unpersist()
+    events.unpersist()
   }
 }
 
@@ -299,11 +317,11 @@ object MaintBench {
       }
       lanes.unpersist()
       val sf = dir.split("/").last
-      s""""$sf":{"sparse_pairs":${lanes.spN},"weighted_edges":${lanes.wN},"documents":${lanes.docN},"skew_edges":${lanes.skewN},"embeddings":${lanes.embN},${rows.mkString(",")}}"""
+      s""""$sf":{"sparse_pairs":${lanes.spN},"weighted_edges":${lanes.wN},"documents":${lanes.docN},"skew_edges":${lanes.skewN},"embeddings":${lanes.embN},"events":${lanes.evN},${rows.mkString(",")}}"""
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 additions: dedup_takedown - the q112 insert/insert/retire/late-insert schedule through DedupClusterStream (pair withdrawals via the nested CC store + the probe mask; batch 3 measures the masked-probe path); ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 additions: dedup_takedown - the q112 insert/insert/retire/late-insert schedule through DedupClusterStream (pair withdrawals via the nested CC store + the probe mask; batch 3 measures the masked-probe path); ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r15 addition: funnel_delta - the q113 insert/insert/retract/re-insert schedule through FunnelStream (per-batch cost is the touched users' histories; the retraction batch touches the retired users, so its cost is their history volume plus the funnel-row rewrite). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()

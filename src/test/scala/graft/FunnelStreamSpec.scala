@@ -95,6 +95,43 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(dirs("events") === Set("batch=-2"), s"events dirs: ${dirs("events")}")
   }
 
+  test("±op retraction ≡ batch q82 on survivors; tombstones, demotion, resurrection; compaction + replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val e = events.cache()
+    val root = java.nio.file.Files.createTempDirectory("funnelretract").toString
+    val store = s"$root/store"
+    val gone = $"user_id" % 7 === 0
+    val demoted = $"user_id" % 7 =!= 0 && $"user_id" % 5 === 3 && $"event_type" === "click"
+    val revived = demoted && $"user_id" % 10 === 3
+    def wantOf(surv: DataFrame): Map[Long, (Long, Option[Long])] =
+      graft.operators.TemporalJoins.funnelStages(surv).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val b2 = e.filter(gone || demoted).withColumn("op", lit(-1))
+    val b3 = e.filter(revived).withColumn("op", lit(1))
+    assert(b2.filter(gone).count() > 0 && b2.filter(demoted).count() > 0 && b3.count() > 0,
+      "fixture vacuous: a retraction class is empty")
+    FunnelStream.processBatch(e.filter($"user_id" % 2 === 0).withColumn("op", lit(1)), 0L, store)
+    FunnelStream.processBatch(e.filter($"user_id" % 2 === 1).withColumn("op", lit(1)), 1L, store)
+    FunnelStream.processBatch(b2, 2L, store)
+    val afterRetract = wantOf(e.filter(!(gone || demoted)))
+    assert(snapshotOf(store) === afterRetract, "post-retraction snapshot diverged")
+    // deleted users must have VANISHED (tombstone), not gone stale
+    assert(e.filter(gone).select($"user_id").distinct().collect()
+      .forall(r => !snapshotOf(store).contains(r.getLong(0))))
+    FunnelStream.processBatch(b3, 3L, store)
+    val want = wantOf(e.filter(!gone && (!demoted || revived)))
+    assert(snapshotOf(store) === want, "post-resurrection snapshot diverged")
+    // compact THROUGH the retraction batch; the re-insert stays live
+    FunnelStream.compact(spark, store, throughBatch = 2L)
+    assert(snapshotOf(store) === want, "compaction through the retraction diverged")
+    // retraction-batch replay against the compacted store converges
+    FunnelStream.processBatch(b2, 2L, store)
+    assert(snapshotOf(store) === want, "retraction replay diverged")
+    FunnelStream.compact(spark, store, throughBatch = 3L)
+    assert(snapshotOf(store) === want, "full compaction diverged")
+  }
+
   test("batch replay is idempotent: snapshot identical after redelivery") {
     import spark.implicits._
     val e = events.cache()
