@@ -210,4 +210,11 @@ object DedupClusterStream {
     * stay batch-partitioned — they are append-layout by design). */
   def compact(s: SparkSession, rootDir: String, throughBatch: Long): Unit =
     CcStream.compact(s, ccDir(rootDir), throughBatch)
+
+  /** PHYSICALLY purge retired documents' bands/shingles from the index
+    * (see [[DedupStream.purgeRetired]] — single-owner maintenance, stream
+    * stopped, `throughBatch` at most the last committed batch). No-op on
+    * a store that never saw a takedown. */
+  def purgeRetired(s: SparkSession, rootDir: String, throughBatch: Long): Unit =
+    DedupStream.purgeRetired(s, indexDir(rootDir), removedDir(rootDir), throughBatch)
 }

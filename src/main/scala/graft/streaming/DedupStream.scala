@@ -246,6 +246,97 @@ object DedupStream {
     newSh.unpersist()
   }
 
+  /** `batch=<id>` partition ids under a store side; empty when the root
+    * is absent or holds none (the [[AnnDeltaStream]] helper). */
+  private def batchIdsUnder(s: SparkSession, path: String): Array[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** PHYSICAL purge of retired documents from the append-layout index —
+    * the other half of the q112 takedown story: the probe MASK makes
+    * retired documents logically invisible from the instant of
+    * retirement, but their shingles (content n-grams — exactly the bytes
+    * a licensing claim or GDPR erasure demands gone) and band hashes
+    * stay on disk until this maintenance rewrite drops them. Folds every
+    * bands/shingles partition at or below `throughBatch` — plus prior
+    * purge generations — into one fresh negative-id generation with the
+    * retired doc_ids' rows dropped (retirement is terminal, so EVERY
+    * recorded retirement applies, not just those ≤ `throughBatch`).
+    *
+    * Probe equivalence is by construction: the probe's `batch < id`
+    * prefix filter admits negative generations, retirement is terminal
+    * so a purged row could only ever have produced candidates the mask
+    * already suppressed, and the generation keeps the bands table's
+    * bucketed-sorted layout because it is written through the same
+    * bucketed `insertInto` path as ingest (a plain parquet write here
+    * would silently break the co-located probe join). The pairs store
+    * is deliberately NOT rewritten: its rows carry ids and a score — no
+    * content — and the withdrawal derivation needs the prior-pair record
+    * (already guarded against re-withdrawal by the removed-store
+    * anti-join).
+    *
+    * CONTRACT — single-owner maintenance, stream stopped (the family's
+    * compaction rule), and `throughBatch` at most the last COMMITTED
+    * batch: this layout has no cover manifests, so a replay of a folded
+    * batch would see its own rows in the generation (the `batch < id`
+    * filter cannot exclude them) and double its shingle rows. Crash
+    * anywhere leaves sources and/or an extra generation visible
+    * together; re-running the purge to completion converges (previous
+    * generations are folded as sources, duplicates collapse through the
+    * per-(doc, band) distinct candidates and the terminal retirement
+    * set) — run it before serving resumes, exactly as
+    * [[AnnDeltaStream.compact]] documents. */
+  def purgeRetired(s: SparkSession, indexDir: String, removedDir: String,
+      throughBatch: Long): Unit = {
+    import s.implicits._
+    if (!pathExists(s, removedDir)) return
+    val retired = s.read.schema(removedSchema).parquet(removedDir)
+      .select($"doc_id").distinct().localCheckpoint()
+    val table = ensureBandsTable(s, indexDir)
+    val bandsPath = s"$indexDir/bands"
+    val bandIds = batchIdsUnder(s, bandsPath)
+    val bSources = bandIds.filter(b => b < 0 || b <= throughBatch)
+    val fs = new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (bSources.nonEmpty) {
+      val stagingId = bandIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+      // localCheckpoint materializes the survivors BEFORE touching the
+      // table the plan reads (the family-wide compaction rule)
+      val staged = s.table(table)
+        .filter($"batch".isInCollection(bSources))
+        .join(broadcast(retired), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"band", $"bhash", lit(stagingId).as("batch"))
+        .localCheckpoint()
+      graft.store.Bucketing.withDynamicPartitionOverwrite(s) {
+        staged.write.mode(SaveMode.Overwrite).insertInto(table)
+      }
+      bSources.foreach { b =>
+        s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch=$b)")
+        fs.delete(new Path(bandsPath, s"batch=$b"), true)
+      }
+    }
+    val shPath = s"$indexDir/shingles"
+    val shIds = batchIdsUnder(s, shPath)
+    val shSources = shIds.filter(b => b < 0 || b <= throughBatch)
+    if (shSources.nonEmpty) {
+      val stagingId = shIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+      val staged = s.read.parquet(shPath)
+        .filter($"batch".isInCollection(shSources))
+        .join(broadcast(retired), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"sh")
+        .localCheckpoint()
+      // direct leaf write (partition dir supplies `batch`): an all-retired
+      // fold must still leave ONE schema-bearing file so the store stays
+      // readable — the Stores.fold reserved-task trick
+      (if (staged.isEmpty) staged.repartition(1) else staged)
+        .write.mode(SaveMode.Overwrite).parquet(s"$shPath/batch=$stagingId")
+      shSources.foreach(b => fs.delete(new Path(shPath, s"batch=$b"), true))
+    }
+  }
+
   /** File-source stream over a documents directory: every arriving parquet
     * file of (doc_id, text) rows is incrementally deduped against the
     * index. `maxFilesPerTrigger=1` keeps micro-batches file-sized. */

@@ -632,6 +632,42 @@ object StreamServe {
     DedupClusterStream.snapshot(s, q112Store(s, dir)).orderBy($"doc_id")
   }
 
+  /** q114 — the q112 takedown composition with the index PHYSICALLY
+    * PURGED mid-stream: the same two insert batches and takedown batch
+    * (driven directly — purge is a stopped-stream maintenance job, so the
+    * fixture owns the batch loop), then
+    * [[DedupClusterStream.purgeRetired]] rewrites the band/shingle index
+    * dropping the retired documents' rows, and only THEN does the late
+    * third of the corpus arrive — so the probe that would have needed the
+    * q112 mask now runs against an index whose retired content is
+    * physically gone (the mask still guards retirements the purge hasn't
+    * folded yet; here it is vacuous by construction). Oracle: q112's —
+    * q63 on the surviving documents — which passes only if the purged
+    * index yields exactly the masked index's pairs. The physical-absence
+    * half (retired bytes actually gone from every index file) is
+    * DedupPurgeSpec's, not SQL-expressible. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = tempRoot("dclpurgeserve")
+    val store = s"$root/store"
+    val docs = graft.Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text").cache()
+    val retire = $"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 2
+    val slices = Seq(
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"text", lit(1).as("op")),
+      docs.filter($"doc_id" % 3 === 1).select($"doc_id", $"text", lit(1).as("op")),
+      docs.filter(retire).select($"doc_id", lit("").as("text"), lit(-1).as("op")))
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      DedupClusterStream.processBatch(s, sl, i.toLong, store) }
+    DedupClusterStream.purgeRetired(s, store, throughBatch = 2L)
+    DedupClusterStream.processBatch(s,
+      docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text", lit(1).as("op")),
+      3L, store)
+    docs.unpersist()
+    DedupClusterStream.compact(s, store, throughBatch = 2L)
+    DedupClusterStream.snapshot(s, store).orderBy($"doc_id")
+  }
+
   /** q113 — the funnel under event RETRACTIONS served from the
     * [[FunnelStream]] store: events arrive in two user-parity insert
     * batches, then a RETRACTION batch withdraws (a) EVERY event of users
@@ -717,5 +753,6 @@ object StreamServe {
     GQuery("q112_stream_dedup_takedown_serve", q112, Some(q112Sql),
       bench = true, benchRun = Some(q112Serve)),
     GQuery("q113_stream_funnel_retract_serve", q113, Some(q113Sql)),
+    GQuery("q114_stream_dedup_purge_serve", q114, Some(q112Sql)),
   )
 }

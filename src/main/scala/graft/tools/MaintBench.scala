@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * that folds a batch into a store rooted at the caller's directory.
   * `prepare` runs UNTIMED before each attempt — for shared prepare-stage
   * cost (e.g. ann_delta's centroid training) that is not per-batch
-  * maintenance and must not land in batch 0's cell. */
+  * maintenance and must not land in batch 0's cell. `post` runs TIMED
+  * after the schedule and lands in its own `post` cell — for maintenance
+  * jobs priced separately from ingest (e.g. the dedup index purge). */
 private[tools] final case class Lane(name: String,
     slices: Seq[DataFrame], step: (DataFrame, Long, String) => Unit,
-    prepare: () => Unit = () => ())
+    prepare: () => Unit = () => (),
+    post: Option[String => Unit] = None)
 
 /** The maintenance lanes' shared fixtures and schedules at one SF dir —
   * cached frames; call [[unpersist]] when done. */
@@ -159,7 +162,10 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
         docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 3 =!= 2)
           .select($"doc_id", lit("").as("text"), lit(-1).as("op")),
         docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text", lit(1).as("op"))),
-      (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d)),
+      (b, i, d) => DedupClusterStream.processBatch(spark, b, i, d),
+      // the q114 maintenance job, priced as its own post-schedule cell:
+      // one mask-aware rewrite of the whole band/shingle index
+      post = Some(d => DedupClusterStream.purgeRetired(spark, d, throughBatch = 3L))),
     // the q113 shape: insert/insert/retract/re-insert over the events
     // corpus — batch 2 retracts every event of the % 7 == 0 users (the
     // deleted-user tombstone path) plus the % 5 == 3 users' clicks (stage
@@ -294,26 +300,30 @@ object MaintBench {
       // filters it. Every attempt's total is emitted so a reader still
       // sees the spread.
       val runs = envInt("SPARK_GRAFT_MAINT_RUNS", 1).max(1)
-      val attemptsByLane: Map[String, Seq[Seq[Double]]] = {
-        val acc = scala.collection.mutable.Map.empty[String, Vector[Seq[Double]]]
+      val attemptsByLane: Map[String, Seq[(Seq[Double], Option[Double])]] = {
+        val acc = scala.collection.mutable.Map
+          .empty[String, Vector[(Seq[Double], Option[Double])]]
           .withDefaultValue(Vector.empty)
         for (_ <- 1 to runs; lane <- picked) {
           lane.prepare()
           val store = tmp(s"mb-${lane.name}")
           val ts = lane.slices.zipWithIndex.map { case (sl, i) =>
             time(lane.step(sl, i.toLong, store)) }
-          System.err.println(f"[maintbench] $dir ${lane.name}: ${ts.map(t => f"$t%.1f").mkString(", ")} s")
-          acc(lane.name) = acc(lane.name) :+ ts
+          val postT = lane.post.map(f => time(f(store)))
+          System.err.println(f"[maintbench] $dir ${lane.name}: ${ts.map(t => f"$t%.1f").mkString(", ")} s" +
+            postT.fold("")(p => f" (post $p%.1f s)"))
+          acc(lane.name) = acc(lane.name) :+ ((ts, postT))
         }
         acc.toMap
       }
       val rows = picked.map { lane =>
         val attempts = attemptsByLane(lane.name)
-        val ts = attempts.minBy(_.sum)
+        val (ts, post) = attempts.minBy(_._1.sum)
         val runsJson =
           if (runs == 1) ""
-          else s""","runs":[${attempts.map(_.sum).mkString(",")}]"""
-        s""""${lane.name}":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}$runsJson}"""
+          else s""","runs":[${attempts.map(_._1.sum).mkString(",")}]"""
+        val postJson = post.fold("")(p => s""","post":$p""")
+        s""""${lane.name}":{${ts.zipWithIndex.map { case (t, i) => s""""batch$i":$t""" }.mkString(",")},"total":${ts.sum}$postJson$runsJson}"""
       }
       lanes.unpersist()
       val sf = dir.split("/").last
@@ -321,7 +331,7 @@ object MaintBench {
     }
 
     val json = "{" + sfJsons.mkString(",") +
-      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 additions: dedup_takedown - the q112 insert/insert/retire/late-insert schedule through DedupClusterStream (pair withdrawals via the nested CC store + the probe mask; batch 3 measures the masked-probe path); ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r15 addition: funnel_delta - the q113 insert/insert/retract/re-insert schedule through FunnelStream (per-batch cost is the touched users' histories; the retraction batch touches the retired users, so its cost is their history volume plus the funnel-row rewrite). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
+      ""","note":"per-micro-batch wall seconds for each maintained-store graph maintainer ingesting its standard split (three slices; the *_delta lanes use the 4-batch insert/insert/delete/re-insert schedule of q102/q103), per scale factor (one JVM, sequential). The claim under test: per-batch cost tracks the touched working set (affected components / delta-edge adjacency / dup volume), not corpus volume - so cost should grow sub-linearly in SF wherever the touched volume does. kcore_skew = the honest degenerate case, a giant component holding ~99% of the edges that every node-sliced batch touches, so each batch re-peels ~the whole graph by design (see KCoreStream scaladoc). r12 additions: truss_delta (the q106 edge-granular 4-batch schedule over the capped part-part projection - the composed nested-CC + support-peel maintainer, the family's most expensive member) now has a measured lane; FunnelStream's events store joined the bucketed layout; lane fixtures are shared with MaintAb (MAINTAB_r12), the same-JVM bucketed/unpruned/flat isolation A/B that splits the r11 lane regression into layout cost vs liveness cost. r14 additions: dedup_takedown - the q112 insert/insert/retire/late-insert schedule through DedupClusterStream (pair withdrawals via the nested CC store + the probe mask; batch 3 measures the masked-probe path); ann_delta - the q110 insert/insert/delete/re-insert schedule over the embedding corpus through AnnDeltaStream (per-batch cost is assignment of the batch's own rows + a partitioned write; the index is never read on ingest, so batches should cost their own size at every SF; centroid training is excluded - it is the shared prepare stage, forced in an untimed prepare step before each attempt). r15 additions: funnel_delta - the q113 insert/insert/retract/re-insert schedule through FunnelStream (per-batch cost is the touched users' histories; the retraction batch touches the retired users, so its cost is their history volume plus the funnel-row rewrite); dedup_takedown now also emits a 'post' cell = the q114 PHYSICAL index purge (one mask-aware rewrite of the band/shingle index, a maintenance job priced separately from ingest). r13 addition: truss_skew - the kcore_skew giant-component fixture fed through TrussStream, measuring the documented degenerate-component cliff (every batch re-peels ~the whole giant's supports by design) for the truss maintainer directly instead of transferring the kcore number. Same-box variance caveat of MAINTBENCH_r10 applies; with SPARK_GRAFT_MAINT_RUNS=N>1 each lane repeats its full schedule N times against a fresh store and the per-batch row is the best-total run (all run totals in 'runs'); attempts are INTERLEAVED across lanes (r14: attempt k of every lane runs before attempt k+1 of any lane), so a multi-minute ambient burst poisons at most one attempt per lane instead of all attempts of one lane."}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
