@@ -70,6 +70,20 @@ class TokenizerSpec extends AnyFunSuite {
       "token count equals char count — subword merging never happened")
   }
 
+  test("q115 packing conserves exactly the corpus token count q111 reports") {
+    import spark.implicits._
+    // both derive from the same learned vocab and greedy walk, one over
+    // the distinct-word relation weighted by counts, one folded per
+    // document — their totals must be the same number
+    val q111n = SparkEntry.queries("q111_subword_tokens")(spark, dir)
+      .agg(sum($"n")).head().getLong(0)
+    val q115n = SparkEntry.queries("q115_subword_packing")(spark, dir)
+      .agg(sum($"n_tokens")).head().getLong(0)
+    assert(q111n > 0, "corpus tokenized to zero tokens — vacuous")
+    assert(q115n === q111n,
+      s"packing counted $q115n tokens, the inventory counted $q111n")
+  }
+
   test("round-trip: tokenized ids re-concatenate to every distinct word (Spark side)") {
     import spark.implicits._
     val byId = vocab.map { case (t, id) => (id, t) }
