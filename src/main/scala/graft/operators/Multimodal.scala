@@ -674,8 +674,11 @@ object Multimodal {
     * an off-by-one in the Paeth predictor or the Average floor shifts
     * pixels and fails q95's hash gate. Malformed payloads — bad
     * signature, CRC mismatch, non-RGB8 header, truncated or over-long
-    * inflate, bad filter byte — decode to None (S8). Interlace,
-    * palettes, alpha and 16-bit depths are rejected, not mis-decoded. */
+    * inflate, bad filter byte — decode to None (S8). Both interlace
+    * methods are decoded (Adam7 since round 15 — seven pass sub-images,
+    * each filtered independently, one zlib stream, scattered back on
+    * the pass grid); palettes, alpha and 16-bit depths are rejected,
+    * not mis-decoded. */
   object Png {
     final case class Image(width: Int, height: Int, pixels: Array[Byte])
 
@@ -704,15 +707,27 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** Encode an RGB-8 raster; scanline r carries filter `r % 5`, so
-      * every filter type appears in any image of ≥ 5 rows. */
-    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
-      require(rgb.length == width * height * 3, "raster size mismatch")
-      val stride = width * 3
-      val raw = new Array[Byte](height * (1 + stride))
+    /** Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec order. */
+    private val Adam7 = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Sub-image dimensions of Adam7 pass `p` over a w×h image (either
+      * may be 0 — such passes contribute NO scanlines, per spec). */
+    private def passDims(p: Int, w: Int, h: Int): (Int, Int) = {
+      val (x0, y0, dx, dy) = Adam7(p)
+      (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+    }
+
+    /** Filter one raster into PNG raw scanlines (filter byte + filtered
+      * row); row r carries filter `(f0 + r) % 5`, so a rotating caller
+      * exercises every filter across any ≥ 5 total scanlines. */
+    private def filterRaster(w: Int, h: Int, rgb: Array[Byte], f0: Int): Array[Byte] = {
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
       var r = 0
-      while (r < height) {
-        val f = r % 5
+      while (r < h) {
+        val f = (f0 + r) % 5
         raw(r * (1 + stride)) = f.toByte
         var i = 0
         while (i < stride) {
@@ -732,19 +747,103 @@ object Multimodal {
         }
         r += 1
       }
+      raw
+    }
+
+    /** Reconstruct a w×h sub-raster from raw scanlines at `off`; None on
+      * a bad filter byte. (The inverse of [[filterRaster]]; predictor
+      * neighbors come from the RECONSTRUCTED pixels, per spec.) */
+    private def unfilterRaster(raw: Array[Byte], off: Int, w: Int, h: Int): Option[Array[Byte]] = {
+      val stride = w * 3
+      val px = new Array[Byte](h * stride)
+      var r = 0
+      while (r < h) {
+        val f = raw(off + r * (1 + stride)) & 0xFF
+        if (f > 4) return None
+        var j = 0
+        while (j < stride) {
+          val x = raw(off + r * (1 + stride) + 1 + j) & 0xFF
+          val left = if (j >= 3) px(r * stride + j - 3) & 0xFF else 0
+          val up = if (r > 0) px((r - 1) * stride + j) & 0xFF else 0
+          val ul = if (r > 0 && j >= 3) px((r - 1) * stride + j - 3) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => paeth(left, up, ul)
+          }
+          px(r * stride + j) = ((x + pred) & 0xFF).toByte
+          j += 1
+        }
+        r += 1
+      }
+      Some(px)
+    }
+
+    private def deflateAll(raw: Array[Byte]): Array[Byte] = {
       val deflater = new java.util.zip.Deflater()
       deflater.setInput(raw); deflater.finish()
       val buf = new Array[Byte](raw.length + 64)
       val out = new java.io.ByteArrayOutputStream()
       while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
       deflater.end()
+      out.toByteArray
+    }
+
+    private def wrapChunks(width: Int, height: Int, interlace: Int,
+        idat: Array[Byte]): Array[Byte] = {
       val ihdr = u32be(width.toLong) ++ u32be(height.toLong) ++
-        Array[Byte](8, 2, 0, 0, 0) // depth 8, RGB, deflate, adaptive, no interlace
-      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        Array[Byte](8, 2, 0, 0, interlace.toByte) // depth 8, RGB, deflate, adaptive
+      Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
         chunk("IEND", Array.empty[Byte])
     }
 
-    /** Decode; None on any malformation. RGB-8 non-interlaced only. */
+    /** Encode an RGB-8 raster, non-interlaced; scanline r carries filter
+      * `r % 5`, so every filter type appears in any image of ≥ 5 rows. */
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      wrapChunks(width, height, 0, deflateAll(filterRaster(width, height, rgb, 0)))
+    }
+
+    /** Encode an RGB-8 raster ADAM7-INTERLACED (round 15 — the one IHDR
+      * configuration the decoder previously refused): each of the seven
+      * passes extracts its sub-raster, filters it with a RUNNING filter
+      * rotation (so all five filters appear across the passes' combined
+      * scanlines), and the concatenated pass data deflates as one zlib
+      * stream, per spec. Empty passes (a dimension underflows) emit no
+      * scanlines. */
+    def encodeAdam7(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      val out = new java.io.ByteArrayOutputStream()
+      var f0 = 0
+      var p = 0
+      while (p < 7) {
+        val (x0, y0, dx, dy) = Adam7(p)
+        val (wp, hp) = passDims(p, width, height)
+        if (wp > 0 && hp > 0) {
+          val sub = new Array[Byte](wp * hp * 3)
+          var j = 0
+          while (j < hp) {
+            var i = 0
+            while (i < wp) {
+              val src = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+              val dst = (j * wp + i) * 3
+              sub(dst) = rgb(src); sub(dst + 1) = rgb(src + 1); sub(dst + 2) = rgb(src + 2)
+              i += 1
+            }
+            j += 1
+          }
+          out.write(filterRaster(wp, hp, sub, f0))
+          f0 += hp
+        }
+        p += 1
+      }
+      wrapChunks(width, height, 1, deflateAll(out.toByteArray))
+    }
+
+    /** Decode; None on any malformation. RGB-8 only; both interlace
+      * methods (0 = none, 1 = Adam7 — round 15) accepted. */
     def decode(bytes: Array[Byte]): Option[Image] = {
       if (bytes.length < 8 + 25 + 12 || !bytes.take(8).sameElements(Signature)) return None
       def be32(o: Int): Long =
@@ -752,6 +851,7 @@ object Multimodal {
           ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
       var i = 8
       var w = 0L; var h = 0L
+      var interlaced = false
       var sawIhdr = false; var sawIend = false
       val idat = new java.io.ByteArrayOutputStream()
       while (!sawIend) {
@@ -769,14 +869,16 @@ object Multimodal {
             val (depth, color, comp, filt, inter) =
               (bytes(i + 16), bytes(i + 17), bytes(i + 18), bytes(i + 19), bytes(i + 20))
             if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
-              comp != 0 || filt != 0 || inter != 0) return None
+              comp != 0 || filt != 0 || (inter != 0 && inter != 1)) return None
+            interlaced = inter == 1
             // each dimension is an unsigned 32-bit field: clamp BOTH before
             // any product — w*h of two ~4e9 values overflows even a Long and
             // would wrap past the guards below
             if (w > (1L << 24) || h > (1L << 24)) return None
-            // inflate target is h*(1+w*3) bytes: refuse hostile headers
-            // before allocating (the q91 guard, PNG edition)
-            if (w * h > Int.MaxValue / 4 || h * (1 + w * 3) > bytes.length.toLong * 1032 + (1 << 20))
+            // inflate target is ≤ h*(3+w*3) bytes (interlaced scanline
+            // count < 2h): refuse hostile headers before allocating (the
+            // q91 guard, PNG edition)
+            if (w * h > Int.MaxValue / 4 || h * (3 + w * 3) > bytes.length.toLong * 1032 + (1 << 20))
               return None
           case "IDAT" =>
             if (!sawIhdr) return None
@@ -790,7 +892,17 @@ object Multimodal {
       }
       if (i != bytes.length) return None
       val stride = (w * 3).toInt
-      val expect = (h * (1 + stride)).toInt
+      // pass layout: interlaced = the seven Adam7 sub-images' scanlines
+      // concatenated (empty passes contribute nothing); else one sub-image
+      val passes: Seq[(Int, Int, Int, Int, Int, Int)] = // (x0, y0, dx, dy, wp, hp)
+        if (!interlaced) Seq((0, 0, 1, 1, w.toInt, h.toInt))
+        else (0 until 7).flatMap { p =>
+          val (x0, y0, dx, dy) = Adam7(p)
+          val (wp, hp) = passDims(p, w.toInt, h.toInt)
+          if (wp == 0 || hp == 0) None else Some((x0, y0, dx, dy, wp, hp))
+        }
+      val expect = passes.map { case (_, _, _, _, wp, hp) =>
+        hp * (1 + wp * 3) }.sum
       val raw = new Array[Byte](expect)
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
@@ -811,27 +923,26 @@ object Multimodal {
       finally inflater.end()
       if (got != expect) return None
       val px = new Array[Byte]((h * stride).toInt)
-      var r = 0
-      while (r < h) {
-        val f = raw(r * (1 + stride)) & 0xFF
-        if (f > 4) return None
+      var off = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy, wp, hp) = passes(pi)
+        val subOpt = unfilterRaster(raw, off, wp, hp)
+        if (subOpt.isEmpty) return None
+        val sub = subOpt.get
         var j = 0
-        while (j < stride) {
-          val x = raw(r * (1 + stride) + 1 + j) & 0xFF
-          val left = if (j >= 3) px(r * stride + j - 3) & 0xFF else 0
-          val up = if (r > 0) px((r - 1) * stride + j) & 0xFF else 0
-          val ul = if (r > 0 && j >= 3) px((r - 1) * stride + j - 3) & 0xFF else 0
-          val pred = f match {
-            case 0 => 0
-            case 1 => left
-            case 2 => up
-            case 3 => (left + up) / 2
-            case _ => paeth(left, up, ul)
+        while (j < hp) {
+          var i2 = 0
+          while (i2 < wp) {
+            val dst = ((y0 + j * dy) * w.toInt + (x0 + i2 * dx)) * 3
+            val src = (j * wp + i2) * 3
+            px(dst) = sub(src); px(dst + 1) = sub(src + 1); px(dst + 2) = sub(src + 2)
+            i2 += 1
           }
-          px(r * stride + j) = ((x + pred) & 0xFF).toByte
           j += 1
         }
-        r += 1
+        off += hp * (1 + wp * 3)
+        pi += 1
       }
       Some(Image(w.toInt, h.toInt, px))
     }
@@ -878,6 +989,34 @@ object Multimodal {
     t(s, dir, "documents")
       .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
       .mapPartitions(rows => decodePngStats(synthesizePng(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  /** Wrap each document's UTF-8 bytes as a PngW×PngH RGB raster and
+    * ADAM7-encode it (q116's synthesis — same raster as q95, different
+    * wire layout). */
+  def synthesizePngAdam7(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, PngW * PngH * 3)
+      MediaRow(id, Png.encodeAdam7(PngW, PngH, px), "image/png", PngW, PngH)
+    }
+
+  /** q116 — the q95 decode pipeline over ADAM7-INTERLACED PNGs (round 15
+    * — the IHDR configuration the decoder previously refused rather than
+    * mis-decode): each document synthesizes as an interlaced PNG (seven
+    * pass sub-images, per-pass filtering with a running filter rotation,
+    * one zlib stream) and decodes through the pass-walking de-interlacer
+    * back to the identical raster. The 8×5 fixture makes ALL SEVEN
+    * passes non-empty (11 scanlines — every filter appears) — PngSpec
+    * pins the pass geometry and the interlaced↔straight pixel equality.
+    * Oracle: q95's roundtrip-identity SQL verbatim — interlacing is wire
+    * layout, not content. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodePngStats(synthesizePngAdam7(rows)))
       .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
       .orderBy($"doc_id")
   }
@@ -1677,6 +1816,7 @@ object Multimodal {
     GQuery("q77_wav_decode", q77, Some(q77Sql)),
     GQuery("q91_qoi_decode", q91, Some(q91Sql)),
     GQuery("q95_png_decode", q95, Some(q95Sql)),
+    GQuery("q116_png_interlaced_decode", q116, Some(q95Sql)),
     GQuery("q101_gif_decode", q101, Some(q101Sql)),
     GQuery("q107_gif_anim_decode", q107, Some(q107Sql)),
     GQuery("q108_gif_compositing", q108, Some(q108Sql)),

@@ -82,6 +82,47 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7: interlaced roundtrip equals the straight raster (8×5: all seven passes populated)") {
+    val px = (0 until 120).map(i => ((i * 37 + 11) & 0xFF).toByte).toArray
+    val straight = Png.encode(8, 5, px)
+    val inter = Png.encodeAdam7(8, 5, px)
+    assert(inter(28) === 1.toByte, "IHDR interlace flag not set")
+    assert(!java.util.Arrays.equals(inter, straight),
+      "interlaced stream identical to straight — pass extraction vacuous")
+    val dec = Png.decode(inter)
+    assert(dec.nonEmpty, "interlaced decode failed")
+    assert(dec.get.width === 8 && dec.get.height === 5)
+    assert(dec.get.pixels.toSeq === px.toSeq, "de-interlaced pixels diverged")
+    assert(Png.decode(straight).get.pixels.toSeq === dec.get.pixels.toSeq)
+  }
+
+  test("Adam7: degenerate dimensions skip empty passes and still roundtrip exactly") {
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 1), (1, 7), (8, 1), (16, 16))) {
+      val px = (0 until w * h * 3).map(i => ((i * 29 + w + h) & 0xFF).toByte).toArray
+      val dec = Png.decode(Png.encodeAdam7(w, h, px))
+      assert(dec.nonEmpty, s"${w}x$h: interlaced decode failed")
+      assert(dec.get.pixels.toSeq === px.toSeq, s"${w}x$h: pixel mismatch")
+    }
+  }
+
+  test("Adam7: malformed interlaced payloads decode to None") {
+    val px = Array.fill(120)(42.toByte)
+    val good = Png.encodeAdam7(8, 5, px)
+    assert(Png.decode(good).nonEmpty)
+    // unknown interlace method 2: rejected, not mis-decoded
+    val raw = Array[Byte](0, 1, 2, 3, 4, 5, 6)
+    val inter2 = sig ++ chunk("IHDR", u32be(2L) ++ u32be(2L) ++
+      Array[Byte](8, 2, 0, 0, 2)) ++
+      chunk("IDAT", deflate(raw ++ raw)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Png.decode(inter2).isEmpty, "interlace method 2 must be refused")
+    // interlaced stream whose inflate payload is one pass short
+    val shortRaw = Array[Byte](0, 9, 9, 9) // pass 1 (1×1) only, of 11 scanlines
+    val short = sig ++ chunk("IHDR", u32be(8L) ++ u32be(5L) ++
+      Array[Byte](8, 2, 0, 0, 1)) ++
+      chunk("IDAT", deflate(shortRaw)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Png.decode(short).isEmpty, "interlaced raster shortfall must be refused")
+  }
+
   test("malformed payloads decode to None (S8 skip policy)") {
     val good = Png.encode(4, 5, Array.fill(60)(7.toByte))
     assert(Png.decode(good).nonEmpty)
