@@ -70,11 +70,12 @@ import org.apache.spark.sql.types._
   *     a user either, so the served table stays oracle-equal.
   *
   * The liveness resolution costs one aggregation over the touched
-  * users' histories, keyed (user_id, event_type, ts_us) — and since the
-  * pruned history read's semi-join already hash-exchanges on user_id,
-  * Catalyst satisfies the wider grouping key with that same exchange
-  * (user_id is a prefix), so retraction adds NO new shuffle to the
-  * ingest path.
+  * users' histories — and the WHOLE recompute (liveness + the funnel
+  * windows + the per-user aggregation) pays exactly ONE data exchange,
+  * on user_id: see [[liveEvents]] for why the repartition there is that
+  * exchange and how every downstream operator reuses it
+  * (FunnelStreamSpec pins the single-exchange plan shape). Retraction
+  * support therefore costs the ingest path no additional shuffle.
   */
 object FunnelStream {
 
@@ -96,13 +97,23 @@ object FunnelStream {
 
   /** The surviving events of a (±op, srcb)-carrying history slice: per
     * triple, the freshest (srcb, op) row decides — greater srcb wins;
-    * within one batch the insert wins the tie. An aggregation, not a
-    * window: its (user_id, event_type, ts_us) grouping key extends the
-    * user_id hash exchange the caller's semi-join already paid, so
-    * Catalyst inserts no new shuffle. */
+    * within one batch the insert wins the tie.
+    *
+    * ONE exchange for the whole recompute: the explicit user_id
+    * repartition here is the only data shuffle the funnel derivation
+    * pays — hashpartitioning(user_id) satisfies this aggregation's wider
+    * (user_id, event_type, ts_us) grouping (the partitioning keys are a
+    * subset of the grouping keys) AND every funnelStages window and the
+    * final per-user aggregation downstream. Without it, Catalyst keys
+    * the liveness aggregation's own exchange on the full triple — which
+    * the user_id window then cannot reuse, paying a SECOND
+    * corpus-history shuffle (the plan this replaced; FunnelStreamSpec
+    * pins the single-exchange shape). The touched-set semi-join
+    * broadcasts, so no exchange exists upstream to reuse. */
   private def liveEvents(hist: DataFrame): DataFrame = {
     import hist.sparkSession.implicits._
     hist
+      .repartition($"user_id")
       .groupBy($"user_id", $"event_type", $"ts_us")
       .agg(max(struct($"srcb", $"op")).as("__m"))
       .filter($"__m.op" === 1)
@@ -126,18 +137,28 @@ object FunnelStream {
     val touched = batch.select($"user_id").distinct().localCheckpoint()
     // touched feeds the pruned read's bucket-id action AND the semi-join
     // (the round-11 once-per-batch rule) — hence the eager checkpoint
+    recomputeRows(touched, batchId, storeDir)
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$storeDir/funnel")
+  }
+
+  /** The touched users' refreshed funnel rows — surviving-history
+    * recompute with (null stage) TOMBSTONE rows for touched users whose
+    * history emptied (the LEFT join; see class doc). Factored out of
+    * [[processBatch]] so FunnelStreamSpec can pin the no-new-shuffle
+    * claim on the executed plan. */
+  private[graft] def recomputeRows(touched: DataFrame, batchId: Long,
+      storeDir: String): DataFrame = {
+    val s = touched.sparkSession
+    import s.implicits._
     val hist = Stores.readPruned(s, s"$storeDir/events", UserBucket, touched)
       .filter($"batch" <= batchId)
       .join(touched, Seq("user_id"), "left_semi")
       .select($"user_id", $"event_type", $"ts_us", $"op", $"srcb")
-    // LEFT join from touched: a touched user with no surviving events
-    // gets a (null stage) TOMBSTONE row — see class doc
     touched
       .join(TemporalJoins.funnelStages(liveEvents(hist)), Seq("user_id"), "left")
       .select($"user_id", $"stage", $"ttc_us")
-      .withColumn("batch", lit(batchId))
-      .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$storeDir/funnel")
   }
 
   /** File-source stream over an events directory of (user_id, event_type,

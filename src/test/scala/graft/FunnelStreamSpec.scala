@@ -95,6 +95,34 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(dirs("events") === Set("batch=-2"), s"events dirs: ${dirs("events")}")
   }
 
+  test("the recompute pays exactly ONE data exchange, keyed on user_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val e = events
+    val root = java.nio.file.Files.createTempDirectory("fplanpin").toString
+    val store = s"$root/store"
+    FunnelStream.processBatch(e.filter($"user_id" % 2 === 0).withColumn("op", lit(1)), 0L, store)
+    val touched = e.filter($"user_id" % 7 === 0)
+      .select($"user_id").distinct().localCheckpoint()
+    val frame = FunnelStream.recomputeRows(touched, 1L, store)
+    frame.collect()
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val sh = shuffles(frame.queryExecution.executedPlan)
+    assert(sh.length === 1,
+      s"recompute paid ${sh.length} data exchanges, want 1:\n${sh.map(_.outputPartitioning).mkString("\n")}")
+    val part = sh.head.outputPartitioning.toString
+    assert(part.contains("user_id") && !part.contains("ts_us") && !part.contains("event_type"),
+      s"the one exchange must be keyed on user_id alone, got $part")
+  }
+
   test("±op retraction ≡ batch q82 on survivors; tombstones, demotion, resurrection; compaction + replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
