@@ -1048,11 +1048,14 @@ object Multimodal {
     * 255-byte sub-blocks. Encoder and decoder are an exact pair; the
     * decoder additionally handles the KwKwK self-referencing code and
     * walks entries as prefix-link/suffix arrays (O(1) per entry, output
-    * unwound via a stack). Malformed payloads — bad signature, missing
-    * global table, interlace flag, truncated sub-blocks, a code beyond
-    * the table, pixel overflow/underflow, missing trailer — decode to
-    * None (the S8 rule), never to wrong pixels. Extensions (0x21 blocks)
-    * are skipped, not rejected: real GIFs carry graphic-control blocks. */
+    * unwound via a stack). Single-frame decode handles the four-pass
+    * INTERLACE row order (round 15 — a pure row permutation around the
+    * same LZW stream); the animation/compositing paths still refuse it.
+    * Malformed payloads — bad signature, missing global table,
+    * truncated sub-blocks, a code beyond the table, pixel
+    * overflow/underflow, missing trailer — decode to None (the S8
+    * rule), never to wrong pixels. Extensions (0x21 blocks) are
+    * skipped, not rejected: real GIFs carry graphic-control blocks. */
   object Gif {
     final case class Image(width: Int, height: Int,
         palette: Array[Byte], indices: Array[Byte])
@@ -1129,8 +1132,28 @@ object Multimodal {
       bits.bytes
     }
 
-    /** Encode an index raster over a grayscale palette (entry i = i,i,i). */
-    def encode(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+    /** GIF interlace pass schedule, stream order: (first row, step). */
+    private val InterlacePasses = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+    /** Stream-order row permutation of an interlaced h-row image: entry
+      * k = the DISPLAY row carried by the k-th stream row. Passes whose
+      * first row is beyond h contribute nothing (short images legally
+      * skip them, per spec). */
+    private def interlaceRows(h: Int): Array[Int] = {
+      val out = new Array[Int](h)
+      var k = 0
+      InterlacePasses.foreach { case (s0, st) =>
+        var r = s0
+        while (r < h) { out(k) = r; k += 1; r += st }
+      }
+      out
+    }
+
+    /** Encode an index raster over a grayscale palette (entry i = i,i,i);
+      * `interlaced = true` writes the rows in the four-pass interlace
+      * order (round 15) with the descriptor flag set. */
+    def encode(width: Int, height: Int, indices: Array[Byte],
+        interlaced: Boolean = false): Array[Byte] = {
       require(indices.length == width * height, "raster size mismatch")
       val out = new java.io.ByteArrayOutputStream()
       out.write("GIF89a".getBytes("US-ASCII"))
@@ -1142,9 +1165,21 @@ object Multimodal {
       out.write(0x2C)
       out.write(u16le(0)); out.write(u16le(0))
       out.write(u16le(width)); out.write(u16le(height))
-      out.write(0) // no local table, NOT interlaced
+      out.write(if (interlaced) 0x40 else 0) // no local table
       out.write(MinCode)
-      val data = lzwEncode(indices)
+      val raster =
+        if (!interlaced) indices
+        else {
+          val perm = interlaceRows(height)
+          val re = new Array[Byte](indices.length)
+          var k = 0
+          while (k < height) {
+            System.arraycopy(indices, perm(k) * width, re, k * width, width)
+            k += 1
+          }
+          re
+        }
+      val data = lzwEncode(raster)
       var off = 0
       while (off < data.length) {
         val n = math.min(255, data.length - off)
@@ -1186,7 +1221,7 @@ object Multimodal {
         val iw = u16(); val ih = u16()
         val ipacked = u8()
         if (iw != w || ih != h) return None
-        if ((ipacked & 0x40) != 0) return None // interlace: reject, not mis-decode
+        val interlaced = (ipacked & 0x40) != 0 // four-pass row order (round 15)
         if ((ipacked & 0x80) != 0) return None // local table unsupported
         val minCode = u8()
         if (minCode != MinCode) return None
@@ -1199,7 +1234,21 @@ object Multimodal {
           n = u8()
         }
         if (u8() != 0x3B) return None
-        lzwDecode(data.toByteArray, w * h).map(Image(w, h, palette, _))
+        lzwDecode(data.toByteArray, w * h).map { idx =>
+          val display =
+            if (!interlaced) idx
+            else {
+              val perm = interlaceRows(h)
+              val de = new Array[Byte](idx.length)
+              var k = 0
+              while (k < h) {
+                System.arraycopy(idx, k * w, de, perm(k) * w, w)
+                k += 1
+              }
+              de
+            }
+          Image(w, h, palette, display)
+        }
       } catch { case _: IndexOutOfBoundsException => None }
     }
 
@@ -1637,6 +1686,49 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** q117's interlaced fixture geometry: 10 rows make ALL FOUR interlace
+    * passes non-empty (pass rows 0,8 / 4 / 2,6 / 1,3,5,7,9) — GifH = 4
+    * would leave pass 2 vacuously empty. */
+  val GifIW = 8
+  val GifIH = 10
+
+  /** Wrap each document's UTF-8 bytes as a GifIW×GifIH INDEX raster and
+    * GIF-encode it INTERLACED (q117's synthesis). */
+  def synthesizeGifInterlaced(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, GifIW * GifIH)
+      MediaRow(id, Gif.encode(GifIW, GifIH, px, interlaced = true), "image/gif", GifIW, GifIH)
+    }
+
+  /** q117 — the q101 decode pipeline over INTERLACED GIFs (round 15 —
+    * the descriptor flag the decoder previously refused rather than
+    * mis-decode): the LZW stream carries rows in the four-pass order and
+    * the decoder permutes them back to display order. The 8×10 fixture
+    * populates every pass — GifSpec pins the permutation against a
+    * straight encode of the same raster. Oracle: the q101 roundtrip
+    * identity at this geometry — interlacing is wire layout, not
+    * content. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeGifStats(synthesizeGifInterlaced(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  private val q117Sql = {
+    val raster = GifIW * GifIH
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j)),
+       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($GifIW AS INTEGER) AS width, CAST($GifIH AS INTEGER) AS height,
+       |  sv / $raster.0 AS mean_r, sv / $raster.0 AS mean_g, sv / $raster.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** Frames per synthesized animation (q107). */
   val GifFrames = 3
 
@@ -1818,6 +1910,7 @@ object Multimodal {
     GQuery("q95_png_decode", q95, Some(q95Sql)),
     GQuery("q116_png_interlaced_decode", q116, Some(q95Sql)),
     GQuery("q101_gif_decode", q101, Some(q101Sql)),
+    GQuery("q117_gif_interlaced_decode", q117, Some(q117Sql)),
     GQuery("q107_gif_anim_decode", q107, Some(q107Sql)),
     GQuery("q108_gif_compositing", q108, Some(q108Sql)),
   )

@@ -156,8 +156,10 @@ object AnnDeltaStream {
     val resolved =
       if (batchIdsUnder(s, deadPath(storeDir)).isEmpty) fresh
       else {
-        val dead = s.read.parquet(deadPath(storeDir))
-          .groupBy($"vec_id").agg(max($"deadb").as("deadb"))
+        // delta-sized by design (compaction sweeps folded tombstones), so
+        // broadcast like the q112 mask — the candidate side never moves
+        val dead = broadcast(s.read.parquet(deadPath(storeDir))
+          .groupBy($"vec_id").agg(max($"deadb").as("deadb")))
         fresh.join(dead, Seq("vec_id"), "left")
           .filter($"deadb".isNull || $"srcb" >= $"deadb")
       }

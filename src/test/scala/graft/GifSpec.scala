@@ -8,9 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * is checked against the FORMAT rather than our own encoder; roundtrips
   * cover the code-width growth schedule (9→12 bits needs thousands of
   * distinct phrases), the table-full clear-and-reset path, the KwKwK
-  * self-reference, and runs; malformed payloads → None (bad signature,
-  * no global table, interlace flag, out-of-range code, truncated data,
-  * pixel overflow). */
+  * self-reference, and runs, plus (round 15) the four-pass interlace row
+  * permutation; malformed payloads → None (bad signature, no global
+  * table, out-of-range code, truncated data, pixel overflow). */
 class GifSpec extends AnyFunSuite {
 
   private def rt(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
@@ -123,16 +123,34 @@ class GifSpec extends AnyFunSuite {
       "full-table codes must decode via the defined entries")
   }
 
+  test("interlaced roundtrip: the four-pass row permutation inverts exactly") {
+    val px = Array.tabulate(80)(i => ((i * 13 + 5) & 0xFF).toByte) // 8×10: every pass populated
+    val inter = Gif.decode(Gif.encode(8, 10, px, interlaced = true))
+    assert(inter.isDefined, "interlaced decode failed")
+    assert(inter.get.indices.toSeq === px.toSeq, "de-interlaced rows diverged")
+    assert(!java.util.Arrays.equals(
+      Gif.encode(8, 10, px, interlaced = true), Gif.encode(8, 10, px)),
+      "interlaced stream identical to straight — permutation vacuous")
+    // degenerate heights: later passes legally start beyond the image
+    for (h <- Seq(1, 2, 3, 4, 5)) {
+      val p2 = Array.tabulate(8 * h)(i => ((i * 7 + h) & 0xFF).toByte)
+      assert(Gif.decode(Gif.encode(8, h, p2, interlaced = true)).get.indices.toSeq
+        === p2.toSeq, s"h=$h roundtrip diverged")
+    }
+  }
+
   test("malformed payloads decode to None, never to wrong pixels") {
     val good = Gif.encode(8, 4, Array.fill(32)(9.toByte))
     assert(Gif.decode("NOTAGIF!".getBytes ++ good.drop(8)).isEmpty, "bad signature")
     // clear the global-color-table flag
     val noTable = good.clone(); noTable(10) = (noTable(10) & 0x7F).toByte
     assert(Gif.decode(noTable).isEmpty, "missing global table")
-    // set the interlace flag in the image descriptor (offset: 13 header
-    // + 768 table + 9 descriptor; packed byte is its last byte)
+    // the ANIMATION path still refuses interlaced frames (compositing
+    // them is out of scope — see Gif scaladoc); flag offset: 13 header
+    // + 768 table + 9 descriptor; packed byte is its last byte
     val inter = good.clone(); inter(13 + 768 + 9) = (inter(13 + 768 + 9) | 0x40).toByte
-    assert(Gif.decode(inter).isEmpty, "interlace must be rejected, not mis-decoded")
+    assert(Gif.decodeFrames(inter).isEmpty,
+      "animation decode must refuse interlaced frames, not mis-composite")
     assert(Gif.decode(good.dropRight(8)).isEmpty, "truncated stream")
     // declare a 2-entry global table while minCode stays 8: indices could
     // run past the palette — must reject, not crash downstream
