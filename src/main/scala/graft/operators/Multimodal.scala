@@ -1900,6 +1900,359 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Pure-JVM codec for BMP (Windows DIB) — the SIXTH format family,
+    * completing the codec axis (r14 verdict candidate 7: "PNG Adam7
+    * interlace or BMP"): 24-bit BI_RGB with the two wire quirks that
+    * define the format — BGR byte order and BOTTOM-UP rows padded to a
+    * 4-byte stride (top-down via a negative height field also decoded)
+    * — plus 8-bit BI_RLE8, a real run-length compression with encoded
+    * runs, absolute (literal) blocks word-aligned by a pad byte, and
+    * end-of-line / end-of-bitmap opcodes; the palette is built from the
+    * raster's distinct colors (> 256 refuses at encode). Malformed
+    * payloads — bad magic, a header size other than BITMAPINFOHEADER
+    * (V4/V5 refused, not mis-walked), bad planes/bitcount/compression
+    * combos, hostile dimensions, a pixel array that doesn't fill the
+    * file, an RLE run crossing a row boundary, a partial row at EOL,
+    * the delta opcode (its skipped pixels are undefined — refused,
+    * never guessed), a palette index past the table, a missing or
+    * non-final EOB — decode to None (the S8 rule), never to wrong
+    * pixels. Layout per the public Windows BITMAPFILEHEADER /
+    * BITMAPINFOHEADER documentation. */
+  object Bmp {
+    /** Decoded raster: RGB, row-major, top-down (file order normalized). */
+    final case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+    private val HeaderLen = 54 // BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+    private def u16le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    }
+    private def u32le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+
+    private def headers(out: java.io.ByteArrayOutputStream, fileSize: Int,
+        pixelOffset: Int, width: Int, heightField: Int, bitCount: Int,
+        compression: Int, imageSize: Int, clrUsed: Int): Unit = {
+      out.write('B'); out.write('M'); u32le(out, fileSize)
+      u16le(out, 0); u16le(out, 0); u32le(out, pixelOffset)
+      u32le(out, 40); u32le(out, width); u32le(out, heightField)
+      u16le(out, 1); u16le(out, bitCount); u32le(out, compression)
+      u32le(out, imageSize); u32le(out, 2835); u32le(out, 2835)
+      u32le(out, clrUsed); u32le(out, 0)
+    }
+
+    /** 24-bit BI_RGB: BGR pixels, rows padded to a 4-byte stride,
+      * bottom-up unless `topDown` (then the height field goes negative). */
+    def encode24(width: Int, height: Int, rgb: Array[Byte],
+        topDown: Boolean = false): Array[Byte] = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      val stride = (width * 3 + 3) & ~3
+      val out = new java.io.ByteArrayOutputStream(HeaderLen + stride * height)
+      headers(out, HeaderLen + stride * height, HeaderLen, width,
+        if (topDown) -height else height, 24, 0, stride * height, 0)
+      val rows = if (topDown) 0 until height else (height - 1) to 0 by -1
+      rows.foreach { y =>
+        var x = 0
+        while (x < width) {
+          val p = (y * width + x) * 3
+          out.write(rgb(p + 2) & 0xFF); out.write(rgb(p + 1) & 0xFF)
+          out.write(rgb(p) & 0xFF)
+          x += 1
+        }
+        (width * 3 until stride).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+
+    /** Build the distinct-color palette (scan order) and per-pixel
+      * indexes; > 256 distinct colors refuses — 8-bit depth cannot
+      * represent the raster and silently quantizing it would be q55's
+      * job, not a codec's. */
+    private def palettize(width: Int, height: Int,
+        rgb: Array[Byte]): (Array[Int], Array[Int]) = {
+      require(rgb.length == width * height * 3, "raster size mismatch")
+      val palette = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      val idx = new Array[Int](width * height)
+      var p = 0
+      while (p < idx.length) {
+        val c = ((rgb(p * 3) & 0xFF) << 16) | ((rgb(p * 3 + 1) & 0xFF) << 8) |
+          (rgb(p * 3 + 2) & 0xFF)
+        idx(p) = palette.getOrElseUpdate(c, palette.size)
+        p += 1
+      }
+      require(palette.size <= 256,
+        s"RLE8 needs <= 256 distinct colors, got ${palette.size}")
+      (palette.keys.toArray, idx)
+    }
+
+    private def writePalette(out: java.io.ByteArrayOutputStream,
+        colors: Array[Int]): Unit =
+      colors.foreach { c => // BGR0 quads
+        out.write(c & 0xFF); out.write((c >>> 8) & 0xFF)
+        out.write((c >>> 16) & 0xFF); out.write(0)
+      }
+
+    /** 8-bit BI_RGB (uncompressed, palette-indexed, 4-byte row stride) —
+      * the third wire variant, exercised by BmpSpec. */
+    def encode8(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      val (colors, idx) = palettize(width, height, rgb)
+      val stride = (width + 3) & ~3
+      val pixelOffset = HeaderLen + colors.length * 4
+      val out = new java.io.ByteArrayOutputStream(pixelOffset + stride * height)
+      headers(out, pixelOffset + stride * height, pixelOffset, width, height,
+        8, 0, stride * height, colors.length)
+      writePalette(out, colors)
+      ((height - 1) to 0 by -1).foreach { y =>
+        var x = 0
+        while (x < width) { out.write(idx(y * width + x)); x += 1 }
+        (width until stride).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+
+    /** 8-bit BI_RLE8: per bottom-up row, greedy encoded runs for repeats
+      * of >= 2 (count capped at 255), absolute blocks for literal
+      * stretches of >= 3 (word-aligned by a pad byte), shorter literals
+      * as count-1 encoded runs; EOL (00 00) after every row but the
+      * last, then EOB (00 01). Runs never cross a row boundary. */
+    def encodeRle8(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      val (colors, idx) = palettize(width, height, rgb)
+      val data = new java.io.ByteArrayOutputStream()
+      var y = height - 1
+      while (y >= 0) {
+        val row = y * width
+        var x = 0
+        while (x < width) {
+          val v = idx(row + x)
+          var run = 1
+          while (x + run < width && run < 255 && idx(row + x + run) == v) run += 1
+          if (run >= 2) { data.write(run); data.write(v); x += run }
+          else {
+            var lit = 1
+            while (x + lit < width && lit < 255 &&
+                !(x + lit + 1 < width && idx(row + x + lit) == idx(row + x + lit + 1)))
+              lit += 1
+            if (lit >= 3) {
+              data.write(0); data.write(lit)
+              (0 until lit).foreach(j => data.write(idx(row + x + j)))
+              if ((lit & 1) == 1) data.write(0)
+            } else {
+              (0 until lit).foreach(j => { data.write(1); data.write(idx(row + x + j)) })
+            }
+            x += lit
+          }
+        }
+        if (y > 0) { data.write(0); data.write(0) }
+        y -= 1
+      }
+      data.write(0); data.write(1)
+      val rle = data.toByteArray
+      val pixelOffset = HeaderLen + colors.length * 4
+      val out = new java.io.ByteArrayOutputStream(pixelOffset + rle.length)
+      headers(out, pixelOffset + rle.length, pixelOffset, width, height,
+        8, 1, rle.length, colors.length)
+      writePalette(out, colors)
+      out.write(rle, 0, rle.length)
+      out.toByteArray
+    }
+
+    private def ru16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def ru32(b: Array[Byte], o: Int): Int =
+      ru16(b, o) | (ru16(b, o + 2) << 16)
+
+    /** Decode; None on any malformation. Accepts the three layouts this
+      * library writes (24-bit BI_RGB bottom-up or top-down, 8-bit BI_RGB,
+      * 8-bit BI_RLE8 bottom-up); anything else refuses. */
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      if (bytes.length < HeaderLen) return None
+      if (bytes(0) != 'B' || bytes(1) != 'M') return None
+      if (ru32(bytes, 2) != bytes.length) return None
+      val pixelOffset = ru32(bytes, 10)
+      if (ru32(bytes, 14) != 40) return None // only BITMAPINFOHEADER
+      val w = ru32(bytes, 18)
+      val hField = ru32(bytes, 22)
+      if (ru16(bytes, 26) != 1) return None // planes
+      val bits = ru16(bytes, 28)
+      val comp = ru32(bytes, 30)
+      val topDown = hField < 0
+      // the height field is signed 32-bit: negate on a Long (Int.MinValue
+      // survives), then clamp BOTH dims before multiplying (QOI rule)
+      val hL = math.abs(hField.toLong)
+      if (w <= 0 || hL <= 0 || w > (1 << 24) || hL > (1L << 24)) return None
+      if (w.toLong * hL > Int.MaxValue / 4) return None
+      val h = hL.toInt
+      val n = w * h
+      val px = new Array[Byte](n * 3)
+      if (bits == 24) {
+        if (comp != 0) return None
+        if (pixelOffset != HeaderLen) return None
+        val stride = (w * 3 + 3) & ~3
+        if (HeaderLen.toLong + stride.toLong * h != bytes.length) return None
+        var j = 0
+        while (j < h) {
+          val imgRow = if (topDown) j else h - 1 - j
+          var o = HeaderLen + j * stride
+          var x = 0
+          while (x < w) {
+            val p = (imgRow * w + x) * 3
+            px(p) = bytes(o + 2); px(p + 1) = bytes(o + 1); px(p + 2) = bytes(o)
+            x += 1; o += 3
+          }
+          j += 1
+        }
+        Some(Image(w, h, px))
+      } else if (bits == 8) {
+        val clrUsed = ru32(bytes, 46)
+        if (clrUsed < 1 || clrUsed > 256) return None
+        if (pixelOffset != HeaderLen + clrUsed * 4) return None
+        if (pixelOffset > bytes.length) return None
+        def color(p: Int, v: Int): Unit = {
+          val o = HeaderLen + v * 4
+          px(p) = bytes(o + 2); px(p + 1) = bytes(o + 1); px(p + 2) = bytes(o)
+        }
+        if (comp == 0) {
+          if (topDown) return None // encode8 is bottom-up only; keep the pair exact
+          val stride = (w + 3) & ~3
+          if (pixelOffset.toLong + stride.toLong * h != bytes.length) return None
+          var j = 0
+          while (j < h) {
+            val imgRow = h - 1 - j
+            var x = 0
+            while (x < w) {
+              val v = bytes(pixelOffset + j * stride + x) & 0xFF
+              if (v >= clrUsed) return None
+              color((imgRow * w + x) * 3, v)
+              x += 1
+            }
+            j += 1
+          }
+          Some(Image(w, h, px))
+        } else if (comp == 1) {
+          if (topDown) return None // RLE bitmaps cannot be top-down, per spec
+          var i = pixelOffset
+          var fy = 0 // file row counter: 0 = bottom row
+          var x = 0
+          while (true) {
+            if (i + 2 > bytes.length) return None
+            val b0 = bytes(i) & 0xFF; val b1 = bytes(i + 1) & 0xFF; i += 2
+            if (b0 > 0) { // encoded run
+              if (fy >= h || x + b0 > w || b1 >= clrUsed) return None
+              val base = ((h - 1 - fy) * w + x) * 3
+              (0 until b0).foreach(j => color(base + j * 3, b1))
+              x += b0
+            } else b1 match {
+              case 0 => // EOL: a partial row would leave pixels undefined
+                if (fy >= h || x != w) return None
+                fy += 1; x = 0
+              case 1 => // EOB: last row complete (EOL before it optional)
+                if (!((fy == h - 1 && x == w) || (fy == h && x == 0))) return None
+                if (i != bytes.length) return None
+                return Some(Image(w, h, px))
+              case 2 => return None // delta: skipped pixels are undefined
+              case cnt => // absolute block, 3..255 literals, word-aligned
+                if (fy >= h || x + cnt > w) return None
+                val padded = cnt + (cnt & 1)
+                if (i + padded > bytes.length) return None
+                val base = ((h - 1 - fy) * w + x) * 3
+                var j = 0
+                while (j < cnt) {
+                  val v = bytes(i + j) & 0xFF
+                  if (v >= clrUsed) return None
+                  color(base + j * 3, v)
+                  j += 1
+                }
+                i += padded; x += cnt
+            }
+          }
+          None // unreachable; the loop exits via returns
+        } else None
+      } else None
+    }
+  }
+
+  val BmpW = 7 // width*3 = 21 bytes: the 4-byte stride padding is load-bearing
+  val BmpH = 5
+
+  final case class BmpStats(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Wrap each document's UTF-8 bytes as a BmpW×BmpH RGB raster
+    * (zero-padded) and BMP-encode it 24-bit BI_RGB (q118). */
+  def synthesizeBmp(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, BmpW * BmpH * 3)
+      MediaRow(id, Bmp.encode24(BmpW, BmpH, px), "image/bmp", BmpW, BmpH)
+    }
+
+  /** Same raster through the 8-bit RLE8 path (q119): 35 pixels can never
+    * exceed the 256-color palette cap, so every document encodes. */
+  def synthesizeBmpRle(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, BmpW * BmpH * 3)
+      MediaRow(id, Bmp.encodeRle8(BmpW, BmpH, px), "image/bmp", BmpW, BmpH)
+    }
+
+  /** REAL decode → per-channel pixel means (the q58/q91/q95 stats over
+    * the roundtripped raster). */
+  def decodeBmpStats(rows: Iterator[MediaRow]): Iterator[BmpStats] =
+    rows.flatMap { r =>
+      Bmp.decode(r.payload).map { img =>
+        val n = img.width * img.height
+        val sums = new Array[Long](3)
+        var p = 0
+        while (p < n * 3) { sums(p % 3) += img.pixels(p) & 0xFF; p += 1 }
+        BmpStats(r.doc_id, img.width, img.height,
+          sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q118 — the decode pipeline on the DIB wire layout: synthesize a
+    * 24-bit BMP per document (BGR order, bottom-up rows, stride padding
+    * — all three load-bearing at the 7-wide fixture), decode it back,
+    * emit decoded dimensions + channel means. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeBmpStats(synthesizeBmp(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  /** q119 — the RLE8 half of the BMP codec: palette from the raster's
+    * distinct colors, run/absolute/EOL/EOB opcode stream (text bytes
+    * drive absolute blocks; the zero-padded tail drives encoded runs),
+    * decoded through the opcode walker back to the identical raster. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeBmpStats(synthesizeBmpRle(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  // oracle = the roundtrip identity (q95Sql's shape at the BMP fixture
+  // geometry); shared by q118 and q119 — compression is wire layout,
+  // not content. Single-byte-corpus assumption as in q58Sql.
+  private val q118Sql = {
+    val raster = BmpW * BmpH * 3
+    def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id, j,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($raster) t(j)),
+       |agg AS (SELECT doc_id, ${chSum(0)} AS sr, ${chSum(1)} AS sg, ${chSum(2)} AS sb
+       |  FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($BmpW AS INTEGER) AS width, CAST($BmpH AS INTEGER) AS height,
+       |  sr / ${BmpW * BmpH}.0 AS mean_r, sg / ${BmpW * BmpH}.0 AS mean_g,
+       |  sb / ${BmpW * BmpH}.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -1913,5 +2266,7 @@ object Multimodal {
     GQuery("q117_gif_interlaced_decode", q117, Some(q117Sql)),
     GQuery("q107_gif_anim_decode", q107, Some(q107Sql)),
     GQuery("q108_gif_compositing", q108, Some(q108Sql)),
+    GQuery("q118_bmp_decode", q118, Some(q118Sql)),
+    GQuery("q119_bmp_rle8_decode", q119, Some(q118Sql)),
   )
 }
