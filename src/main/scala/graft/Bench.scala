@@ -81,6 +81,22 @@ object Bench {
         runOnce(q)
       }
     }
+    // PRIMING pass (untimed in per-query stats): the cold lane
+    // invalidates ALL stores before EACH query, so when it ends only the
+    // stores the LAST cold query rebuilt exist — without a rebuild here,
+    // the FIRST warm pass would pay every other query's store build
+    // inside a "warm" cell (the r15 artifact showed it: q110's warm
+    // spread carried a 16.9 s deterministic store rebuild a reader could
+    // only misread as noise). One untimed full pass restores steady
+    // state, so every warm cell times the query/serve path only.
+    val primeSec =
+      if (runs <= 1) 0.0
+      else {
+        System.err.println("[bench] priming pass (untimed)")
+        val t0 = System.nanoTime()
+        benched.foreach(runOnce)
+        (System.nanoTime() - t0) / 1e9
+      }
     // warm passes: full list per pass, no invalidation
     val warmPasses = (1 until runs).map { p =>
       System.err.println(s"[bench] warm pass $p/${runs - 1}")
@@ -122,7 +138,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
       s""""runs":$runs,"cold_runs":$coldRuns,"interleaved":true,"pass_totals":$passTotals,""" +
-      s""""failed":$failed,"sf":"$sfDir"}"""
+      f""""prime_sec":$primeSec%.3f,"failed":$failed,"sf":"$sfDir"}"""
     // self-announcing headline on its own short line, BOTH before and after
     // the big JSON: the driver's stdout capture has truncated the JSON two
     // rounds running, and whichever end the capture keeps must still carry

@@ -1023,8 +1023,13 @@ object Multimodal {
 
   // single-byte-corpus assumption: see the q58Sql note. Oracle = the
   // roundtrip identity, stats recomputed from the raw bytes.
-  private val q95Sql = {
-    val raster = PngW * PngH * 3
+  /** Shared roundtrip-identity oracle for the RGB-raster codecs (PNG,
+    * BMP): a w×h×3 raster zero-padded from the document's bytes, decoded
+    * back and reduced to per-channel means — pure SQL because the
+    * roundtrip is the identity, so only the synthesis needs re-deriving.
+    * Single-byte-corpus assumption as in q58Sql. */
+  private def rgbRoundtripSql(w: Int, h: Int): String = {
+    val raster = w * h * 3
     def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
     s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
        |ch AS (SELECT doc_id, j,
@@ -1032,11 +1037,13 @@ object Multimodal {
        |  FROM b, range($raster) t(j)),
        |agg AS (SELECT doc_id, ${chSum(0)} AS sr, ${chSum(1)} AS sg, ${chSum(2)} AS sb
        |  FROM ch GROUP BY doc_id)
-       |SELECT doc_id, CAST($PngW AS INTEGER) AS width, CAST($PngH AS INTEGER) AS height,
-       |  sr / ${PngW * PngH}.0 AS mean_r, sg / ${PngW * PngH}.0 AS mean_g,
-       |  sb / ${PngW * PngH}.0 AS mean_b
+       |SELECT doc_id, CAST($w AS INTEGER) AS width, CAST($h AS INTEGER) AS height,
+       |  sr / ${w * h}.0 AS mean_r, sg / ${w * h}.0 AS mean_g,
+       |  sb / ${w * h}.0 AS mean_b
        |FROM agg ORDER BY doc_id""".stripMargin
   }
+
+  private val q95Sql = rgbRoundtripSql(PngW, PngH)
 
   /** Pure-JVM codec for GIF89a (single frame, 256-entry global color
     * table) — the FIFTH real format, bringing the one mainstream
@@ -1674,17 +1681,23 @@ object Multimodal {
   // single-byte-corpus assumption: see the q58Sql note. Oracle = the
   // roundtrip identity through the grayscale palette (entry i = (i,i,i)),
   // so every channel mean equals the padded-byte mean.
-  private val q101Sql = {
-    val raster = GifW * GifH
+  /** Shared roundtrip-identity oracle for the palette-INDEXED raster
+    * codec (GIF, both wire layouts): w×h single-channel indexes whose
+    * identity palette maps index i to gray (i,i,i), so all three channel
+    * means equal the index mean. */
+  private def indexedRoundtripSql(w: Int, h: Int): String = {
+    val raster = w * h
     s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
        |ch AS (SELECT doc_id,
        |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
        |  FROM b, range($raster) t(j)),
        |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
-       |SELECT doc_id, CAST($GifW AS INTEGER) AS width, CAST($GifH AS INTEGER) AS height,
+       |SELECT doc_id, CAST($w AS INTEGER) AS width, CAST($h AS INTEGER) AS height,
        |  sv / $raster.0 AS mean_r, sv / $raster.0 AS mean_g, sv / $raster.0 AS mean_b
        |FROM agg ORDER BY doc_id""".stripMargin
   }
+
+  private val q101Sql = indexedRoundtripSql(GifW, GifH)
 
   /** q117's interlaced fixture geometry: 10 rows make ALL FOUR interlace
     * passes non-empty (pass rows 0,8 / 4 / 2,6 / 1,3,5,7,9) — GifH = 4
@@ -1717,17 +1730,7 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  private val q117Sql = {
-    val raster = GifIW * GifIH
-    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
-       |ch AS (SELECT doc_id,
-       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
-       |  FROM b, range($raster) t(j)),
-       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
-       |SELECT doc_id, CAST($GifIW AS INTEGER) AS width, CAST($GifIH AS INTEGER) AS height,
-       |  sv / $raster.0 AS mean_r, sv / $raster.0 AS mean_g, sv / $raster.0 AS mean_b
-       |FROM agg ORDER BY doc_id""".stripMargin
-  }
+  private val q117Sql = indexedRoundtripSql(GifIW, GifIH)
 
   /** Frames per synthesized animation (q107). */
   val GifFrames = 3
@@ -2085,12 +2088,16 @@ object Multimodal {
       if (w.toLong * hL > Int.MaxValue / 4) return None
       val h = hL.toInt
       val n = w * h
-      val px = new Array[Byte](n * 3)
+      // raster allocation happens INSIDE each branch, after the checks
+      // that tie the claimed dimensions to the actual byte count — a
+      // 54-byte header claiming a gigapixel raster must refuse before
+      // `new Array`, not after (the q91 guard discipline)
       if (bits == 24) {
         if (comp != 0) return None
         if (pixelOffset != HeaderLen) return None
         val stride = (w * 3 + 3) & ~3
         if (HeaderLen.toLong + stride.toLong * h != bytes.length) return None
+        val px = new Array[Byte](n * 3)
         var j = 0
         while (j < h) {
           val imgRow = if (topDown) j else h - 1 - j
@@ -2109,7 +2116,7 @@ object Multimodal {
         if (clrUsed < 1 || clrUsed > 256) return None
         if (pixelOffset != HeaderLen + clrUsed * 4) return None
         if (pixelOffset > bytes.length) return None
-        def color(p: Int, v: Int): Unit = {
+        def color(px: Array[Byte], p: Int, v: Int): Unit = {
           val o = HeaderLen + v * 4
           px(p) = bytes(o + 2); px(p + 1) = bytes(o + 1); px(p + 2) = bytes(o)
         }
@@ -2117,6 +2124,7 @@ object Multimodal {
           if (topDown) return None // encode8 is bottom-up only; keep the pair exact
           val stride = (w + 3) & ~3
           if (pixelOffset.toLong + stride.toLong * h != bytes.length) return None
+          val px = new Array[Byte](n * 3)
           var j = 0
           while (j < h) {
             val imgRow = h - 1 - j
@@ -2124,7 +2132,7 @@ object Multimodal {
             while (x < w) {
               val v = bytes(pixelOffset + j * stride + x) & 0xFF
               if (v >= clrUsed) return None
-              color((imgRow * w + x) * 3, v)
+              color(px, (imgRow * w + x) * 3, v)
               x += 1
             }
             j += 1
@@ -2132,6 +2140,12 @@ object Multimodal {
           Some(Image(w, h, px))
         } else if (comp == 1) {
           if (topDown) return None // RLE bitmaps cannot be top-down, per spec
+          // RLE cannot be tied to an exact length upfront, but it CAN be
+          // bounded: every 2-byte opcode paints at most 255 pixels, so a
+          // stream of L bytes can never cover more than 255*L/2 — a tiny
+          // payload claiming a huge raster refuses before allocating
+          if (n.toLong > 255L * ((bytes.length - pixelOffset) / 2)) return None
+          val px = new Array[Byte](n * 3)
           var i = pixelOffset
           var fy = 0 // file row counter: 0 = bottom row
           var x = 0
@@ -2141,7 +2155,7 @@ object Multimodal {
             if (b0 > 0) { // encoded run
               if (fy >= h || x + b0 > w || b1 >= clrUsed) return None
               val base = ((h - 1 - fy) * w + x) * 3
-              (0 until b0).foreach(j => color(base + j * 3, b1))
+              (0 until b0).foreach(j => color(px, base + j * 3, b1))
               x += b0
             } else b1 match {
               case 0 => // EOL: a partial row would leave pixels undefined
@@ -2161,7 +2175,7 @@ object Multimodal {
                 while (j < cnt) {
                   val v = bytes(i + j) & 0xFF
                   if (v >= clrUsed) return None
-                  color(base + j * 3, v)
+                  color(px, base + j * 3, v)
                   j += 1
                 }
                 i += padded; x += cnt
@@ -2235,23 +2249,10 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  // oracle = the roundtrip identity (q95Sql's shape at the BMP fixture
-  // geometry); shared by q118 and q119 — compression is wire layout,
-  // not content. Single-byte-corpus assumption as in q58Sql.
-  private val q118Sql = {
-    val raster = BmpW * BmpH * 3
-    def chSum(c: Int) = s"CAST(SUM(CASE WHEN j % 3 = $c THEN v ELSE 0 END) AS BIGINT)"
-    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
-       |ch AS (SELECT doc_id, j,
-       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
-       |  FROM b, range($raster) t(j)),
-       |agg AS (SELECT doc_id, ${chSum(0)} AS sr, ${chSum(1)} AS sg, ${chSum(2)} AS sb
-       |  FROM ch GROUP BY doc_id)
-       |SELECT doc_id, CAST($BmpW AS INTEGER) AS width, CAST($BmpH AS INTEGER) AS height,
-       |  sr / ${BmpW * BmpH}.0 AS mean_r, sg / ${BmpW * BmpH}.0 AS mean_g,
-       |  sb / ${BmpW * BmpH}.0 AS mean_b
-       |FROM agg ORDER BY doc_id""".stripMargin
-  }
+  // oracle = the roundtrip identity ([[rgbRoundtripSql]] at the BMP
+  // fixture geometry); shared by q118 and q119 — compression is wire
+  // layout, not content.
+  private val q118Sql = rgbRoundtripSql(BmpW, BmpH)
 
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),

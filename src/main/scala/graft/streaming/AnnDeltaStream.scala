@@ -59,10 +59,15 @@ import org.apache.spark.sql.types._
   * batches (the [[AnnStream]] I/O bound), resolves freshest-insert-per-
   * vec_id over just those CANDIDATE rows (one probe-sized hash
   * exchange), and anti-resolves against the tombstone set — tombstones
-  * are DELTA-sized (one row per event since the last compaction sweep;
-  * compaction deletes every tombstone it folds through), orders below
-  * the corpus, and join only the candidates. Compaction pays one read
-  * of the folded slice, as all the family's compactors do.
+  * are EVENTS-SINCE-LAST-SWEEP-sized (upsert semantics write one per
+  * event, insert or delete; compaction deletes every tombstone it folds
+  * through), so their volume is a compaction-cadence choice: orders
+  * below the corpus under any sane cadence, but NOT bounded by deletion
+  * volume alone — which is why the serve's tombstone join broadcast is
+  * SIZE-GATED on the store's actual bytes rather than hinted
+  * unconditionally ([[liveRows]]). They join only the candidates.
+  * Compaction pays one read of the folded slice, as all the family's
+  * compactors do.
   */
 object AnnDeltaStream {
 
@@ -156,25 +161,33 @@ object AnnDeltaStream {
     val resolved =
       if (batchIdsUnder(s, deadPath(storeDir)).isEmpty) fresh
       else {
-        // delta-sized by design (compaction sweeps folded tombstones), so
-        // broadcast like the q112 mask — the candidate side never moves
-        val dead = broadcast(s.read.parquet(deadPath(storeDir))
-          .groupBy($"vec_id").agg(max($"deadb").as("deadb")))
+        // the tombstone side is events-since-last-sweep (upsert semantics
+        // write one per EVENT, not per delete), so its size is a
+        // compaction-cadence choice, not a bound — broadcast only when
+        // the on-disk bytes fit the session's broadcast threshold, and
+        // let the planner (AQE) pick the strategy otherwise; the
+        // aggregate below never exceeds its input, so the gate is safe
+        val agg = s.read.parquet(deadPath(storeDir))
+          .groupBy($"vec_id").agg(max($"deadb").as("deadb"))
+        val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          .stripSuffix("b").stripSuffix("B") match {
+          case t if t.endsWith("k") || t.endsWith("K") => t.dropRight(1).toLong << 10
+          case t if t.endsWith("m") || t.endsWith("M") => t.dropRight(1).toLong << 20
+          case t if t.endsWith("g") || t.endsWith("G") => t.dropRight(1).toLong << 30
+          case t => t.toLong
+        }
+        val dead =
+          if (threshold > 0 &&
+              Stores.bytesUnder(s, deadPath(storeDir)) <= threshold) broadcast(agg)
+          else agg
         fresh.join(dead, Seq("vec_id"), "left")
           .filter($"deadb".isNull || $"srcb" >= $"deadb")
       }
     resolved.select($"vec_id", $"vec", $"cell")
   }
 
-  /** `batch=<id>` partition ids under a store side; empty when the root
-    * is absent or holds none. */
-  private def batchIdsUnder(s: SparkSession, path: String): Array[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-  }
+  private def batchIdsUnder(s: SparkSession, path: String): Array[Long] =
+    Stores.batchIdsUnder(s, path)
 
   /** q28's serving path against the liveness-resolved store: driver-side
     * probe selection, cell-pruned candidate scan, tombstone resolution on

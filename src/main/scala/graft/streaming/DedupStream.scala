@@ -246,15 +246,9 @@ object DedupStream {
     newSh.unpersist()
   }
 
-  /** `batch=<id>` partition ids under a store side; empty when the root
-    * is absent or holds none (the [[AnnDeltaStream]] helper). */
-  private def batchIdsUnder(s: SparkSession, path: String): Array[Long] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-  }
+  /** [[Stores.batchIdsUnder]], shared with [[AnnDeltaStream]]. */
+  private def batchIdsUnder(s: SparkSession, path: String): Array[Long] =
+    Stores.batchIdsUnder(s, path)
 
   /** PHYSICAL purge of retired documents from the append-layout index —
     * the other half of the q112 takedown story: the probe MASK makes

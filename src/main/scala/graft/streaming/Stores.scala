@@ -54,6 +54,30 @@ private[graft] object Stores {
   private def fsOf(s: SparkSession, root: Path): FileSystem =
     FileSystem.get(root.toUri, s.sparkContext.hadoopConfiguration)
 
+  /** `batch=<id>` partition ids under a store side; empty when the root
+    * is absent or holds none. Shared by the delta maintainers' guarded
+    * reads (a side that has only ever seen the other op must serve empty,
+    * never throw on parquet's cannot-infer-schema). */
+  def batchIdsUnder(s: SparkSession, path: String): Array[Long] = {
+    val p = new Path(path)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+  }
+
+  /** Total on-disk bytes under a store side (0 when absent). One
+    * metadata round-trip; used to size-gate broadcast hints on stores
+    * whose volume is workload-dependent (e.g. tombstones between
+    * compaction sweeps), where an unconditional hint would force a
+    * driver collect of an arbitrarily large side. */
+  def bytesUnder(s: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) 0L
+    else try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+  }
+
   // ---------------------------------------------------------------------
   // Bucketed layout (round 11): restriction-first made per-batch SHUFFLE
   // volume delta-sized, but a restricted scan still LISTED AND READ the

@@ -175,6 +175,23 @@ class BmpSpec extends AnyFunSuite {
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) |
       ((b(o + 3) & 0xFF) << 24)
 
+  test("hostile RLE8 dims refuse before allocation (payload cannot cover the raster)") {
+    // header claims 4096×4096 (16.7M pixels) but carries 8 bytes of RLE
+    // data; every 2-byte opcode paints at most 255 pixels, so 8 bytes cap
+    // out at 1020 — the walker must refuse on that bound BEFORE touching
+    // the raster, not allocate 50 MB and fail mid-walk
+    val b = new java.io.ByteArrayOutputStream()
+    def w16(v: Int) = { b.write(v & 0xFF); b.write((v >>> 8) & 0xFF) }
+    def w32(v: Int) = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    val rle = Array[Byte](255.toByte, 0, 255.toByte, 0, 255.toByte, 0, 0, 1)
+    b.write('B'); b.write('M'); w32(54 + 4 + rle.length); w16(0); w16(0); w32(54 + 4)
+    w32(40); w32(4096); w32(4096); w16(1); w16(8); w32(1)
+    w32(rle.length); w32(2835); w32(2835); w32(1); w32(0)
+    b.write(0); b.write(0); b.write(0); b.write(0)
+    rle.foreach(b.write(_))
+    assert(Bmp.decode(b.toByteArray).isEmpty)
+  }
+
   test("RLE8 partial row at EOL refuses (undefined pixels are never guessed)") {
     // hand-build: 2×2, palette {0}, row encodes only 1 of 2 pixels then EOL
     val b = new java.io.ByteArrayOutputStream()
