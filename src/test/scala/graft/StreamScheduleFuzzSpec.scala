@@ -1,0 +1,103 @@
+package graft
+
+import graft.streaming.CcStream
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized ±op schedule fuzzing for the CC maintainer — the
+  * fixed-schedule suites (CcDeltaSpec) pin the KNOWN hard cases (splits,
+  * isolation tombstones, delete→re-insert across compaction); this suite
+  * drives RANDOM schedules through the same machinery and checks the
+  * served labels against an independent driver-side union-find over the
+  * fold-derived surviving edge set. Random schedules reach the orderings
+  * a hand fixture never writes down: deletes of never-inserted edges,
+  * double-deletes, insert+delete of the same edge in one batch (insert
+  * wins, per the family convention), re-inserts of still-live edges,
+  * compaction at an arbitrary cut, and redelivery of the final batch.
+  *
+  * Deterministic: fixed seed; a failing case prints its full schedule,
+  * so it reproduces as a one-line fixture. */
+class StreamScheduleFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("ccfuzz").toString + "/store"
+
+  private def ev(rows: Seq[(Long, Long, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "op")
+  }
+
+  private def snap(store: String): Map[Long, Long] =
+    CcStream.snapshot(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The family's liveness semantics, folded independently: per (src,
+    * dst) pair the LATEST batch touching it decides, and within one
+    * batch an insert wins over a delete of the same pair. */
+  private def survivors(
+      schedule: Seq[Seq[(Long, Long, Int)]]): Set[(Long, Long)] = {
+    val state = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    schedule.foreach { batch =>
+      batch.groupBy(e => (e._1, e._2)).foreach { case (pair, ops) =>
+        state(pair) = if (ops.exists(_._3 == 1)) 1 else -1
+      }
+    }
+    // NOT `state.collect { case (pair, 1) => pair }`: collect on a Map
+    // whose results are pairs builds a MAP, so two live edges sharing a
+    // source node collide as keys and one is silently dropped
+    state.filter(_._2 == 1).keySet.toSet
+  }
+
+  /** Independent oracle: min node id per component via union-find, over
+    * nodes with at least one LIVE edge (isolated nodes are tombstoned
+    * out of the serve, matching batch q80's edge-derived universe). */
+  private def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("25 random ±op schedules ≡ union-find on survivors (compaction + redelivery mixed in)") {
+    val rnd = new scala.util.Random(0xCC5EED)
+    (1 to 25).foreach { c =>
+      val n = 5 + rnd.nextInt(8) // 5..12 nodes
+      val universe = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      } yield (a, b)).toIndexedSeq
+      val nBatches = 2 + rnd.nextInt(3) // 2..4 batches
+      // each batch: 1..|U|/2 random ±ops drawn WITH repeats, so the same
+      // pair can appear twice in one batch with conflicting ops
+      val schedule = Seq.fill(nBatches) {
+        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
+        Seq.fill(k) {
+          val (a, b) = universe(rnd.nextInt(universe.size))
+          (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
+        }
+      }
+      val store = tmp()
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        CcStream.processBatch(ev(batch), i.toLong, store)
+        // compact mid-stream at a random boundary, at most once per case
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          CcStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      // redelivery of the final batch (the only batch a real stream can
+      // redeliver after a crash) must converge
+      if (rnd.nextBoolean())
+        CcStream.processBatch(ev(schedule.last), (nBatches - 1).toLong, store)
+      val want = unionFind(survivors(schedule))
+      val got = snap(store)
+      assert(got === want,
+        s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+}
