@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.CcStream
+import graft.streaming.{CcStream, TriangleStream}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,6 +98,71 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       val got = snap(store)
       assert(got === want,
         s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+
+  // ---- triangle maintainer: random ±op WITNESS schedules --------------
+
+  /** TriangleStreamSpec's driver-side reference (q83 semantics,
+    * independently coded): per-part corner counts of the capped
+    * projection's triangles. */
+  private def bruteTriangles(pairs: Set[(Long, Long)],
+      cap: Long): Map[Long, Long] = {
+    val bySu = pairs.groupBy(_._2).filter(_._2.map(_._1).size <= cap)
+    val edges = bySu.values.flatMap { ps =>
+      val parts = ps.map(_._1).toSeq.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val tris = for {
+      (a, b) <- edges.toSeq
+      z <- adj(a) if z > b && adj(b)(z)
+    } yield (a, b, z)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  }
+
+  private def evTri(rows: Seq[(Long, Long, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("p", "su", "op")
+  }
+
+  private def triSnap(store: String): Map[Long, Long] =
+    TriangleStream.snapshot(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("20 random ±op witness schedules ≡ brute-force triangles on survivors (low cap: crossings in reach)") {
+    val rnd = new scala.util.Random(0x731F5EED)
+    (1 to 20).foreach { c =>
+      val nParts = 4 + rnd.nextInt(4) // 4..7 parts
+      val nSus = 2 + rnd.nextInt(3) // 2..4 suppliers
+      val cap = 2L + rnd.nextInt(3) // 2..4 — deletions can UNCROSS the cap
+      val universe = (for {
+        p <- 0L until nParts.toLong; s <- 100L until (100L + nSus)
+      } yield (p, s)).toIndexedSeq
+      val nBatches = 2 + rnd.nextInt(3)
+      val schedule = Seq.fill(nBatches) {
+        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
+        Seq.fill(k) {
+          val (p, su) = universe(rnd.nextInt(universe.size))
+          (p, su, if (rnd.nextInt(3) == 0) -1 else 1)
+        }
+      }
+      val store = tmp()
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        TriangleStream.processBatch(evTri(batch), i.toLong, store, cap)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          TriangleStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean())
+        TriangleStream.processBatch(evTri(schedule.last), (nBatches - 1).toLong,
+          store, cap)
+      val want = bruteTriangles(survivors(schedule), cap)
+      val got = triSnap(store)
+      assert(got === want,
+        s"case $c (parts=$nParts sus=$nSus cap=$cap) diverged." +
+          s"\nschedule=$schedule\nwant=$want\ngot=$got")
     }
   }
 }
