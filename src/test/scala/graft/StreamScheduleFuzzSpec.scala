@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CcStream, TriangleStream}
+import graft.streaming.{CcStream, KCoreStream, SsspDeltaStream, TriangleStream}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -163,6 +163,123 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       assert(got === want,
         s"case $c (parts=$nParts sus=$nSus cap=$cap) diverged." +
           s"\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+
+  // ---- decremental SSSP: random ±op weighted-edge schedules -----------
+
+  /** Pair weight is a pure function of the endpoints, so a re-insert
+    * always carries the pair's original weight (multi-weight re-inserts
+    * are a different contract; the fixed function keeps the fuzz inside
+    * the documented one). */
+  private def wOf(a: Long, b: Long): Long = 1L + (a * 7 + b * 13) % 5
+
+  /** Driver Dijkstra over the undirected survivors; the serve contract
+    * is source-always-0 plus every reachable node within the budget. */
+  private def dijkstra(edges: Set[(Long, Long)], source: Long,
+      budget: Long): Map[Long, Long] = {
+    val adj = edges.toSeq
+      .flatMap { case (a, b) => Seq(a -> (b, wOf(a, b)), b -> (a, wOf(a, b))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map(source -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+        if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    dist.filter(_._2 <= budget).toMap
+  }
+
+  private def evW(rows: Seq[(Long, Long, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (a, b, op) => (a, b, if (op == 1) wOf(a, b) else 0L, op) }
+      .toDF("src", "dst", "w", "op")
+  }
+
+  test("20 random ±op weighted schedules ≡ driver Dijkstra on survivors (lengthen/disconnect/resurrect reached)") {
+    val rnd = new scala.util.Random(0x55595EED)
+    (1 to 20).foreach { c =>
+      val n = 5 + rnd.nextInt(6) // 5..10 nodes
+      val universe = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      } yield (a, b)).toIndexedSeq
+      val nBatches = 2 + rnd.nextInt(3)
+      val schedule = Seq.fill(nBatches) {
+        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
+        Seq.fill(k) {
+          val (a, b) = universe(rnd.nextInt(universe.size))
+          (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
+        }
+      }
+      val store = tmp()
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        SsspDeltaStream.processBatch(evW(batch), i.toLong, store,
+          source = 0L, budget = 64L)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          SsspDeltaStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean())
+        SsspDeltaStream.processBatch(evW(schedule.last), (nBatches - 1).toLong,
+          store, source = 0L, budget = 64L)
+      val want = dijkstra(survivors(schedule), 0L, 64L)
+      val got = SsspDeltaStream.snapshot(spark, store).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+
+  // ---- k-core: random ±op schedules ------------------------------------
+
+  /** Synchronous peel, independently coded: each round drops ALL nodes
+    * of degree < k at once; returns survivors with their degrees in the
+    * peeled subgraph (KCoreRounds ≥ any cascade these graphs reach). */
+  private def brutePeel(edges: Set[(Long, Long)], k: Int): Map[Long, Long] = {
+    var cur = edges
+    var changed = true
+    while (changed) {
+      val deg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = cur.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != cur
+      cur = next
+    }
+    cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+  }
+
+  test("20 random ±op schedules ≡ driver synchronous peel on survivors (k-core)") {
+    val rnd = new scala.util.Random(0x6C07E5EEDL)
+    (1 to 20).foreach { c =>
+      val n = 5 + rnd.nextInt(6)
+      val universe = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      } yield (a, b)).toIndexedSeq
+      val nBatches = 2 + rnd.nextInt(3)
+      val schedule = Seq.fill(nBatches) {
+        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
+        Seq.fill(k) {
+          val (a, b) = universe(rnd.nextInt(universe.size))
+          (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
+        }
+      }
+      val store = tmp()
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        KCoreStream.processBatch(ev(batch), i.toLong, store)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          KCoreStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean())
+        KCoreStream.processBatch(ev(schedule.last), (nBatches - 1).toLong, store)
+      val want = brutePeel(survivors(schedule), graft.operators.GraphQueries.KCoreK)
+      val got = KCoreStream.snapshot(spark, store).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
     }
   }
 }
