@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CcStream, KCoreStream, SsspDeltaStream, TriangleStream}
+import graft.streaming.{CcStream, KCoreStream, SsspDeltaStream, TriangleStream, TrussStream}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -280,6 +280,64 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want,
         s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+
+  // ---- k-truss: random ±op projected-edge schedules --------------------
+
+  /** Synchronous support peel to fixpoint, independently coded: each
+    * round drops every edge whose triangle support (common-neighbor
+    * count) is below k−2, all at once; returns the survivors with their
+    * supports in the peeled subgraph (support-0 survivors cannot exist
+    * at a fixpoint with k ≥ 3, matching kTrussPeel's contract). */
+  private def bruteTruss(edges: Set[(Long, Long)],
+      k: Int): Map[(Long, Long), Long] = {
+    def supports(cur: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = cur.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
+      cur.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+    }
+    var cur = edges
+    var changed = true
+    while (changed) {
+      val kept = supports(cur).filter(_._2 >= k - 2).keySet
+      changed = kept != cur
+      cur = kept.toSet
+    }
+    supports(cur)
+  }
+
+  test("12 random ±op schedules ≡ driver support peel on survivors (k-truss, the CC+peel composition)") {
+    val rnd = new scala.util.Random(0x7055EEDL)
+    (1 to 12).foreach { c =>
+      val n = 5 + rnd.nextInt(4) // 5..8 nodes: dense enough for triangles
+      val k = 3 + rnd.nextInt(2) // 3..4: support thresholds 1..2
+      val universe = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      } yield (a, b)).toIndexedSeq
+      val nBatches = 2 + rnd.nextInt(2)
+      val schedule = Seq.fill(nBatches) {
+        val kOps = 1 + rnd.nextInt(math.max(1, (universe.size * 2) / 3))
+        Seq.fill(kOps) {
+          val (a, b) = universe(rnd.nextInt(universe.size))
+          (a, b, if (rnd.nextInt(4) == 0) -1 else 1) // denser: triangles form
+        }
+      }
+      val store = tmp()
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        TrussStream.processBatch(ev(batch).toDF("a", "b", "op"), i.toLong,
+          store, k = k)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          TrussStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean())
+        TrussStream.processBatch(ev(schedule.last).toDF("a", "b", "op"),
+          (nBatches - 1).toLong, store, k = k)
+      val want = bruteTruss(survivors(schedule), k)
+      val got = TrussStream.snapshot(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want,
+        s"case $c (n=$n k=$k) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
     }
   }
 }
