@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CcStream, KCoreStream, SsspDeltaStream, TriangleStream, TrussStream}
+import graft.streaming.{AnnDeltaStream, CcStream, FunnelStream, KCoreStream, SsspDeltaStream, TriangleStream, TrussStream}
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -338,6 +338,133 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(got === want,
         s"case $c (n=$n k=$k) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+
+  // ---- funnel: random ±op EVENT schedules (round-15 retraction) -------
+
+  /** Same liveness fold keyed by the event TRIPLE: latest batch decides,
+    * insert wins in-batch, retraction is NOT terminal (the q113
+    * contract, unlike document takedowns). */
+  private def survivingEvents(
+      schedule: Seq[Seq[(Long, String, Long, Int)]]): Seq[(Long, String, Long)] = {
+    val state = scala.collection.mutable.Map.empty[(Long, String, Long), Int]
+    schedule.foreach { batch =>
+      batch.groupBy(e => (e._1, e._2, e._3)).foreach { case (triple, ops) =>
+        state(triple) = if (ops.exists(_._4 == 1)) 1 else -1
+      }
+    }
+    state.filter(_._2 == 1).keys.toSeq
+  }
+
+  test("15 random ±op event schedules ≡ batch funnel on surviving events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF0E15EEDL)
+    val types = Seq("view", "click", "purchase")
+    (1 to 15).foreach { c =>
+      val nUsers = 2 + rnd.nextInt(3) // 2..4 users
+      val nTs = 5 + rnd.nextInt(5) // 5..9 distinct timestamps
+      val universe = (for {
+        u <- 1L to nUsers.toLong; t <- types; ts <- 1L to nTs.toLong
+      } yield (u, t, ts * 1000L)).toIndexedSeq
+      val nBatches = 2 + rnd.nextInt(3)
+      val schedule = Seq.fill(nBatches) {
+        val k = 1 + rnd.nextInt(math.max(1, universe.size / 3))
+        Seq.fill(k) {
+          val (u, t, ts) = universe(rnd.nextInt(universe.size))
+          (u, t, ts, if (rnd.nextInt(3) == 0) -1 else 1)
+        }
+      }
+      val store = tmp()
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        FunnelStream.processBatch(
+          batch.toDF("user_id", "event_type", "ts_us", "op"), i.toLong, store)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          FunnelStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean())
+        FunnelStream.processBatch(
+          schedule.last.toDF("user_id", "event_type", "ts_us", "op"),
+          (nBatches - 1).toLong, store)
+      val surv = survivingEvents(schedule)
+      val want =
+        if (surv.isEmpty) Map.empty[Long, (Long, Option[Long])]
+        else graft.operators.TemporalJoins.funnelStages(
+          surv.toDF("user_id", "event_type", "ts_us")).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val got = FunnelStream.snapshot(spark, store).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(got === want,
+        s"case $c diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+    }
+  }
+
+  // ---- ANN: random ±op schedules WITH CELL DRIFT ------------------------
+
+  /** The upsert-tombstone redesign's hardest input: re-inserts whose
+    * vector DIFFERS from the original (a drift to another cell strands a
+    * stale copy the probe would otherwise serve — the r14 ADVICE medium
+    * finding). Each id's vector is drawn fresh from the real corpus per
+    * re-insert, so drift is the common case, not a corner. Liveness is
+    * per-ID here (an event supersedes ALL older copies of its id), not
+    * per-pair. Oracle: batch assignment of the surviving (id → freshest
+    * vector) corpus under the frozen codebook, vectors compared
+    * byte-for-byte so a served stale copy cannot hide in a same-cell
+    * coincidence. */
+  test("15 random ±op vector schedules with drift ≡ batch assignment of survivors (ANN)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.operators.Similarity.trainedCentroids(spark, dir)
+    val pool = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .orderBy($"vec_id").limit(40).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val rnd = new scala.util.Random(0xA115EEDL)
+    (1 to 15).foreach { c =>
+      val nIds = 4 + rnd.nextInt(5) // 4..8 vec ids
+      val nBatches = 2 + rnd.nextInt(3)
+      // at most one op per id per batch (two same-batch inserts of one id
+      // with different vectors is outside the documented contract)
+      val schedule = Seq.fill(nBatches) {
+        rnd.shuffle((0L until nIds.toLong).toList)
+          .take(1 + rnd.nextInt(nIds))
+          .map { id =>
+            if (rnd.nextInt(3) == 0) (id, None)
+            else (id, Some(pool(rnd.nextInt(pool.length))))
+          }
+      }
+      val store = tmp()
+      def frame(batch: Seq[(Long, Option[Array[Double]])]): DataFrame =
+        batch.map {
+          case (id, Some(v)) => (id, v, 1)
+          case (id, None) => (id, null.asInstanceOf[Array[Double]], -1)
+        }.toDF("vec_id", "vec", "op")
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        AnnDeltaStream.processBatch(frame(batch), i.toLong, store, cents)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          AnnDeltaStream.compact(spark, store, throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean())
+        AnnDeltaStream.processBatch(frame(schedule.last),
+          (nBatches - 1).toLong, store, cents)
+      // driver fold: per id, the LAST op across batches decides (one op
+      // per id per batch, so no in-batch tie exists by construction)
+      val state = scala.collection.mutable.Map.empty[Long, Option[Array[Double]]]
+      schedule.foreach(_.foreach { case (id, v) => state(id) = v })
+      val surviving = state.toSeq.collect { case (id, Some(v)) => (id, v) }
+      val want =
+        if (surviving.isEmpty) Set.empty[(Long, Long, Seq[Double])]
+        else graft.operators.Similarity.assignToCentroids(
+          surviving.toDF("vec_id", "vec"), cents)
+          .select($"vec_id", $"cell", $"vec").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
+      val got = AnnDeltaStream.liveRows(spark, store)
+        .select($"vec_id", $"cell", $"vec").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Double](2)))
+        .toSet
+      assert(got === want, s"case $c (ids=$nIds) diverged on the liveness fold")
     }
   }
 }
