@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{AnnDeltaStream, CcStream, FunnelStream, KCoreStream, SsspDeltaStream, TriangleStream, TrussStream}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Randomized ±op schedule fuzzing for the CC maintainer — the
@@ -467,4 +468,92 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       assert(got === want, s"case $c (ids=$nIds) diverged on the liveness fold")
     }
   }
+
+  // ---- dedup takedowns: random insert/retire schedules ------------------
+
+  /** Terminal retirement means the generator never re-inserts a retired
+    * id (the stream refuses loudly, pinned by DedupTakedownSpec); what
+    * randomizes here is WHEN each document is inserted and which ids are
+    * retired between — so retire-before-partner-insert (the index-mask
+    * path), split/shrink/canonical-handoff orderings, compaction cuts,
+    * and redelivery all arise by chance. Oracle: union-find over the
+    * batch exact-Jaccard pair set restricted to surviving endpoints
+    * (DedupTakedownSpec's expectation, randomized schedule). */
+  test("6 random insert/retire schedules ≡ union-find on surviving dup pairs (dedup takedowns)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val fullPairs = graft.operators.Dedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val rnd = new scala.util.Random(0xDED5EEDL)
+    (1 to 6).foreach { c =>
+      val insBatches = rnd.shuffle(allIds).grouped(
+        math.ceil(allIds.size / 3.0).toInt).toSeq // 3 insert waves
+      val retiredSoFar = scala.collection.mutable.Set.empty[Long]
+      val insertedSoFar = scala.collection.mutable.Set.empty[Long]
+      // build the interleaved batch list: wave, then maybe a retire batch
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, Seq[Long])] // (isInsert, ids)
+      insBatches.foreach { wave =>
+        batches += ((true, wave))
+        insertedSoFar ++= wave
+        if (rnd.nextInt(10) < 7) {
+          val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
+          if (candidates.nonEmpty) {
+            val k = 1 + rnd.nextInt(math.min(8, candidates.size))
+            val picks = rnd.shuffle(candidates).take(k)
+            retiredSoFar ++= picks
+            batches += ((false, picks))
+          }
+        }
+      }
+      val store = tmpStore()
+      batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
+        val frame =
+          if (isInsert) docs.filter($"doc_id".isInCollection(ids))
+            .select($"doc_id", $"text", lit(1).as("op"))
+          else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
+        graft.streaming.DedupClusterStream.processBatch(spark, frame, i.toLong, store)
+        if (i < batches.size - 1 && rnd.nextInt(4) == 0)
+          graft.streaming.DedupClusterStream.compact(spark, store,
+            throughBatch = i.toLong)
+      }
+      if (rnd.nextBoolean()) { // redelivery of the final batch
+        val (isInsert, ids) = batches.last
+        val frame =
+          if (isInsert) docs.filter($"doc_id".isInCollection(ids))
+            .select($"doc_id", $"text", lit(1).as("op"))
+          else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
+        graft.streaming.DedupClusterStream.processBatch(spark, frame,
+          (batches.size - 1).toLong, store)
+      }
+      val pairs = fullPairs.filter { case (a, b) =>
+        !retiredSoFar(a) && !retiredSoFar(b) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+        .flatMap { case (_, ms) =>
+          val cid = ms.min
+          ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
+        }.toMap
+      val got = graft.streaming.DedupClusterStream.snapshot(spark, store)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(got === want,
+        s"case $c diverged (retired=${retiredSoFar.toSeq.sorted.take(20)}...)")
+    }
+    docs.unpersist()
+  }
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("fuzzstore").toString + "/store"
 }
