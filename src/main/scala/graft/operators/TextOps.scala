@@ -686,11 +686,25 @@ object TextOps {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     }
 
+  // one learned vocab per (session, sf dir): q111 and q115 both serve
+  // from it — the gram-candidate aggregation over the distinct-word
+  // relation is the tokenizer's prepare stage, paid once per corpus
+  // snapshot like the trained centroids (whose cache shape this copies)
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(String, Long)]]
+
   /** The learned vocab as (token, id): base chars get ids 1..36 in byte
     * order; learned grams ids 37.. in (count DESC, gram ASC) rank order.
     * Driver-side — 36 + [[SubGramK]] rows, the broadcast-as-literals
     * scale shape of the trained centroids. */
   def subwordVocab(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val vocab = vocabCache.getOrElseUpdate((s, dir), learnVocab(s, dir))
+    graft.store.CorpusCaches.retain(s, dir, "text:vocab")(
+      () => { vocabCache.remove((s, dir)); () })
+    vocab
+  }
+
+  private def learnVocab(s: SparkSession, dir: String): Seq[(String, Long)] = {
     import s.implicits._
     val grams = wordCounts(s, dir)
       .select($"w", $"cnt",
