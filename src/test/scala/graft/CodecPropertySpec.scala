@@ -23,10 +23,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * Deterministic: fixed scalacheck seed, so a failure reproduces. */
 class CodecPropertySpec extends AnyFunSuite {
 
+  // SPARK_GRAFT_FUZZ_SEED explores a fresh seed family on demand (the
+  // StreamScheduleFuzzSpec knob); default stays deterministic
+  private val SeedBase: Long =
+    sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0L)
+
   private def check(name: String, p: Prop, n: Int = 120): Unit = {
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(n)
-      .withInitialSeed(org.scalacheck.rng.Seed(0xC0DECL))
+      .withInitialSeed(org.scalacheck.rng.Seed(0xC0DECL ^ SeedBase))
     val res = SCTest.check(params, p)
     assert(res.passed, s"$name: ${res.status}")
   }
