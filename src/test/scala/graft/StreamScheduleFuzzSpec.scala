@@ -41,39 +41,12 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     CcStream.snapshot(spark, store).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** The family's liveness semantics, folded independently: per (src,
-    * dst) pair the LATEST batch touching it decides, and within one
-    * batch an insert wins over a delete of the same pair. */
   private def survivors(
-      schedule: Seq[Seq[(Long, Long, Int)]]): Set[(Long, Long)] = {
-    val state = scala.collection.mutable.Map.empty[(Long, Long), Int]
-    schedule.foreach { batch =>
-      batch.groupBy(e => (e._1, e._2)).foreach { case (pair, ops) =>
-        state(pair) = if (ops.exists(_._3 == 1)) 1 else -1
-      }
-    }
-    // NOT `state.collect { case (pair, 1) => pair }`: collect on a Map
-    // whose results are pairs builds a MAP, so two live edges sharing a
-    // source node collide as keys and one is silently dropped
-    state.filter(_._2 == 1).keySet.toSet
-  }
+      schedule: Seq[Seq[(Long, Long, Int)]]): Set[(Long, Long)] =
+    FuzzOracles.survivors(schedule)
 
-  /** Independent oracle: min node id per component via union-find, over
-    * nodes with at least one LIVE edge (isolated nodes are tombstoned
-    * out of the serve, matching batch q80's edge-derived universe). */
-  private def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    edges.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    parent.keys.map(n => n -> find(n)).toMap
-  }
+  private def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] =
+    FuzzOracles.unionFind(edges)
 
   test("25 random ±op schedules ≡ union-find on survivors (compaction + redelivery mixed in)") {
     val rnd = new scala.util.Random(0xCC5EED ^ SeedBase)
@@ -112,25 +85,8 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
 
   // ---- triangle maintainer: random ±op WITNESS schedules --------------
 
-  /** TriangleStreamSpec's driver-side reference (q83 semantics,
-    * independently coded): per-part corner counts of the capped
-    * projection's triangles. */
   private def bruteTriangles(pairs: Set[(Long, Long)],
-      cap: Long): Map[Long, Long] = {
-    val bySu = pairs.groupBy(_._2).filter(_._2.map(_._1).size <= cap)
-    val edges = bySu.values.flatMap { ps =>
-      val parts = ps.map(_._1).toSeq.sorted
-      for (i <- parts.indices; j <- i + 1 until parts.size) yield (parts(i), parts(j))
-    }.toSet
-    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val tris = for {
-      (a, b) <- edges.toSeq
-      z <- adj(a) if z > b && adj(b)(z)
-    } yield (a, b, z)
-    tris.flatMap(t => Seq(t._1, t._2, t._3))
-      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-  }
+      cap: Long): Map[Long, Long] = FuzzOracles.bruteTriangles(pairs, cap)
 
   private def evTri(rows: Seq[(Long, Long, Int)]): DataFrame = {
     import spark.implicits._
@@ -183,24 +139,9 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     * the documented one). */
   private def wOf(a: Long, b: Long): Long = 1L + (a * 7 + b * 13) % 5
 
-  /** Driver Dijkstra over the undirected survivors; the serve contract
-    * is source-always-0 plus every reachable node within the budget. */
   private def dijkstra(edges: Set[(Long, Long)], source: Long,
-      budget: Long): Map[Long, Long] = {
-    val adj = edges.toSeq
-      .flatMap { case (a, b) => Seq(a -> (b, wOf(a, b)), b -> (a, wOf(a, b))) }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val dist = scala.collection.mutable.Map(source -> 0L)
-    val pq = scala.collection.mutable.PriorityQueue((0L, source))(
-      Ordering.by[(Long, Long), Long](-_._1))
-    while (pq.nonEmpty) {
-      val (d, u) = pq.dequeue()
-      if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
-        if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
-      }
-    }
-    dist.filter(_._2 <= budget).toMap
-  }
+      budget: Long): Map[Long, Long] =
+    FuzzOracles.dijkstra(edges, wOf, source, budget)
 
   private def evW(rows: Seq[(Long, Long, Int)]): DataFrame = {
     import spark.implicits._
@@ -243,23 +184,8 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
 
   // ---- k-core: random ±op schedules ------------------------------------
 
-  /** Synchronous peel, independently coded: each round drops ALL nodes
-    * of degree < k at once; returns survivors with their degrees in the
-    * peeled subgraph (KCoreRounds ≥ any cascade these graphs reach). */
-  private def brutePeel(edges: Set[(Long, Long)], k: Int): Map[Long, Long] = {
-    var cur = edges
-    var changed = true
-    while (changed) {
-      val deg = cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
-        .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
-      val keep = deg.filter(_._2 >= k).keySet
-      val next = cur.filter { case (a, b) => keep(a) && keep(b) }
-      changed = next != cur
-      cur = next
-    }
-    cur.toSeq.flatMap { case (a, b) => Seq(a, b) }
-      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
-  }
+  private def brutePeel(edges: Set[(Long, Long)], k: Int): Map[Long, Long] =
+    FuzzOracles.brutePeel(edges, k)
 
   test("20 random ±op schedules ≡ driver synchronous peel on survivors (k-core)") {
     val rnd = new scala.util.Random(0x6C07E5EEDL ^ SeedBase)
@@ -294,27 +220,8 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
 
   // ---- k-truss: random ±op projected-edge schedules --------------------
 
-  /** Synchronous support peel to fixpoint, independently coded: each
-    * round drops every edge whose triangle support (common-neighbor
-    * count) is below k−2, all at once; returns the survivors with their
-    * supports in the peeled subgraph (support-0 survivors cannot exist
-    * at a fixpoint with k ≥ 3, matching kTrussPeel's contract). */
   private def bruteTruss(edges: Set[(Long, Long)],
-      k: Int): Map[(Long, Long), Long] = {
-    def supports(cur: Set[(Long, Long)]): Map[(Long, Long), Long] = {
-      val adj = cur.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
-        .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
-      cur.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
-    }
-    var cur = edges
-    var changed = true
-    while (changed) {
-      val kept = supports(cur).filter(_._2 >= k - 2).keySet
-      changed = kept != cur
-      cur = kept.toSet
-    }
-    supports(cur)
-  }
+      k: Int): Map[(Long, Long), Long] = FuzzOracles.bruteTruss(edges, k)
 
   test("12 random ±op schedules ≡ driver support peel on survivors (k-truss, the CC+peel composition)") {
     val rnd = new scala.util.Random(0x7055EEDL ^ SeedBase)
