@@ -140,6 +140,32 @@ class AnnDeltaStreamSpec extends AnyFunSuite {
     assert(cellsOfX(Seq(oldCell)).isEmpty && cellsOfX(Seq(newCell)) === Seq(newCell))
   }
 
+  test("the tombstone join's broadcast gate: threshold parsing + small-store plan hint") {
+    import graft.streaming.AnnDeltaStream.broadcastThresholdBytes
+    // the suffix forms Spark's byte-string parser accepts for this conf
+    assert(broadcastThresholdBytes("10485760") === 10485760L)
+    assert(broadcastThresholdBytes("10m") === (10L << 20))
+    assert(broadcastThresholdBytes("10MB") === (10L << 20))
+    assert(broadcastThresholdBytes("512k") === (512L << 10))
+    assert(broadcastThresholdBytes("1g") === (1L << 30))
+    assert(broadcastThresholdBytes("-1") === -1L, "disabled must gate the hint off")
+    assert(broadcastThresholdBytes("0") === 0L)
+    // a tiny tombstone store sits far under the default threshold, so the
+    // serve plan must carry the broadcast; a bulk-ingest store past the
+    // threshold falls back to the planner (exercised by the parser cases
+    // above — mutating the shared session's threshold here would race
+    // other suites' plan assertions)
+    import spark.implicits._
+    val e = emb.cache()
+    val store = tmpStore()
+    AnnDeltaStream.processBatch(ins(e.limit(20)), 0L, store, cents)
+    AnnDeltaStream.processBatch(del(e.limit(3)), 1L, store, cents)
+    val plan = AnnDeltaStream.liveRows(spark, store)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small tombstone store must broadcast the liveness join:\n$plan")
+  }
+
   test("a store that has only ever seen tombstones serves empty, not a crash") {
     import spark.implicits._
     val e = emb.filter($"vec_id" < 10).cache()
