@@ -422,6 +422,190 @@ object Multimodal {
       }
     }
 
+  /** ITU-T G.711 companding — the audio COMPRESSION axis beside the
+    * PCM-16 container (the image side has five compressed wire formats;
+    * audio had none): µ-law and A-law, the two standard 8-bit logarithmic
+    * codings of 16-bit linear PCM that telephony corpora actually arrive
+    * in. Implemented from the published algorithm (segment/exponent +
+    * 4-bit mantissa, BIAS 0x84 and CLIP 32635 for µ-law; 13-bit
+    * magnitudes, segment table and the 0x55 toggle for A-law; sign
+    * conventions per the spec's encode/decode tables). Both directions
+    * are total on their domains — every 16-bit sample encodes, every
+    * byte decodes — so there is no malformed-payload surface; the
+    * correctness property is instead the CODEBOOK CONTRACT
+    * (decode∘encode∘decode = decode on all 256 bytes) plus bounded
+    * quantization error, both pinned by G711Spec across the full 16-bit
+    * sweep. */
+  object G711 {
+    private val Bias = 0x84
+    private val Clip = 32635
+
+    /** 16-bit linear → µ-law byte. */
+    def ulawEncode(sample: Int): Int = {
+      val sign = if (sample < 0) 0x80 else 0x00
+      val mag = math.min(if (sample < 0) -sample else sample, Clip) + Bias
+      val exp =
+        if (mag <= 0xFF) 0 else if (mag <= 0x1FF) 1 else if (mag <= 0x3FF) 2
+        else if (mag <= 0x7FF) 3 else if (mag <= 0xFFF) 4 else if (mag <= 0x1FFF) 5
+        else if (mag <= 0x3FFF) 6 else 7
+      val mant = (mag >> (exp + 3)) & 0x0F
+      ~(sign | (exp << 4) | mant) & 0xFF
+    }
+
+    /** µ-law byte → 16-bit linear. */
+    def ulawDecode(byte: Int): Int = {
+      val u = ~byte & 0xFF
+      val t = (((u & 0x0F) << 3) + Bias) << ((u >> 4) & 0x07)
+      if ((u & 0x80) != 0) Bias - t else t - Bias
+    }
+
+    /** 16-bit linear → A-law byte (13-bit magnitude path). */
+    def alawEncode(sample: Int): Int = {
+      val x = sample >> 3 // arithmetic shift = floor division by 8
+      val (mask, px) = if (x >= 0) (0xD5, x) else (0x55, -x - 1)
+      val seg =
+        if (px <= 0x1F) 0 else if (px <= 0x3F) 1 else if (px <= 0x7F) 2
+        else if (px <= 0xFF) 3 else if (px <= 0x1FF) 4 else if (px <= 0x3FF) 5
+        else if (px <= 0x7FF) 6 else if (px <= 0xFFF) 7 else 8
+      if (seg >= 8) 0x7F ^ mask
+      else {
+        val mant = if (seg < 2) (px >> 1) & 0x0F else (px >> seg) & 0x0F
+        ((seg << 4) | mant) ^ mask
+      }
+    }
+
+    /** A-law byte → 16-bit linear. */
+    def alawDecode(byte: Int): Int = {
+      val a = byte ^ 0x55
+      val t0 = (a & 0x0F) << 4
+      val seg = (a >> 4) & 0x07
+      val t = seg match {
+        case 0 => t0 + 8
+        case 1 => t0 + 0x108
+        case s => (t0 + 0x108) << (s - 1)
+      }
+      if ((a & 0x80) != 0) t else -t
+    }
+  }
+
+  final case class CompandStats(doc_id: Long, n_samples: Long,
+      byte_sum: Long, recon_sum: Long, max_err: Long)
+
+  /** Synthesize q77's PCM samples from the document bytes, compand each
+    * through the given law and expand back; per-doc stats carry a
+    * checksum of the COMPANDED bytes (pins encode exactly) beside the
+    * reconstruction sum and worst quantization error (pins decode). */
+  def compandStats(rows: Iterator[(Long, Array[Byte])],
+      enc: Int => Int, dec: Int => Int): Iterator[CompandStats] =
+    rows.map { case (id, txt) =>
+      val n = WavFrames * WavChannels
+      var j = 0
+      var byteSum = 0L; var reconSum = 0L; var maxErr = 0L
+      while (j < n) {
+        val v = ((if (j < txt.length) txt(j) & 0xFF else 0) - 128) * 256
+        val b = enc(v)
+        val r = dec(b)
+        byteSum += b; reconSum += r
+        maxErr = math.max(maxErr, math.abs(r.toLong - v))
+        j += 1
+      }
+      CompandStats(id, n.toLong, byteSum, reconSum, maxErr)
+    }
+
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows =>
+        compandStats(rows, G711.ulawEncode, G711.ulawDecode))
+      .select($"doc_id", $"n_samples", $"byte_sum", $"recon_sum", $"max_err")
+      .orderBy($"doc_id")
+  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows =>
+        compandStats(rows, G711.alawEncode, G711.alawDecode))
+      .select($"doc_id", $"n_samples", $"byte_sum", $"recon_sum", $"max_err")
+      .orderBy($"doc_id")
+  }
+
+  // Oracles: the same segment/mantissa arithmetic re-derived in SQL (CASE
+  // ladders for the segment, integer div/mod for the shifts — no bit ops,
+  // so the text stays portable). Single-byte-corpus assumption as in
+  // q77Sql; samples are q77's (byte − 128) · 256 synthesis.
+  private val q120Sql = {
+    val n = WavFrames * WavChannels
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |s AS (SELECT doc_id, j,
+       |    (CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END - 128) * 256 AS v
+       |  FROM b, range($n) t(j)),
+       |m AS (SELECT doc_id, j, v,
+       |    CASE WHEN v < 0 THEN 1 ELSE 0 END AS neg,
+       |    LEAST(CASE WHEN v < 0 THEN -v ELSE v END, 32635) + 132 AS mag
+       |  FROM s),
+       |e AS (SELECT doc_id, j, v, neg, mag,
+       |    CASE WHEN mag <= 255 THEN 0 WHEN mag <= 511 THEN 1
+       |         WHEN mag <= 1023 THEN 2 WHEN mag <= 2047 THEN 3
+       |         WHEN mag <= 4095 THEN 4 WHEN mag <= 8191 THEN 5
+       |         WHEN mag <= 16383 THEN 6 ELSE 7 END AS seg
+       |  FROM m),
+       |cb AS (SELECT doc_id, j, v, neg, seg,
+       |    (mag // CAST(POWER(2, seg + 3) AS BIGINT)) % 16 AS mant
+       |  FROM e),
+       |rt AS (SELECT doc_id,
+       |    255 - (neg * 128 + seg * 16 + mant) AS byte,
+       |    (CASE WHEN neg = 1 THEN -1 ELSE 1 END) *
+       |      ((mant * 8 + 132) * CAST(POWER(2, seg) AS BIGINT) - 132) AS recon,
+       |    v
+       |  FROM cb)
+       |SELECT doc_id, CAST($n AS BIGINT) AS n_samples,
+       |  CAST(SUM(byte) AS BIGINT) AS byte_sum,
+       |  CAST(SUM(recon) AS BIGINT) AS recon_sum,
+       |  CAST(MAX(ABS(recon - v)) AS BIGINT) AS max_err
+       |FROM rt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val q121Sql = {
+    val n = WavFrames * WavChannels
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |s AS (SELECT doc_id, j,
+       |    (CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END - 128) * 256 AS v
+       |  FROM b, range($n) t(j)),
+       |m AS (SELECT doc_id, j, v,
+       |    CAST(FLOOR(v / 8.0) AS BIGINT) AS x
+       |  FROM s),
+       |p AS (SELECT doc_id, j, v, x,
+       |    CASE WHEN x >= 0 THEN 213 ELSE 85 END AS mask,
+       |    CASE WHEN x >= 0 THEN x ELSE -x - 1 END AS px
+       |  FROM m),
+       |e AS (SELECT doc_id, j, v, mask, px,
+       |    CASE WHEN px <= 31 THEN 0 WHEN px <= 63 THEN 1 WHEN px <= 127 THEN 2
+       |         WHEN px <= 255 THEN 3 WHEN px <= 511 THEN 4 WHEN px <= 1023 THEN 5
+       |         WHEN px <= 2047 THEN 6 ELSE 7 END AS seg
+       |  FROM p),
+       |cb AS (SELECT doc_id, j, v, mask, seg,
+       |    CASE WHEN seg < 2 THEN (px // 2) % 16
+       |         ELSE (px // CAST(POWER(2, seg) AS BIGINT)) % 16 END AS mant
+       |  FROM e),
+       |by AS (SELECT doc_id, j, v, xor(seg * 16 + mant, mask) AS byte FROM cb),
+       |de AS (SELECT doc_id, v, byte, xor(byte, 85) AS a FROM by),
+       |rt AS (SELECT doc_id, v, byte,
+       |    (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+       |      (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+       |            WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+       |            ELSE ((a % 16) * 16 + 264) *
+       |              CAST(POWER(2, (a // 16) % 8 - 1) AS BIGINT) END) AS recon
+       |  FROM de)
+       |SELECT doc_id, CAST($n AS BIGINT) AS n_samples,
+       |  CAST(SUM(byte) AS BIGINT) AS byte_sum,
+       |  CAST(SUM(recon) AS BIGINT) AS recon_sum,
+       |  CAST(MAX(ABS(recon - v)) AS BIGINT) AS max_err
+       |FROM rt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q77 — the decode pipeline on a REAL audio container: synthesize a
     * RIFF/WAVE PCM-16 clip per document (samples = the document's bytes),
     * run the actual chunk-walking decoder in a partition-batched map,
@@ -2269,5 +2453,7 @@ object Multimodal {
     GQuery("q108_gif_compositing", q108, Some(q108Sql)),
     GQuery("q118_bmp_decode", q118, Some(q118Sql)),
     GQuery("q119_bmp_rle8_decode", q119, Some(q118Sql)),
+    GQuery("q120_ulaw_compand", q120, Some(q120Sql)),
+    GQuery("q121_alaw_compand", q121, Some(q121Sql)),
   )
 }
