@@ -164,17 +164,13 @@ object AnnDeltaStream {
         // the tombstone side is events-since-last-sweep (upsert semantics
         // write one per EVENT, not per delete), so its size is a
         // compaction-cadence choice, not a bound — broadcast only when
-        // the on-disk bytes fit the session's broadcast threshold, and
-        // let the planner (AQE) pick the strategy otherwise; the
-        // aggregate below never exceeds its input, so the gate is safe
+        // the on-disk bytes (hydration-scaled) fit the session's
+        // broadcast threshold, and let the planner (AQE) pick the
+        // strategy otherwise; the aggregate below never exceeds its
+        // input, so the gate is sound
         val agg = s.read.parquet(deadPath(storeDir))
           .groupBy($"vec_id").agg(max($"deadb").as("deadb"))
-        val threshold = broadcastThresholdBytes(
-          s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
-        val dead =
-          if (threshold > 0 &&
-              Stores.bytesUnder(s, deadPath(storeDir)) <= threshold) broadcast(agg)
-          else agg
+        val dead = Stores.broadcastIfUnder(agg, deadPath(storeDir))
         fresh.join(dead, Seq("vec_id"), "left")
           .filter($"deadb".isNull || $"srcb" >= $"deadb")
       }
@@ -183,17 +179,6 @@ object AnnDeltaStream {
 
   private def batchIdsUnder(s: SparkSession, path: String): Array[Long] =
     Stores.batchIdsUnder(s, path)
-
-  /** Bytes of `spark.sql.autoBroadcastJoinThreshold`'s value, honoring
-    * the k/m/g(±b) suffixes Spark's byte-string parser accepts; ≤ 0
-    * means broadcasting is disabled and the gate must not hint. */
-  private[graft] def broadcastThresholdBytes(conf: String): Long =
-    conf.trim.stripSuffix("b").stripSuffix("B") match {
-      case t if t.endsWith("k") || t.endsWith("K") => t.dropRight(1).trim.toLong << 10
-      case t if t.endsWith("m") || t.endsWith("M") => t.dropRight(1).trim.toLong << 20
-      case t if t.endsWith("g") || t.endsWith("G") => t.dropRight(1).trim.toLong << 30
-      case t => t.toLong
-    }
 
   /** q28's serving path against the liveness-resolved store: driver-side
     * probe selection, cell-pruned candidate scan, tombstone resolution on

@@ -82,7 +82,10 @@ object DedupClusterStream {
     *
     * Scale: the dead-pair derivation is two broadcast semi-joins of the
     * pair store (dup volume) against the batch's retired set (deletion
-    * volume); everything else is the insert path's working set. Replay-
+    * volume — batch-sized, so those hints are unconditional; the
+    * LIFETIME-sized prior-retirement anti-joins are size-gated via
+    * [[Stores.broadcastIfUnder]]); everything else is the insert path's
+    * working set. Replay-
     * safe: the removed store is a batch-keyed dynamic overwrite, the
     * dead-pair read is prefix-bounded (`batch < id`), and CcStream's
     * recompute converges under redelivery. Op-less callers are
@@ -91,19 +94,29 @@ object DedupClusterStream {
       rootDir: String, family: HashFamily = HashFamily.Fast,
       threshold: Double = Dedup.JaccardThreshold): Unit = {
     import s.implicits._
-    // empty-batch guard (the CcStream note, uniform across the family)
-    if (batch.isEmpty) return
+    // ONE materialization + ONE aggregate action where the first cut ran
+    // four separate driver probes (batch/dels/adds isEmpty + the cc-batch
+    // probe below) — the AnnDeltaStream cached-op-split treatment; every
+    // branch below re-reads the checkpointed rows instead of re-executing
+    // the micro-batch plan
     val hasOps = batch.columns.contains("op")
+    val b = batch.localCheckpoint()
+    val opCol = if (hasOps) $"op" else lit(1)
+    val split = b.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(opCol === -1, 1L).otherwise(0L)), lit(0L)).as("nd")).head()
+    val (n, nDel) = (split.getLong(0), split.getLong(1))
+    // empty-batch guard (the CcStream note, uniform across the family)
+    if (n == 0L) return
+    val anyDels = nDel > 0L
     val dels =
-      if (hasOps) batch.filter($"op" === -1).select($"doc_id")
+      if (anyDels) b.filter($"op" === -1).select($"doc_id")
       else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
     // removal wins within a batch: terminal retirement admits no
     // same-batch resurrection ordering question
     val adds =
-      (if (hasOps) batch.filter($"op" =!= -1) else batch)
+      (if (hasOps) b.filter($"op" =!= -1) else b)
         .select($"doc_id", $"text")
         .join(dels, Seq("doc_id"), "left_anti")
-    val anyDels = hasOps && !dels.isEmpty
     if (anyDels)
       // recorded BEFORE the insert path runs, so this batch's own new
       // docs already see the mask
@@ -111,7 +124,10 @@ object DedupClusterStream {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(removedDir(rootDir))
-    if (!adds.isEmpty)
+    // gate on the op-split counts, not another action: op ≠ −1 rows may
+    // still anti-join to nothing (added and retired in one batch), and
+    // the insert path is a cheap no-op on an empty frame in that case
+    if (n - nDel > 0L)
       DedupStream.processBatch(s, adds, batchId,
         indexDir(rootDir), pairsDir(rootDir), family, threshold,
         removedDir = Some(removedDir(rootDir)))
@@ -138,12 +154,17 @@ object DedupClusterStream {
     val deadPairs =
       if (!anyDels) newPairs.limit(0)
       else {
-        val prevRm = s.read.parquet(removedDir(rootDir))
-          .filter($"batch" < batchId).select($"doc_id".as("__prm"))
+        // prior retirements span the store's whole lifetime (terminal,
+        // never expired) — broadcast only while the on-disk bytes fit
+        // the session threshold; the planner decides past it
+        val prevRm = Stores.broadcastIfUnder(
+          s.read.parquet(removedDir(rootDir))
+            .filter($"batch" < batchId).select($"doc_id".as("__prm")),
+          removedDir(rootDir))
         val prior = pairsSrc.filter($"batch" < batchId)
           .select($"doc_a", $"doc_b")
-          .join(broadcast(prevRm), $"doc_a" === $"__prm", "left_anti")
-          .join(broadcast(prevRm), $"doc_b" === $"__prm", "left_anti")
+          .join(prevRm, $"doc_a" === $"__prm", "left_anti")
+          .join(prevRm, $"doc_b" === $"__prm", "left_anti")
         val rmA = prior.join(broadcast(dels.select($"doc_id".as("__rm"))),
           $"doc_a" === $"__rm", "left_semi")
         val rmBOnly = prior
@@ -154,7 +175,9 @@ object DedupClusterStream {
         rmA.union(rmBOnly)
           .select($"doc_a".as("src"), $"doc_b".as("dst"), lit(-1).as("op"))
       }
-    val ccBatch = deadPairs.union(newPairs)
+    // materialized so the emptiness probe and CcStream's recompute share
+    // one execution of the dead-pair derivation instead of paying it twice
+    val ccBatch = deadPairs.union(newPairs).localCheckpoint()
     // a batch may move no edge at all — nothing for the cluster store
     // (CcStream's label read path requires at least one prior write)
     if (!ccBatch.isEmpty) CcStream.processBatch(ccBatch, batchId, ccDir(rootDir))
@@ -201,7 +224,10 @@ object DedupClusterStream {
       .writeStream
       .option("checkpointLocation", s"$rootDir.ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) processBatch(s, batch, batchId, rootDir, family)
+        // processBatch's own op-split aggregate doubles as the
+        // empty-batch guard — a separate isEmpty here would just add a
+        // job launch per micro-batch
+        processBatch(s, batch, batchId, rootDir, family)
       }
       .trigger(trigger)
       .start()

@@ -169,8 +169,11 @@ object DedupStream {
     * new id; content identity is not a mutable key), which is what keeps
     * the mask monotone and this method free of per-doc liveness
     * resolution. Candidates touching a retired doc are masked out before
-    * verification (two broadcast anti-joins over the deletion-volume-
-    * sized mask — candidate-sized work, the index itself is still never
+    * verification (two anti-joins over the retirement mask, broadcast-
+    * hinted only while the store's on-disk bytes fit the session
+    * threshold — retirement is terminal, so the mask grows for the
+    * store's LIFETIME and must not force an unbounded driver collect;
+    * candidate-sized work either way, the index itself is still never
     * rescanned); re-inserting a retired id is REFUSED loudly rather than
     * silently resurrecting bands the mask would keep hiding. The
     * retired docs' bands/shingles stay physically in the append-layout
@@ -188,8 +191,8 @@ object DedupStream {
     // an op-less stream never materializes the removed store — one cheap
     // existence probe keeps the mask joins and the revived-check action
     // entirely off the insert-only hot path
-    val removed = removedDir.filter(pathExists(s, _))
-      .map(d => s.read.schema(removedSchema).parquet(d))
+    val removedPath = removedDir.filter(pathExists(s, _))
+    val removed = removedPath.map(d => s.read.schema(removedSchema).parquet(d))
     removed.foreach { rm =>
       // loud refusal of retired-id re-inserts (strictly earlier batches:
       // a doc added and removed in ONE batch was already dropped from
@@ -209,15 +212,22 @@ object DedupStream {
       .select(col("doc_id"), col("sh"))
 
     val cand0 = candidates(s, newBands, batchId, indexDir)
-    val cand = removed.fold(cand0) { rm =>
+    val cand = removedPath.fold(cand0) { d =>
       // mask = every retirement recorded at or before this batch (the
       // caller records this batch's removals first, so same-batch new
-      // docs cannot pair with docs removed beside them)
-      val mask = rm.filter(col("batch") <= batchId)
+      // docs cannot pair with docs removed beside them). Retirement is
+      // terminal, so the store grows monotonically for the store's
+      // lifetime — the broadcast is size-gated on its on-disk bytes
+      // (years of takedowns must not force an unbounded driver collect;
+      // past the threshold the planner picks the join strategy)
+      val mask = s.read.schema(removedSchema).parquet(d)
+        .filter(col("batch") <= batchId)
       cand0
-        .join(broadcast(mask.select(col("doc_id").as("__rm_a"))),
+        .join(Stores.broadcastIfUnder(
+            mask.select(col("doc_id").as("__rm_a")), d),
           col("doc_a") === col("__rm_a"), "left_anti")
-        .join(broadcast(mask.select(col("doc_id").as("__rm_b"))),
+        .join(Stores.broadcastIfUnder(
+            mask.select(col("doc_id").as("__rm_b")), d),
           col("doc_b") === col("__rm_b"), "left_anti")
     }
 
@@ -283,13 +293,25 @@ object DedupStream {
     * generations are folded as sources, duplicates collapse through the
     * per-(doc, band) distinct candidates and the terminal retirement
     * set) — run it before serving resumes, exactly as
-    * [[AnnDeltaStream.compact]] documents. */
+    * [[AnnDeltaStream.compact]] documents.
+    *
+    * Also folds the REMOVED store itself into one distinct generation:
+    * the takedown path writes one `batch=<id>` partition per retirement
+    * batch, and without compaction every later mask read lists one
+    * directory per takedown EVER — unbounded over the store's lifetime.
+    * The folded (doc_id, min rmb) generation carries a negative id, so
+    * every consumer's prefix filter still admits it. */
   def purgeRetired(s: SparkSession, indexDir: String, removedDir: String,
       throughBatch: Long): Unit = {
     import s.implicits._
     if (!pathExists(s, removedDir)) return
-    val retired = s.read.schema(removedSchema).parquet(removedDir)
-      .select($"doc_id").distinct().localCheckpoint()
+    // the retirement set is lifetime-unbounded (terminal retirement, no
+    // expiry) — size-gate its broadcast like every other removed-store
+    // consumer; the distinct set never exceeds the store it came from
+    val retired = Stores.broadcastIfUnder(
+      s.read.schema(removedSchema).parquet(removedDir)
+        .select($"doc_id").distinct().localCheckpoint(),
+      removedDir)
     val table = ensureBandsTable(s, indexDir)
     val bandsPath = s"$indexDir/bands"
     val bandIds = batchIdsUnder(s, bandsPath)
@@ -301,7 +323,7 @@ object DedupStream {
       // table the plan reads (the family-wide compaction rule)
       val staged = s.table(table)
         .filter($"batch".isInCollection(bSources))
-        .join(broadcast(retired), Seq("doc_id"), "left_anti")
+        .join(retired, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"band", $"bhash", lit(stagingId).as("batch"))
         .localCheckpoint()
       graft.store.Bucketing.withDynamicPartitionOverwrite(s) {
@@ -319,7 +341,7 @@ object DedupStream {
       val stagingId = shIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
       val staged = s.read.parquet(shPath)
         .filter($"batch".isInCollection(shSources))
-        .join(broadcast(retired), Seq("doc_id"), "left_anti")
+        .join(retired, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"sh")
         .localCheckpoint()
       // direct leaf write (partition dir supplies `batch`): an all-retired
@@ -328,6 +350,29 @@ object DedupStream {
       (if (staged.isEmpty) staged.repartition(1) else staged)
         .write.mode(SaveMode.Overwrite).parquet(s"$shPath/batch=$stagingId")
       shSources.foreach(b => fs.delete(new Path(shPath, s"batch=$b"), true))
+    }
+    // fold the removed store itself: without this, every takedown batch
+    // leaves a `batch=<id>` directory FOREVER and each mask read lists one
+    // dir per takedown ever taken — the family's one-distinct-generation
+    // fold discipline applies here too. Retirement is terminal, so the
+    // fold is a plain (doc_id, min rmb) distinct; the generation's
+    // negative id passes every consumer's prefix filter (`batch < id` /
+    // `<= id` with non-negative live ids). Crash between the generation
+    // write and the source deletes leaves duplicates visible — every
+    // reader is duplicate-tolerant (anti/semi joins, the distinct above)
+    // and a re-run folds the old generation back in and converges.
+    val rmIds = batchIdsUnder(s, removedDir)
+    val rmSources = rmIds.filter(b => b < 0 || b <= throughBatch)
+    if (rmSources.nonEmpty) {
+      val stagingId = rmIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
+      val staged = s.read.schema(removedSchema).parquet(removedDir)
+        .filter($"batch".isInCollection(rmSources))
+        .groupBy($"doc_id").agg(min($"rmb").as("rmb"))
+        .localCheckpoint()
+      (if (staged.isEmpty) staged.repartition(1) else staged)
+        .write.mode(SaveMode.Overwrite).parquet(s"$removedDir/batch=$stagingId")
+      val rmFs = new Path(removedDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      rmSources.foreach(b => rmFs.delete(new Path(removedDir, s"batch=$b"), true))
     }
   }
 

@@ -70,12 +70,63 @@ private[graft] object Stores {
     * metadata round-trip; used to size-gate broadcast hints on stores
     * whose volume is workload-dependent (e.g. tombstones between
     * compaction sweeps), where an unconditional hint would force a
-    * driver collect of an arbitrarily large side. */
-  def bytesUnder(s: SparkSession, path: String): Long = {
-    val p = new Path(path)
-    val fs = fsOf(s, p)
-    if (!fs.exists(p)) 0L
-    else try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+    * driver collect of an arbitrarily large side. FAILS CLOSED: when the
+    * size cannot be determined (an I/O error, not absence), returns
+    * Long.MaxValue so a gate reading it skips the hint and the planner
+    * decides — the earlier catch-all-return-0 read a filesystem error as
+    * "tiny store" and broadcast unconditionally, the exact failure the
+    * gate exists to prevent. Fatal errors (OutOfMemoryError etc.)
+    * propagate. */
+  def bytesUnder(s: SparkSession, path: String): Long =
+    try {
+      val p = new Path(path)
+      val fs = fsOf(s, p)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    } catch { case _: java.io.IOException => Long.MaxValue }
+
+  /** Bytes of `spark.sql.autoBroadcastJoinThreshold`'s value, honoring
+    * the full b/k/m/g/t/p (± trailing b) suffix set Spark's byte-string
+    * parser accepts; ≤ 0 means broadcasting is disabled and a gate must
+    * not hint. Any string this parser cannot read — including an empty
+    * value — returns −1 (no hint, planner decides): an unusual but
+    * Spark-legal setting must degrade the OPTIMIZATION, never crash the
+    * serve path reading it. */
+  private[graft] def broadcastThresholdBytes(conf: String): Long =
+    try {
+      val t = conf.trim.stripSuffix("b").stripSuffix("B")
+      val shift = t.takeRight(1).toLowerCase match {
+        case "k" => 10 case "m" => 20 case "g" => 30
+        case "t" => 40 case "p" => 50 case _ => 0
+      }
+      val digits = if (shift == 0) t else t.dropRight(1).trim
+      digits.toLong << shift
+    } catch { case _: NumberFormatException => -1L }
+
+  /** Conservative hydration factor between compressed on-disk parquet
+    * bytes and the in-memory plan-size estimates Spark's own threshold
+    * governs: a broadcast hash relation is typically several times its
+    * parquet footprint (decompression + row format + hash table), so the
+    * gate compares bytes·4 against the threshold rather than raw bytes —
+    * a store just under the threshold on disk must not hydrate past it. */
+  private val HydrationFactor = 4L
+
+  /** `df` hinted for broadcast iff the on-disk bytes under `path`, scaled
+    * by [[HydrationFactor]], fit the session's broadcast threshold; `df`
+    * unhinted (planner/AQE decides) otherwise or whenever the decision
+    * cannot be made (unparseable threshold, unsizeable store — both fail
+    * toward NOT hinting). Sound only when `df` never exceeds the store at
+    * `path` (a filter/aggregate/projection of it). This is the one gate
+    * for every broadcast of a store whose volume is workload-dependent —
+    * tombstones between sweeps, retirement sets over a store's lifetime —
+    * where an unconditional hint would force an arbitrarily large driver
+    * collect years into a deployment. */
+  def broadcastIfUnder(df: DataFrame, path: String): DataFrame = {
+    val s = df.sparkSession
+    val threshold = broadcastThresholdBytes(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    if (threshold > 0 && bytesUnder(s, path) <= threshold / HydrationFactor)
+      broadcast(df)
+    else df
   }
 
   // ---------------------------------------------------------------------

@@ -141,7 +141,7 @@ class AnnDeltaStreamSpec extends AnyFunSuite {
   }
 
   test("the tombstone join's broadcast gate: threshold parsing + small-store plan hint") {
-    import graft.streaming.AnnDeltaStream.broadcastThresholdBytes
+    import graft.streaming.Stores.broadcastThresholdBytes
     // the suffix forms Spark's byte-string parser accepts for this conf
     assert(broadcastThresholdBytes("10485760") === 10485760L)
     assert(broadcastThresholdBytes("10m") === (10L << 20))
@@ -150,6 +150,15 @@ class AnnDeltaStreamSpec extends AnyFunSuite {
     assert(broadcastThresholdBytes("1g") === (1L << 30))
     assert(broadcastThresholdBytes("-1") === -1L, "disabled must gate the hint off")
     assert(broadcastThresholdBytes("0") === 0L)
+    assert(broadcastThresholdBytes("1t") === (1L << 40))
+    assert(broadcastThresholdBytes("2TB") === (2L << 40))
+    assert(broadcastThresholdBytes("1p") === (1L << 50))
+    // anything the parser cannot read degrades to "no hint", never a
+    // serve-path crash on an unusual-but-legal session conf
+    assert(broadcastThresholdBytes("") === -1L)
+    assert(broadcastThresholdBytes("  ") === -1L)
+    assert(broadcastThresholdBytes("tenmb") === -1L)
+    assert(broadcastThresholdBytes("10x") === -1L)
     // a tiny tombstone store sits far under the default threshold, so the
     // serve plan must carry the broadcast; a bulk-ingest store past the
     // threshold falls back to the planner (exercised by the parser cases

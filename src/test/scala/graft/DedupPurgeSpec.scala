@@ -70,6 +70,13 @@ class DedupPurgeSpec extends AnyFunSuite {
       "retired doc rows still physically present after purge")
     assert(spark.table(DedupStream.bandsTable(s"$purged/index")).count() === survivorBands,
       "purge lost (or duplicated) survivor band rows")
+    // the removed store itself folds to one distinct generation — without
+    // this, mask reads list one directory per takedown batch ever taken
+    assert(batchDirs(s"$purged/removed") === Set("batch=-1"),
+      s"removed-store dirs after purge: ${batchDirs(s"$purged/removed")}")
+    assert(spark.read.parquet(s"$purged/removed").select(col("doc_id")).distinct().count()
+      === docs.filter(retireP).count(),
+      "removed-store fold lost (or fabricated) retirements")
 
     // the late batch probes the PURGED index on one store and the MASKED
     // index on the other — verified pairs and served clusters must match
@@ -91,6 +98,8 @@ class DedupPurgeSpec extends AnyFunSuite {
       s"bands dirs after second purge: ${batchDirs(s"$purged/index/bands")}")
     assert(batchDirs(s"$purged/index/shingles") === Set("batch=-2"),
       s"shingle dirs after second purge: ${batchDirs(s"$purged/index/shingles")}")
+    assert(batchDirs(s"$purged/removed") === Set("batch=-2"),
+      s"removed dirs after second purge: ${batchDirs(s"$purged/removed")}")
 
     // the purged generation must still satisfy the probe join's
     // distribution: only the new batch's band keys may exchange
