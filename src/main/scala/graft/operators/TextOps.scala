@@ -821,31 +821,56 @@ object TextOps {
   private def subwordLen(w: Column, vocab: Seq[(String, Long)]): Column =
     size(subwordIds(w, vocab)).cast("long")
 
-  /** q115 — sequence packing over SUBWORD token counts (the q70 manifest
-    * re-based on the q111 tokenizer, closing the loop the round-14
-    * verdict named): bin budgets now count the tokens a trainer actually
-    * consumes, not whitespace words — a 512-token bin of q70 words can
-    * overflow a real context window, this one cannot. Per document the
-    * token count is ONE pure column fold (the words split, then the
-    * vocab-literal greedy match per word — zero joins, zero shuffle, all
-    * inside codegen); packing then reuses q70's per-source cumulative
-    * window. The alternative — tokenize the DISTINCT-word relation once
-    * and join counts back — trades this fold's per-occurrence compute
-    * for a corpus-token-row shuffle; with the vocab embedded as a
-    * literal map the fold is pure CPU inside the scan, so the join's
-    * exchange is the strictly worse deal at every scale. */
-  private def q115(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document subword token counts, FOLD variant: the words split,
+    * then the vocab-literal greedy match per word occurrence — zero
+    * joins, zero shuffle, all inside codegen on the scan side.
+    * Package-private so [[graft.tools.AbQ115]] can arbitrate it against
+    * the join variant below. */
+  private[graft] def docSubwordToksFold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = subwordVocab(s, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
     t(s, dir, "documents")
       .select($"source", $"doc_id",
         aggregate(
           transform(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)),
             wd => subwordLen(wd, vocab)),
           lit(0L), (a, x) => a + x).as("toks"))
-      .withColumn("cum_end", sum($"toks").over(w))
+  }
+
+  /** Per-document subword token counts, JOIN variant (q115's serving
+    * path — measured winner, see q115's doc): tokenize the DISTINCT-word
+    * relation once (vocab-fold per distinct word), then join lengths
+    * back onto the corpus's word occurrences and sum per document. The
+    * word-length side is distinct-word-sized (usually broadcastable;
+    * planner/AQE decides), and the per-doc aggregation's map-side
+    * combine collapses occurrence rows to DOC-sized exchange volume —
+    * so the "corpus-token-row shuffle" the fold variant's old comment
+    * feared never materializes. Both variants produce identical
+    * (source, doc_id, toks); [[graft.tools.AbQ115]] asserts it before
+    * timing. */
+  private[graft] def docSubwordToksJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = subwordVocab(s, dir)
+    val wl = wordCounts(s, dir).select($"w", subwordLen($"w", vocab).as("wl"))
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select($"source", $"doc_id",
+        explode(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .join(wl, "w")
+      .groupBy($"source", $"doc_id").agg(sum($"wl").as("toks"))
+    // docs with no words pack as zero tokens (they vanish from the
+    // occurrence relation but must keep their manifest row)
+    docs.select($"source", $"doc_id")
+      .join(toks, Seq("source", "doc_id"), "left")
+      .select($"source", $"doc_id", coalesce($"toks", lit(0L)).as("toks"))
+  }
+
+  /** q70's packing tail over any (source, doc_id, toks) relation. */
+  private[graft] def packToks(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    df.withColumn("cum_end", sum($"toks").over(w))
       .withColumn("bin", expr(s"(cum_end - toks) div $PackBinTokens"))
       .groupBy($"source", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
@@ -854,6 +879,28 @@ object TextOps {
         $"n_tokens".cast("long").as("n_tokens"), $"first_doc", $"last_doc")
       .orderBy($"source", $"bin")
   }
+
+  /** q115 — sequence packing over SUBWORD token counts (the q70 manifest
+    * re-based on the q111 tokenizer, closing the loop the round-14
+    * verdict named): bin budgets now count the tokens a trainer actually
+    * consumes, not whitespace words — a 512-token bin of q70 words can
+    * overflow a real context window, this one cannot. Token counts come
+    * from [[docSubwordToksJoin]] (tokenize distinct words, join lengths
+    * back, doc-sized aggregation exchange); packing then reuses q70's
+    * per-source cumulative window.
+    *
+    * MEASURED, not assumed (`Q115AB_r16.json`, [[graft.tools.AbQ115]] —
+    * interleaved min-of-10 at sf0.1): the round-15 fold variant
+    * ([[docSubwordToksFold]], per-occurrence vocab-literal greedy match)
+    * claimed the join was "strictly worse at every scale"; the A/B read
+    * fold 2.95 s vs join 0.66 s minima — the CLAIM WAS BACKWARD. Greedy
+    * matching costs per occurrence; Zipf makes distinct words ≪
+    * occurrences, and the join's exchange is doc-sized after map-side
+    * combine. The fold remains the fallback shape for a corpus whose
+    * distinct-word relation is too large to join cheaply (it is
+    * scan-local by construction). */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    packToks(docSubwordToksJoin(s, dir))
 
   /** Oracle: per-word subword length = the walk's step count, joined back
     * to per-document word occurrences (docs with no words pack as zero

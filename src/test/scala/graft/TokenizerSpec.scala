@@ -84,6 +84,18 @@ class TokenizerSpec extends AnyFunSuite {
       s"packing counted $q115n tokens, the inventory counted $q111n")
   }
 
+  test("q115's per-doc token counts: fold variant ≡ join variant (the A/B premise)") {
+    // the serving path is the measured winner (join, Q115AB_r16.json);
+    // the fold stays as the scan-local fallback shape and must keep
+    // computing the same manifest
+    val a = graft.operators.TextOps.docSubwordToksFold(spark, dir)
+      .collect().map(_.toString).sorted
+    val b = graft.operators.TextOps.docSubwordToksJoin(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty, "no documents tokenized — vacuous")
+    assert(a.sameElements(b), "fold and join token counts diverged")
+  }
+
   test("round-trip: tokenized ids re-concatenate to every distinct word (Spark side)") {
     import spark.implicits._
     val byId = vocab.map { case (t, id) => (id, t) }
