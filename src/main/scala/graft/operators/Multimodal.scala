@@ -2438,6 +2438,141 @@ object Multimodal {
   // layout, not content.
   private val q118Sql = rgbRoundtripSql(BmpW, BmpH)
 
+  // ------------------------- JPEG (q122/q123) ---------------------------
+
+  val JpegBw = 7 // blocks across — 35 block bytes, the BMP fixture budget
+  val JpegBh = 5 // blocks down
+  val JpegW: Int = JpegBw * 8 // 56 px
+  val JpegH: Int = JpegBh * 8 // 40 px
+
+  final case class JpegStats(doc_id: Long, width: Int, height: Int,
+      mean_gray: Double)
+  final case class Jpeg420Stats(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Per-8×8-BLOCK-constant gray raster from the document's bytes (one
+    * byte per block, zero-padded): with [[Jpeg.QuantFlat]] a constant
+    * block has a DC-only spectrum with an exact-integer DC, so the LOSSY
+    * codec roundtrips these rasters EXACTLY — the q122/q123 oracle
+    * premise (see [[Jpeg]]'s doc). */
+  private def blockGray(txt: Array[Byte]): Array[Byte] = {
+    val blocks = java.util.Arrays.copyOf(txt, JpegBw * JpegBh)
+    val gray = new Array[Byte](JpegW * JpegH)
+    var y = 0
+    while (y < JpegH) {
+      var x = 0
+      while (x < JpegW) {
+        gray(y * JpegW + x) = blocks((y / 8) * JpegBw + (x / 8))
+        x += 1
+      }
+      y += 1
+    }
+    gray
+  }
+
+  /** Grayscale baseline JPEG per document, RSTn markers every 3 MCUs so
+    * the serving path exercises restart handling on every row. */
+  def synthesizeJpeg(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      MediaRow(id, Jpeg.encodeGray(JpegW, JpegH, blockGray(txt),
+        restartInterval = 3), "image/jpeg", JpegW, JpegH)
+    }
+
+  /** 4:2:0 YCbCr baseline JPEG per document: the same block-constant
+    * raster as the Y plane, chroma flat at 128 (neutral — decoded RGB is
+    * exactly (y, y, y)), so the 16×16 MCU interleave, the PARTIAL edge
+    * MCUs (56×40 is 3.5×2.5 MCUs) and chroma upsampling are all
+    * load-bearing on the wire while the roundtrip stays the identity. */
+  def synthesizeJpeg420(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val cw = (JpegW + 1) / 2
+      val chh = (JpegH + 1) / 2
+      val flat = Array.fill[Byte](cw * chh)(128.toByte)
+      MediaRow(id, Jpeg.encodeYcc420(JpegW, JpegH, blockGray(txt), flat, flat),
+        "image/jpeg", JpegW, JpegH)
+    }
+
+  /** REAL decode → decoded dims + gray mean. */
+  def decodeJpegStats(rows: Iterator[MediaRow]): Iterator[JpegStats] =
+    rows.flatMap { r =>
+      Jpeg.decode(r.payload).collect {
+        case img if img.nComponents == 1 =>
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+          JpegStats(r.doc_id, img.width, img.height,
+            sum.toDouble / (img.width * img.height))
+      }
+    }
+
+  /** REAL decode of the color path → per-channel means. */
+  def decodeJpeg420Stats(rows: Iterator[MediaRow]): Iterator[Jpeg420Stats] =
+    rows.flatMap { r =>
+      Jpeg.decode(r.payload).collect {
+        case img if img.nComponents == 3 =>
+          val n = img.width * img.height
+          val sums = new Array[Long](3)
+          var p = 0
+          while (p < n * 3) { sums(p % 3) += img.pixels(p) & 0xFF; p += 1 }
+          Jpeg420Stats(r.doc_id, img.width, img.height,
+            sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q122 — baseline JPEG decode over the grayscale wire: markers, DQT,
+    * DHT canonical codes, byte stuffing, RSTn restarts, zigzag, dequant,
+    * IDCT — all on the real JFIF layout, with the block-constant fixture
+    * making the roundtrip exact (so the oracle is pure SQL). */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpegStats(synthesizeJpeg(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_gray")
+      .orderBy($"doc_id")
+  }
+
+  /** q123 — the 4:2:0 YCbCr half: interleaved 16×16 MCUs with partial
+    * edge MCUs, two chroma components, replication upsampling and the
+    * JFIF color transform (neutral chroma ⇒ RGB = (y,y,y) exactly). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpeg420Stats(synthesizeJpeg420(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: roundtrip identity at BLOCK granularity — each of the
+    * [[JpegBw]]×[[JpegBh]] blocks is one (zero-padded) document byte
+    * replicated over 64 pixels, so the raster mean is the mean of the
+    * padded block bytes. Single-byte-corpus assumption as in q58Sql. */
+  private val q122Sql = {
+    val nb = JpegBw * JpegBh
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($nb) t(j)),
+       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($JpegW AS INTEGER) AS width, CAST($JpegH AS INTEGER) AS height,
+       |  sv / $nb.0 AS mean_gray
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** q123's oracle: same block mean on every channel (neutral chroma). */
+  private val q123Sql = {
+    val nb = JpegBw * JpegBh
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($nb) t(j)),
+       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($JpegW AS INTEGER) AS width, CAST($JpegH AS INTEGER) AS height,
+       |  sv / $nb.0 AS mean_r, sv / $nb.0 AS mean_g, sv / $nb.0 AS mean_b
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -2455,5 +2590,7 @@ object Multimodal {
     GQuery("q119_bmp_rle8_decode", q119, Some(q118Sql)),
     GQuery("q120_ulaw_compand", q120, Some(q120Sql)),
     GQuery("q121_alaw_compand", q121, Some(q121Sql)),
+    GQuery("q122_jpeg_decode", q122, Some(q122Sql)),
+    GQuery("q123_jpeg420_decode", q123, Some(q123Sql)),
   )
 }

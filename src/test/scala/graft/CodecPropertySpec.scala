@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Jpeg
 import graft.operators.Multimodal.{Bmp, Gif, Png, Ppm, Qoi, Wav}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.propBoolean
@@ -131,6 +132,39 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("JPEG: block-constant rasters roundtrip EXACTLY; arbitrary rasters within the DCT round-off bound") {
+    // block-constant: the q122/q123 oracle premise as a property — any
+    // per-8×8-block-constant raster survives the lossy pipeline intact
+    // under flat quantization (DC-only spectrum, exact-integer DC)
+    val genBlockDims = for { bw <- Gen.choose(1, 4); bh <- Gen.choose(1, 3) } yield (bw, bh)
+    check("jpeg-flat", Prop.forAll(genBlockDims) { case (bw, bh) =>
+      Prop.forAll(genRaster(bw * bh)) { blocks =>
+        val (w, h) = (bw * 8, bh * 8)
+        val gray = Array.tabulate[Byte](w * h)(i =>
+          blocks((i / w / 8) * bw + (i % w / 8)))
+        val g = Jpeg.decode(Jpeg.encodeGray(w, h, gray))
+        val cw = (w + 1) / 2
+        val flat = Array.fill[Byte](cw * ((h + 1) / 2))(128.toByte)
+        val c = Jpeg.decode(Jpeg.encodeYcc420(w, h, gray, flat, flat))
+        g.exists(i => i.nComponents == 1 && java.util.Arrays.equals(i.pixels, gray)) &&
+          c.exists(i => i.nComponents == 3 && (0 until w * h).forall(p =>
+            i.pixels(3 * p) == gray(p) && i.pixels(3 * p + 1) == gray(p) &&
+              i.pixels(3 * p + 2) == gray(p)))
+      }
+    }, 60)
+    // arbitrary rasters: flat-quant round-off is bounded — each zigzag
+    // coefficient rounds by ≤ 0.5, so |pixel error| ≤ 0.125·(1/√2+7)²+0.5
+    // < 8.5; assert ≤ 9 (a Huffman/zigzag/dequant bug blows far past it)
+    check("jpeg-lossy-bound", Prop.forAll(genDims) { case (w, h) =>
+      Prop.forAll(genRaster(w * h)) { px =>
+        Jpeg.decode(Jpeg.encodeGray(w, h, px)).exists { i =>
+          i.width == w && i.height == h &&
+            px.indices.forall(p => math.abs((i.pixels(p) & 0xFF) - (px(p) & 0xFF)) <= 9)
+        }
+      }
+    }, 60)
+  }
+
   // ---- totality (fuzz): decoders never throw --------------------------
 
   private val decoders: Seq[(String, Array[Byte] => Option[Any])] = Seq(
@@ -141,7 +175,8 @@ class CodecPropertySpec extends AnyFunSuite {
     "gif" -> (b => Gif.decode(b)),
     "gif-frames" -> (b => Gif.decodeFrames(b)),
     "gif-composited" -> (b => Gif.decodeComposited(b)),
-    "bmp" -> (b => Bmp.decode(b)))
+    "bmp" -> (b => Bmp.decode(b)),
+    "jpeg" -> (b => Jpeg.decode(b)))
 
   private def neverThrows(name: String, f: Array[Byte] => Option[Any],
       bytes: Array[Byte]): Prop =
@@ -174,7 +209,16 @@ class CodecPropertySpec extends AnyFunSuite {
           Gif.encode(9, 7, idx, interlaced = true)),
         ("bmp24", b => Bmp.decode(b), Bmp.encode24(9, 7, px)),
         ("bmp8", b => Bmp.decode(b), Bmp.encode8(9, 7, px)),
-        ("bmp-rle8", b => Bmp.decode(b), Bmp.encodeRle8(9, 7, px)))
+        ("bmp-rle8", b => Bmp.decode(b), Bmp.encodeRle8(9, 7, px))) ++ {
+        val gray = Array.tabulate(24 * 16)(i => ((i * 37 + 11) % 251).toByte)
+        val cro = Array.tabulate(12 * 8)(i => ((i * 53 + 5) % 251).toByte)
+        Seq[(String, Array[Byte] => Option[Any], Array[Byte])](
+          ("jpeg", b => Jpeg.decode(b), Jpeg.encodeGray(24, 16, gray)),
+          ("jpeg-rst", b => Jpeg.decode(b),
+            Jpeg.encodeGray(24, 16, gray, restartInterval = 2)),
+          ("jpeg-420", b => Jpeg.decode(b),
+            Jpeg.encodeYcc420(24, 16, gray, cro, cro)))
+      }
     }
     seeds.foreach { case (name, f, valid) =>
       val genCorrupt: Gen[Array[Byte]] = Gen.oneOf(

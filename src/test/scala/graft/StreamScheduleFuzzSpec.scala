@@ -295,8 +295,13 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       schedule.zipWithIndex.foreach { case (batch, i) =>
         FunnelStream.processBatch(
           batch.toDF("user_id", "event_type", "ts_us", "op"), i.toLong, store)
+        // compaction cut at a RANDOM boundary ≤ the current batch — a cut
+        // BELOW a later retraction leaves that retraction live against
+        // the folded generation, so the generation's preserved liveness
+        // columns must keep resolving against it (the state shape a
+        // current-boundary-only cut never produces)
         if (i < nBatches - 1 && rnd.nextInt(4) == 0)
-          FunnelStream.compact(spark, store, throughBatch = i.toLong)
+          FunnelStream.compact(spark, store, throughBatch = rnd.nextInt(i + 1).toLong)
       }
       if (rnd.nextBoolean())
         FunnelStream.processBatch(
@@ -465,6 +470,122 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
           r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
       assert(got === want,
         s"case $c diverged (retired=${retiredSoFar.toSeq.sorted.take(20)}...)")
+    }
+    docs.unpersist()
+  }
+
+  // ---- dedup PURGE: random insert/retire/purge interleavings ------------
+
+  /** The physical-purge maintenance job fuzzed INTO the schedule (the
+    * fixed-schedule DedupPurgeSpec pins the known shape; here purges land
+    * at random points between batches — the stopped-stream contract a
+    * direct batch loop satisfies). After every purge: the retirements
+    * recorded so far must be PHYSICALLY absent from bands and shingles
+    * (purge applies every recorded retirement, not just those ≤ its
+    * cut), and the removed store must have folded to a single
+    * generation. At the end the served clusters must equal the same
+    * union-find oracle the takedown lane uses — a purge must never
+    * change an answer, only erase retired bytes. */
+  test("4 random insert/retire/PURGE schedules: physical absence + served clusters ≡ union-find") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val fullPairs = graft.operators.Dedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val rnd = new scala.util.Random(0x9E6ED5EEDL ^ SeedBase)
+    (1 to 4).foreach { c =>
+      val insBatches = rnd.shuffle(allIds).grouped(
+        math.ceil(allIds.size / 3.0).toInt).toSeq
+      val retiredSoFar = scala.collection.mutable.Set.empty[Long]
+      val insertedSoFar = scala.collection.mutable.Set.empty[Long]
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, Seq[Long])]
+      insBatches.foreach { wave =>
+        batches += ((true, wave))
+        insertedSoFar ++= wave
+        if (rnd.nextInt(10) < 7) {
+          val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
+          if (candidates.nonEmpty) {
+            val k = 1 + rnd.nextInt(math.min(8, candidates.size))
+            val picks = rnd.shuffle(candidates).take(k)
+            retiredSoFar ++= picks
+            batches += ((false, picks))
+          }
+        }
+      }
+      val store = tmpStore()
+      def assertPurged(ids: Set[Long], at: String): Unit = {
+        if (ids.isEmpty) return
+        val r = ids.toSeq.toDF("doc_id")
+        val bands = spark.table(
+          graft.streaming.DedupStream.bandsTable(s"$store/index"))
+          .join(r, "doc_id").count()
+        val sh = spark.read.parquet(s"$store/index/shingles")
+          .join(r, "doc_id").count()
+        assert((bands, sh) === ((0L, 0L)),
+          s"case $c $at: retired rows physically present (bands=$bands, sh=$sh)\n" +
+            s"batches=${batches.map { case (ins, is) =>
+              (if (ins) "+" else "-") + is.mkString("{", ",", "}") }.mkString(" ")}\n" +
+            s"retired=${ids.toSeq.sorted.mkString(",")}\n" +
+            s"lingering=${spark.table(graft.streaming.DedupStream.bandsTable(s"$store/index"))
+              .join(r, "doc_id").select("doc_id", "batch").distinct()
+              .collect().map(_.toString).mkString(" ")}")
+        val rmGens = new java.io.File(s"$store/removed").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
+        assert(rmGens.size === 1 && rmGens.head.getName.stripPrefix("batch=").toLong < 0,
+          s"case $c $at: removed store not folded to one generation: " +
+            rmGens.map(_.getName).mkString(","))
+      }
+      // retiredSoFar was filled while BUILDING the schedule; the mid-loop
+      // physical-absence assert may only demand erasure of retirements
+      // the executed prefix has actually recorded (the first cut of this
+      // lane asserted the FINAL set and flagged the engine for not
+      // erasing a retirement that hadn't happened yet — a test-oracle
+      // bug, documented here as the trap it was)
+      val retiredByNow = scala.collection.mutable.Set.empty[Long]
+      batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
+        val frame =
+          if (isInsert) docs.filter($"doc_id".isInCollection(ids))
+            .select($"doc_id", $"text", lit(1).as("op"))
+          else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
+        graft.streaming.DedupClusterStream.processBatch(spark, frame, i.toLong, store)
+        if (!isInsert) retiredByNow ++= ids
+        if (retiredByNow.nonEmpty && rnd.nextInt(3) == 0) {
+          graft.streaming.DedupClusterStream.purgeRetired(spark, store,
+            throughBatch = i.toLong)
+          assertPurged(retiredByNow.toSet, s"after purge@batch$i")
+        }
+        if (i < batches.size - 1 && rnd.nextInt(4) == 0)
+          graft.streaming.DedupClusterStream.compact(spark, store,
+            throughBatch = i.toLong)
+      }
+      // final purge so every case ends with the byte-erasure property
+      graft.streaming.DedupClusterStream.purgeRetired(spark, store,
+        throughBatch = (batches.size - 1).toLong)
+      assertPurged(retiredSoFar.toSet, "after final purge")
+      val pairs = fullPairs.filter { case (a, b) =>
+        !retiredSoFar(a) && !retiredSoFar(b) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+        .flatMap { case (_, ms) =>
+          val cid = ms.min
+          ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
+        }.toMap
+      val got = graft.streaming.DedupClusterStream.snapshot(spark, store)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(got === want,
+        s"case $c diverged after purges (retired=${retiredSoFar.toSeq.sorted.take(20)})")
     }
     docs.unpersist()
   }
