@@ -852,17 +852,17 @@ object TextOps {
     import s.implicits._
     val vocab = subwordVocab(s, dir)
     val wl = wordCounts(s, dir).select($"w", subwordLen($"w", vocab).as("wl"))
-    val docs = t(s, dir, "documents")
-    val toks = docs
+    // explode_OUTER keeps a null-word row for wordless documents, so the
+    // per-doc aggregation covers every manifest row by itself — the
+    // explode/inner-join first cut needed a second (sort-merge) join of
+    // the doc list back onto the counts just to restore the zero-token
+    // docs, one whole exchange for rows this shape keeps for free
+    t(s, dir, "documents")
       .select($"source", $"doc_id",
-        explode(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("w"))
-      .join(wl, "w")
-      .groupBy($"source", $"doc_id").agg(sum($"wl").as("toks"))
-    // docs with no words pack as zero tokens (they vanish from the
-    // occurrence relation but must keep their manifest row)
-    docs.select($"source", $"doc_id")
-      .join(toks, Seq("source", "doc_id"), "left")
-      .select($"source", $"doc_id", coalesce($"toks", lit(0L)).as("toks"))
+        explode_outer(regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .join(wl, Seq("w"), "left")
+      .groupBy($"source", $"doc_id")
+      .agg(sum(coalesce($"wl", lit(0L))).as("toks"))
   }
 
   /** q70's packing tail over any (source, doc_id, toks) relation. */
