@@ -58,10 +58,11 @@ private[graft] object Jpeg {
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val DcVals: Array[Int] = (0 to 11).toArray
   private val AcVals: Array[Int] =
-    ((0x00 +: 0xF0 +: (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s))
-      .distinct.sorted).toArray
+    (((0 to 14).map(_ << 4)) ++ Seq(0xF0) ++ // EOB/EOBn (s = 0) + ZRL
+      (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s))
+      .distinct.sorted.toArray
   private val AcBits: Array[Int] = {
-    val b = new Array[Int](16); b(7) = AcVals.length; b // all length 8
+    val b = new Array[Int](16); b(7) = AcVals.length; b // all length 8 (177 ≤ 255)
   }
 
   /** Canonical code assignment (T.81 C.2): symbol → (code, length). */
@@ -307,6 +308,184 @@ private[graft] object Jpeg {
     out.toByteArray
   }
 
+  /** Minimal spec-legal PROGRESSIVE (SOF2) encode — no successive
+    * approximation: scan 1 is the interleaved DC scan (Ss=Se=0,
+    * Ah=Al=0), then one full-band AC scan per component (Ss=1, Se=63)
+    * with real EOBn run-length coding across blocks (the decoder's
+    * EOBRUN path is load-bearing for every all-zero-AC block). Exists to
+    * synthesize fixtures; successive-approximation DECODE is exercised
+    * by javax.imageio-authored files in the spec (the JDK writer's
+    * default progressive scan script uses Al=1 first passes +
+    * refinements). */
+  private def encodeProgressivePlanes(w: Int, h: Int, planes: Seq[Plane],
+      quants: Seq[Array[Int]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    marker(out, 0xD8)
+    marker(out, 0xE0)
+    u16be(out, 16)
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0)
+    u16be(out, 1); u16be(out, 1)
+    out.write(0); out.write(0)
+    quants.zipWithIndex.foreach { case (q, i) =>
+      marker(out, 0xDB)
+      u16be(out, 2 + 1 + 64)
+      out.write(i)
+      var z = 0
+      while (z < 64) { out.write(q(ZigZag(z))); z += 1 }
+    }
+    marker(out, 0xC2) // SOF2 — progressive
+    u16be(out, 8 + 3 * planes.size)
+    out.write(8)
+    u16be(out, h); u16be(out, w)
+    out.write(planes.size)
+    planes.zipWithIndex.foreach { case (p, i) =>
+      out.write(i + 1)
+      out.write((p.hSamp << 4) | p.vSamp)
+      out.write(p.quantId)
+    }
+    planes.map(_.dcTable).distinct.foreach(t => writeDht(out, 0, t, DcBits, DcVals))
+    planes.map(_.acTable).distinct.foreach(t => writeDht(out, 1, t, AcBits, AcVals))
+
+    // quantized coefficient blocks over the padded interleaved grid
+    val hmax = planes.map(_.hSamp).max
+    val vmax = planes.map(_.vSamp).max
+    val mcx = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcy = (h + 8 * vmax - 1) / (8 * vmax)
+    val bPerLine = planes.map(p => mcx * p.hSamp)
+    val bPerCol = planes.map(p => mcy * p.vSamp)
+    val blocks: Seq[Array[Array[Int]]] = planes.zipWithIndex.map { case (p, ci) =>
+      Array.tabulate(bPerLine(ci) * bPerCol(ci)) { bi =>
+        fdctQuant(blockOf(p, bi % bPerLine(ci), bi / bPerLine(ci)), quants(p.quantId))
+      }
+    }
+    val dcCodes = DcVals.zip(canonicalCodes(DcBits, DcVals)).toMap
+    val acCodes = AcVals.zip(canonicalCodes(AcBits, AcVals)).toMap
+
+    // scan 1: DC, all components interleaved
+    marker(out, 0xDA)
+    u16be(out, 6 + 2 * planes.size)
+    out.write(planes.size)
+    planes.zipWithIndex.foreach { case (p, i) =>
+      out.write(i + 1)
+      out.write(p.dcTable << 4) // Ta unused in a DC scan
+    }
+    out.write(0); out.write(0); out.write(0) // Ss=0, Se=0, AhAl=0
+    locally {
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](planes.size)
+      var my = 0
+      while (my < mcy) {
+        var mx = 0
+        while (mx < mcx) {
+          planes.zipWithIndex.foreach { case (p, ci) =>
+            var j = 0
+            while (j < p.vSamp) {
+              var i2 = 0
+              while (i2 < p.hSamp) {
+                val dc = blocks(ci)((my * p.vSamp + j) * bPerLine(ci) +
+                  mx * p.hSamp + i2)(0)
+                val diff = dc - preds(ci)
+                preds(ci) = dc
+                val s = category(diff)
+                val (c, l) = dcCodes(s)
+                bw.put(c, l)
+                if (s > 0) bw.put(if (diff < 0) diff - 1 else diff, s)
+                i2 += 1
+              }
+              j += 1
+            }
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    // one full-band AC scan per component, EOBn runs across blocks
+    planes.zipWithIndex.foreach { case (p, ci) =>
+      marker(out, 0xDA)
+      u16be(out, 6 + 2)
+      out.write(1)
+      out.write(ci + 1)
+      out.write(p.acTable) // Td unused in an AC scan
+      out.write(1); out.write(63); out.write(0)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun) // floor(log2)
+        val (c, l) = acCodes(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      val wB = ((w * p.hSamp + hmax - 1) / hmax + 7) / 8
+      val hB = ((h * p.vSamp + vmax - 1) / vmax + 7) / 8
+      var by = 0
+      while (by < hB) {
+        var bx = 0
+        while (bx < wB) {
+          val coefZ = blocks(ci)(by * bPerLine(ci) + bx)
+          var kLast = 63
+          while (kLast >= 1 && coefZ(kLast) == 0) kLast -= 1
+          if (kLast < 1) { // no AC at all — extend the EOB run
+            eobrun += 1
+            if (eobrun == 32767) flushEob()
+          } else {
+            flushEob()
+            var k = 1
+            var run = 0
+            while (k <= kLast) {
+              if (coefZ(k) == 0) run += 1
+              else {
+                while (run >= 16) {
+                  val (zc, zl) = acCodes(0xF0); bw.put(zc, zl); run -= 16
+                }
+                val s = category(coefZ(k))
+                val (ac, alen) = acCodes((run << 4) | s)
+                bw.put(ac, alen)
+                bw.put(if (coefZ(k) < 0) coefZ(k) - 1 else coefZ(k), s)
+                run = 0
+              }
+              k += 1
+            }
+            if (kLast < 63) eobrun += 1 // trailing zeros end this block
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+    marker(out, 0xD9)
+    out.toByteArray
+  }
+
+  /** Grayscale progressive encode. */
+  def encodeGrayProgressive(w: Int, h: Int, gray: Array[Byte],
+      quant: Array[Int] = QuantFlat): Array[Byte] = {
+    require(gray.length == w * h, "raster size mismatch")
+    encodeProgressivePlanes(w, h,
+      Seq(Plane(gray, w, h, 1, 1, 0, 0, 0)), Seq(quant))
+  }
+
+  /** 4:2:0 YCbCr progressive encode (planes as in [[encodeYcc420]]). */
+  def encodeYcc420Progressive(w: Int, h: Int, yp: Array[Byte], cb: Array[Byte],
+      cr: Array[Byte], quantLum: Array[Int] = QuantFlat,
+      quantChroma: Array[Int] = QuantFlat): Array[Byte] = {
+    val cwp = (w + 1) / 2
+    val chp = (h + 1) / 2
+    require(yp.length == w * h && cb.length == cwp * chp && cr.length == cwp * chp,
+      "plane size mismatch")
+    encodeProgressivePlanes(w, h, Seq(
+      Plane(yp, w, h, 2, 2, 0, 0, 0),
+      Plane(cb, cwp, chp, 1, 1, 1, 1, 1),
+      Plane(cr, cwp, chp, 1, 1, 1, 1, 1)), Seq(quantLum, quantChroma))
+  }
+
   /** Grayscale baseline encode (natural-order quant table); a positive
     * `restartInterval` emits DRI + RSTn markers every that many MCUs. */
   def encodeGray(w: Int, h: Int, gray: Array[Byte],
@@ -443,6 +622,25 @@ private[graft] object Jpeg {
   private final case class Comp(id: Int, hSamp: Int, vSamp: Int, tq: Int,
       var td: Int = 0, var ta: Int = 0)
 
+  /** Interleaved frame geometry shared by the progressive scan decoder,
+    * the coefficient-store allocation and the reconstruction:
+    * (hmax, vmax, mcuCols, mcuRows, compW, compH, blocksPerLine,
+    * blocksPerCol) — block grids are the PADDED interleaved ones; a
+    * non-interleaved scan iterates its component's own ceil(cw/8) grid
+    * but addresses blocks with the padded stride, so interleaved and
+    * single-component scans target the same storage. */
+  private def geoOf(comps: Array[Comp], w: Int, h: Int):
+      (Int, Int, Int, Int, Array[Int], Array[Int], Array[Int], Array[Int]) = {
+    val hmax = comps.map(_.hSamp).max
+    val vmax = comps.map(_.vSamp).max
+    val mcx = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcy = (h + 8 * vmax - 1) / (8 * vmax)
+    val cw = comps.map(c => (w * c.hSamp + hmax - 1) / hmax)
+    val ch = comps.map(c => (h * c.vSamp + vmax - 1) / vmax)
+    (hmax, vmax, mcx, mcy, cw, ch,
+      comps.map(c => mcx * c.hSamp), comps.map(c => mcy * c.vSamp))
+  }
+
   /** Total baseline decode; None on anything malformed, truncated, or
     * outside baseline sequential (progressive, arithmetic, 12-bit,
     * 16-bit quant, 2/4-component frames all refuse). */
@@ -457,12 +655,19 @@ private[graft] object Jpeg {
     var w = 0
     var h = 0
     var restartInterval = 0
+    // progressive state: per-component raw (undequantized) coefficient
+    // stores over the padded interleaved block grid, filled scan by scan
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var scanSeen = false
 
     def u16(at: Int): Int =
       if (at + 1 >= bytes.length) -1
       else ((bytes(at) & 0xFF) << 8) | (bytes(at + 1) & 0xFF)
 
-    while (pos + 3 < bytes.length) {
+    // pos + 1: a standalone marker (EOI ends a progressive frame) may be
+    // the file's final two bytes; length-carrying segments re-check via u16
+    while (pos + 1 < bytes.length) {
       if ((bytes(pos) & 0xFF) != 0xFF) return None
       var m = bytes(pos + 1) & 0xFF
       pos += 2
@@ -470,11 +675,16 @@ private[graft] object Jpeg {
         m = bytes(pos) & 0xFF; pos += 1
       }
       m match {
-        case 0xD9 => return None // EOI before any scan decoded an image
+        case 0xD9 => // EOI — the image, for a progressive frame whose
+          // scans all landed; premature otherwise
+          return if (progressive && scanSeen)
+            reconstructProgressive(comps, coefs, quant, w, h)
+          else None
         case 0x01 => // TEM, standalone
         case mm if mm >= 0xD0 && mm <= 0xD7 => // stray RST outside scan
           return None
-        case 0xC0 => // SOF0 — baseline
+        case sofm @ (0xC0 | 0xC2) => // SOF0 baseline / SOF2 progressive
+          progressive = sofm == 0xC2
           val len = u16(pos)
           if (len < 8 || pos + len > bytes.length) return None
           val prec = bytes(pos + 2) & 0xFF
@@ -500,9 +710,23 @@ private[graft] object Jpeg {
             comps(i) = Comp(id, hs, vs, tq)
             i += 1
           }
+          if (progressive) {
+            // per-component coefficient stores over the padded block grid,
+            // bounded before allocation (w·h already clamped above; the
+            // grid padding multiplies by ≤ ~4 plus one MCU of edge)
+            val (_, _, _, _, _, _, bpl, bpc) = geoOf(comps, w, h)
+            coefs = new Array[Array[Int]](nf)
+            var ci = 0
+            while (ci < nf) {
+              val n = bpl(ci).toLong * bpc(ci).toLong * 64L
+              if (n > (1L << 27)) return None
+              coefs(ci) = new Array[Int](n.toInt)
+              ci += 1
+            }
+          }
           pos += len
         case sof if (sof >= 0xC1 && sof <= 0xCF) && sof != 0xC4 && sof != 0xC8 =>
-          return None // extended/progressive/lossless/arithmetic frames
+          return None // extended/lossless/arithmetic frames (0xC2 handled above)
         case 0xC4 => // DHT
           val len = u16(pos)
           if (len < 2 || pos + len > bytes.length) return None
@@ -556,29 +780,49 @@ private[graft] object Jpeg {
           if (len != 4 || pos + len > bytes.length) return None
           restartInterval = u16(pos + 2)
           pos += len
-        case 0xDA => // SOS — decode the scan and return
+        case 0xDA => // SOS
           val len = u16(pos)
           if (len < 3 || pos + len > bytes.length || comps == null) return None
           val ns = bytes(pos + 2) & 0xFF
-          if (ns != comps.length || len != 6 + 2 * ns) return None
+          if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+          val scanComps = new Array[Int](ns) // indices into comps
           var i = 0
           while (i < ns) {
             val cid = bytes(pos + 3 + 2 * i) & 0xFF
             val tdta = bytes(pos + 4 + 2 * i) & 0xFF
-            val c = comps.find(_.id == cid).getOrElse(return None)
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) return None
+            scanComps(i) = ci
+            val c = comps(ci)
             c.td = (tdta >>> 4) & 0xF
             c.ta = tdta & 0xF
             if (c.td > 3 || c.ta > 3) return None
-            if (dcTab(c.td) == null || acTab(c.ta) == null) return None
-            if (quant(c.tq) == null) return None
             i += 1
           }
           val ss = bytes(pos + 3 + 2 * ns) & 0xFF
           val se = bytes(pos + 4 + 2 * ns) & 0xFF
           val ahal = bytes(pos + 5 + 2 * ns) & 0xFF
-          if (ss != 0 || se != 63 || ahal != 0) return None // not sequential
-          return decodeScan(bytes, pos + len, comps, quant, dcTab, acTab,
-            w, h, restartInterval)
+          if (!progressive) {
+            if (ns != comps.length) return None
+            if (ss != 0 || se != 63 || ahal != 0) return None // not sequential
+            var j = 0
+            while (j < ns) {
+              val c = comps(j)
+              if (dcTab(c.td) == null || acTab(c.ta) == null) return None
+              if (quant(c.tq) == null) return None
+              j += 1
+            }
+            return decodeScan(bytes, pos + len, comps, quant, dcTab, acTab,
+              w, h, restartInterval)
+          }
+          // progressive: fold this scan into the coefficient stores and
+          // continue the marker walk from the scan's end
+          decodeProgressiveScan(bytes, pos + len, comps, scanComps, coefs,
+            dcTab, acTab, w, h, restartInterval,
+            ss, se, (ahal >>> 4) & 0xF, ahal & 0xF) match {
+            case Some(next) => scanSeen = true; pos = next
+            case None => return None
+          }
         case app if app >= 0xE0 && app <= 0xEF => // APPn
           val len = u16(pos)
           if (len < 2 || pos + len > bytes.length) return None
@@ -706,7 +950,291 @@ private[graft] object Jpeg {
       my += 1
     }
 
-    // assemble output (crop padding; upsample chroma by replication)
+    assemble(comps, planes, bPerLine, w, h, cw, ch, hmax, vmax)
+  }
+
+  /** One progressive (SOF2) scan folded into the per-component raw
+    * coefficient stores: DC-first (interleaved or single-component),
+    * DC-refinement (one raw bit per block), AC-first with EOB runs, and
+    * AC-refinement (T.81 G.1.2.3 correction bits), each with restart
+    * handling (DC predictors AND the EOB run reset). Returns the
+    * position of the next marker's 0xFF, or None on anything malformed.
+    * Progression-order validation is the shallow, crash-relevant subset
+    * (band/approximation field ranges, single-component AC scans,
+    * Ah = Al+1 on refinements); a semantically out-of-order but
+    * well-formed progression decodes to whatever its coefficients say —
+    * garbage-in tolerated, never a throw. */
+  private def decodeProgressiveScan(bytes: Array[Byte], at: Int,
+      comps: Array[Comp], scanComps: Array[Int], coefs: Array[Array[Int]],
+      dcTab: Array[HuffTable], acTab: Array[HuffTable], w: Int, h: Int,
+      restartInterval: Int, ss: Int, se: Int, ah: Int, al: Int): Option[Int] = {
+    if (coefs == null) return None
+    val dcScan = ss == 0
+    if (dcScan && se != 0) return None
+    if (!dcScan && (scanComps.length != 1 || se < ss || se > 63)) return None
+    if (al > 13 || (ah != 0 && ah != al + 1)) return None
+    val refine = ah != 0
+    if (dcScan && !refine) {
+      var i = 0
+      while (i < scanComps.length) {
+        if (dcTab(comps(scanComps(i)).td) == null) return None
+        i += 1
+      }
+    }
+    if (!dcScan && acTab(comps(scanComps(0)).ta) == null) return None
+
+    val (_, _, mcx, mcy, cw, ch, bPerLine, _) = geoOf(comps, w, h)
+    val br = new BitReader(bytes, at)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+
+    def dcFirstBlock(ci: Int, base: Int): Boolean = {
+      val t = decodeHuff(br, dcTab(comps(ci).td))
+      if (t < 0 || t > 11) return false
+      val db = if (t == 0) 0 else { val v = br.bits(t); if (v < 0) return false; v }
+      preds(ci) += extend(db, t)
+      coefs(ci)(base) = preds(ci) << al
+      true
+    }
+    def dcRefineBlock(ci: Int, base: Int): Boolean = {
+      val b = br.bit()
+      if (b < 0) return false
+      if (b == 1) coefs(ci)(base) |= (1 << al)
+      true
+    }
+    def acFirstBlock(co: Array[Int], base: Int, ta: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      var ended = false
+      while (k <= se && !ended) {
+        val rs = decodeHuff(br, acTab(ta))
+        if (rs < 0) return false
+        val r = (rs >>> 4) & 0xF
+        val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val eb = br.bits(r); if (eb < 0) return false; eobrun += eb
+            }
+            ended = true
+          }
+        } else {
+          if (s > 10) return false
+          k += r
+          if (k > se) return false
+          val vb = br.bits(s)
+          if (vb < 0) return false
+          co(base + ZigZag(k)) = extend(vb, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefineBlock(co: Array[Int], base: Int, ta: Int): Boolean = {
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      var k = ss
+      if (eobrun == 0) {
+        var eobHit = false
+        while (k <= se && !eobHit) {
+          val rs = decodeHuff(br, acTab(ta))
+          if (rs < 0) return false
+          var r = (rs >>> 4) & 0xF
+          val s = rs & 0xF
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              // refine-scan EOBn counts INCLUDE the current block, whose
+              // remaining band coefficients still receive correction
+              // bits below (unlike the first-scan form, which ends the
+              // current block outright — hence (1<<r) here, not
+              // (1<<r) − 1): a plain EOB (r = 0) must still run the
+              // correction pass over k..Se before the run decrements
+              eobrun = 1 << r
+              if (r > 0) {
+                val eb = br.bits(r); if (eb < 0) return false; eobrun += eb
+              }
+              eobHit = true
+            } // r == 15: ZRL — pass over 16 zero-history coefficients
+          } else {
+            if (s != 1) return false // refinements carry ±1 only
+            val b = br.bit()
+            if (b < 0) return false
+            newVal = if (b == 1) p1 else m1
+          }
+          if (!eobHit) {
+            var placed = false
+            while (k <= se && !placed) {
+              val zz = base + ZigZag(k)
+              if (co(zz) != 0) {
+                val b = br.bit()
+                if (b < 0) return false
+                if (b == 1 && (co(zz) & p1) == 0)
+                  co(zz) += (if (co(zz) >= 0) p1 else m1)
+              } else if (r == 0) {
+                if (newVal != 0) co(zz) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // this block lies inside an EOB run: only correction bits for
+        // its already-nonzero coefficients in the band
+        while (k <= se) {
+          val zz = base + ZigZag(k)
+          if (co(zz) != 0) {
+            val b = br.bit()
+            if (b < 0) return false
+            if (b == 1 && (co(zz) & p1) == 0)
+              co(zz) += (if (co(zz) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    var rstIdx = 0
+    var mcusUntilRst = if (restartInterval > 0) restartInterval else -1
+    def checkRestart(): Boolean = {
+      if (mcusUntilRst == 0) {
+        if (!br.consumeRst(0xD0 + rstIdx)) return false
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+        mcusUntilRst = restartInterval
+      }
+      true
+    }
+
+    if (dcScan && scanComps.length > 1) {
+      var my = 0
+      while (my < mcy) {
+        var mx = 0
+        while (mx < mcx) {
+          if (!checkRestart()) return None
+          var si = 0
+          while (si < scanComps.length) {
+            val ci = scanComps(si)
+            val c = comps(ci)
+            var j = 0
+            while (j < c.vSamp) {
+              var i2 = 0
+              while (i2 < c.hSamp) {
+                val base =
+                  ((my * c.vSamp + j) * bPerLine(ci) + mx * c.hSamp + i2) * 64
+                val ok =
+                  if (refine) dcRefineBlock(ci, base) else dcFirstBlock(ci, base)
+                if (!ok) return None
+                i2 += 1
+              }
+              j += 1
+            }
+            si += 1
+          }
+          if (mcusUntilRst > 0) mcusUntilRst -= 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan (every AC scan; DC scans with Ns = 1)
+      val ci = scanComps(0)
+      val ta = comps(ci).ta
+      val co = coefs(ci)
+      val wB = (cw(ci) + 7) / 8
+      val hB = (ch(ci) + 7) / 8
+      var by = 0
+      while (by < hB) {
+        var bx = 0
+        while (bx < wB) {
+          if (!checkRestart()) return None
+          val base = (by * bPerLine(ci) + bx) * 64
+          val ok =
+            if (dcScan) {
+              if (refine) dcRefineBlock(ci, base) else dcFirstBlock(ci, base)
+            } else {
+              if (refine) acRefineBlock(co, base, ta)
+              else acFirstBlock(co, base, ta)
+            }
+          if (!ok) return None
+          if (mcusUntilRst > 0) mcusUntilRst -= 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // the scan's entropy data ends at the next real marker: padding bits
+    // die with the current byte; fill 0xFFs before the marker byte and
+    // stuffed FF00 pairs are stepped over
+    if (br.atMarker >= 0) return Some(br.pos)
+    var p = br.pos
+    while (p + 1 < bytes.length &&
+        !((bytes(p) & 0xFF) == 0xFF && (bytes(p + 1) & 0xFF) != 0x00)) p += 1
+    if (p + 1 >= bytes.length) None else Some(p)
+  }
+
+  /** Dequantize + IDCT the progressive coefficient stores and assemble
+    * the image (runs at EOI, once every scan has landed). */
+  private def reconstructProgressive(comps: Array[Comp],
+      coefs: Array[Array[Int]], quant: Array[Array[Int]], w: Int,
+      h: Int): Option[Image] = {
+    if (comps == null || coefs == null) return None
+    val (hmax, vmax, _, _, cw, ch, bPerLine, bPerCol) = geoOf(comps, w, h)
+    val planes = new Array[Array[Byte]](comps.length)
+    val dq = new Array[Int](64)
+    val out = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci).tq)
+      if (q == null) return None
+      val stride = bPerLine(ci) * 8
+      val plane = new Array[Byte](stride * bPerCol(ci) * 8)
+      val co = coefs(ci)
+      var by = 0
+      while (by < bPerCol(ci)) {
+        var bx = 0
+        while (bx < bPerLine(ci)) {
+          val base = (by * bPerLine(ci) + bx) * 64
+          var z = 0
+          while (z < 64) {
+            val nat = ZigZag(z)
+            dq(nat) = co(base + nat) * q(z)
+            z += 1
+          }
+          idct(dq, out)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              plane((by * 8 + y) * stride + bx * 8 + x) = out(y * 8 + x).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      planes(ci) = plane
+      ci += 1
+    }
+    assemble(comps, planes, bPerLine, w, h, cw, ch, hmax, vmax)
+  }
+
+  /** Crop padding and assemble the output image: pass-through for gray,
+    * replication chroma upsampling + JFIF YCbCr→RGB for color. Shared by
+    * the baseline scan and the progressive reconstruction. */
+  private def assemble(comps: Array[Comp], planes: Array[Array[Byte]],
+      bPerLine: Array[Int], w: Int, h: Int, cw: Array[Int], ch: Array[Int],
+      hmax: Int, vmax: Int): Option[Image] = {
     if (comps.length == 1) {
       val px = new Array[Byte](w * h)
       val stride = bPerLine(0) * 8

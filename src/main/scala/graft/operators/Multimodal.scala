@@ -2560,6 +2560,53 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** PROGRESSIVE (SOF2) twins of the q122/q123 fixtures: same
+    * block-constant rasters, same exact-roundtrip premise, but the wire
+    * carries a multi-scan progression (interleaved DC scan, then
+    * per-component full-band AC scans with EOBn run-length coding — the
+    * block-constant raster makes every AC scan one long EOB run, so the
+    * EOBRUN machinery is load-bearing for every row). */
+  def synthesizeJpegProg(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      MediaRow(id, Jpeg.encodeGrayProgressive(JpegW, JpegH, blockGray(txt)),
+        "image/jpeg", JpegW, JpegH)
+    }
+
+  def synthesizeJpegProg420(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val cw = (JpegW + 1) / 2
+      val chh = (JpegH + 1) / 2
+      val flat = Array.fill[Byte](cw * chh)(128.toByte)
+      MediaRow(id,
+        Jpeg.encodeYcc420Progressive(JpegW, JpegH, blockGray(txt), flat, flat),
+        "image/jpeg", JpegW, JpegH)
+    }
+
+  /** q124 — PROGRESSIVE JPEG decode, grayscale: the SOF2 multi-scan
+    * path (coefficient accumulation across scans, EOB runs, final
+    * dequant+IDCT reconstruction) on the real JFIF wire; the
+    * successive-approximation scans the fixture encoder does not emit
+    * are gated by JpegSpec's javax.imageio interop instead. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpegStats(synthesizeJpegProg(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_gray")
+      .orderBy($"doc_id")
+  }
+
+  /** q125 — progressive 4:2:0 color: interleaved DC scan over 16×16
+    * MCUs (partial at both edges) + three per-component AC scans. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpeg420Stats(synthesizeJpegProg420(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
   /** q123's oracle: same block mean on every channel (neutral chroma). */
   private val q123Sql = {
     val nb = JpegBw * JpegBh
@@ -2592,5 +2639,9 @@ object Multimodal {
     GQuery("q121_alaw_compand", q121, Some(q121Sql)),
     GQuery("q122_jpeg_decode", q122, Some(q122Sql)),
     GQuery("q123_jpeg420_decode", q123, Some(q123Sql)),
+    // oracles shared with the baseline twins — progression is wire
+    // layout, not content (the q118/q119 rule)
+    GQuery("q124_jpeg_progressive_decode", q124, Some(q122Sql)),
+    GQuery("q125_jpeg420_progressive_decode", q125, Some(q123Sql)),
   )
 }

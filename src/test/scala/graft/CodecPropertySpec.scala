@@ -143,13 +143,18 @@ class CodecPropertySpec extends AnyFunSuite {
         val gray = Array.tabulate[Byte](w * h)(i =>
           blocks((i / w / 8) * bw + (i % w / 8)))
         val g = Jpeg.decode(Jpeg.encodeGray(w, h, gray))
+        val gp = Jpeg.decode(Jpeg.encodeGrayProgressive(w, h, gray))
         val cw = (w + 1) / 2
         val flat = Array.fill[Byte](cw * ((h + 1) / 2))(128.toByte)
         val c = Jpeg.decode(Jpeg.encodeYcc420(w, h, gray, flat, flat))
-        g.exists(i => i.nComponents == 1 && java.util.Arrays.equals(i.pixels, gray)) &&
-          c.exists(i => i.nComponents == 3 && (0 until w * h).forall(p =>
+        val cp = Jpeg.decode(Jpeg.encodeYcc420Progressive(w, h, gray, flat, flat))
+        def grayOk(r: Option[Jpeg.Image]) =
+          r.exists(i => i.nComponents == 1 && java.util.Arrays.equals(i.pixels, gray))
+        def colorOk(r: Option[Jpeg.Image]) =
+          r.exists(i => i.nComponents == 3 && (0 until w * h).forall(p =>
             i.pixels(3 * p) == gray(p) && i.pixels(3 * p + 1) == gray(p) &&
               i.pixels(3 * p + 2) == gray(p)))
+        grayOk(g) && grayOk(gp) && colorOk(c) && colorOk(cp)
       }
     }, 60)
     // arbitrary rasters: flat-quant round-off is bounded — each zigzag
@@ -217,7 +222,11 @@ class CodecPropertySpec extends AnyFunSuite {
           ("jpeg-rst", b => Jpeg.decode(b),
             Jpeg.encodeGray(24, 16, gray, restartInterval = 2)),
           ("jpeg-420", b => Jpeg.decode(b),
-            Jpeg.encodeYcc420(24, 16, gray, cro, cro)))
+            Jpeg.encodeYcc420(24, 16, gray, cro, cro)),
+          ("jpeg-prog", b => Jpeg.decode(b),
+            Jpeg.encodeGrayProgressive(24, 16, gray)),
+          ("jpeg-prog-420", b => Jpeg.decode(b),
+            Jpeg.encodeYcc420Progressive(24, 16, gray, cro, cro)))
       }
     }
     seeds.foreach { case (name, f, valid) =>

@@ -164,6 +164,85 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive: flat-block rasters roundtrip exactly through SOF2 (gray and 4:2:0)") {
+    val blocks = Array.tabulate(Multimodal.JpegBw * Multimodal.JpegBh)(
+      i => ((i * 59 + 31) % 256).toByte)
+    val gray = blockGray(Multimodal.JpegBw, Multimodal.JpegBh, blocks)
+    val (w, h) = (Multimodal.JpegW, Multimodal.JpegH)
+    val gBytes = Jpeg.encodeGrayProgressive(w, h, gray)
+    // the wire must really be progressive (SOF2) with > 1 scan
+    assert(gBytes.sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2), "no SOF2 on the wire")
+    assert(gBytes.sliding(2).count(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xDA) === 2,
+      "gray progressive must carry a DC scan + one AC scan")
+    val g = Jpeg.decode(gBytes).getOrElse(fail("own progressive gray refused"))
+    assert(g.nComponents === 1 && java.util.Arrays.equals(g.pixels, gray),
+      "progressive gray roundtrip not exact")
+    val cwp = (w + 1) / 2
+    val flat = Array.fill[Byte](cwp * ((h + 1) / 2))(128.toByte)
+    val cBytes = Jpeg.encodeYcc420Progressive(w, h, gray, flat, flat)
+    assert(cBytes.sliding(2).count(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xDA) === 4,
+      "4:2:0 progressive must carry a DC scan + three AC scans")
+    val c = Jpeg.decode(cBytes).getOrElse(fail("own progressive 420 refused"))
+    assert(c.nComponents === 3)
+    (0 until w * h).foreach { p =>
+      assert((c.pixels(3 * p) & 0xFF) === (gray(p) & 0xFF), s"pixel $p")
+      assert(c.pixels(3 * p + 1) === c.pixels(3 * p) &&
+        c.pixels(3 * p + 2) === c.pixels(3 * p), s"neutral chroma broke at $p")
+    }
+  }
+
+  test("interop: javax.imageio-authored PROGRESSIVE JPEGs (successive approximation) decode within tolerance") {
+    // the JDK writer's default progressive scan script uses Al=1 first
+    // passes + DC/AC refinement scans — exactly the SA machinery the
+    // minimal fixture encoder skips, on bytes this repo did not author
+    def progressiveBytes(bi: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val os = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(os)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose(); ios.close()
+      os.toByteArray
+    }
+    // grayscale gradient
+    val (w, h) = (40, 24)
+    val gbi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      gbi.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)))
+    val gb = progressiveBytes(gbi)
+    assert(gb.sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2),
+      "ImageIO did not produce SOF2 — interop test vacuous")
+    val mine = Jpeg.decode(gb).getOrElse(fail("refused ImageIO progressive gray"))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb))
+    val maxDiff = (0 until h).flatMap(y => (0 until w).map(x =>
+      math.abs((mine.pixels(y * w + x) & 0xFF) - ref.getRaster.getSample(x, y, 0)))).max
+    assert(maxDiff <= 2, s"gray progressive: max diff vs ImageIO decode $maxDiff")
+    // constant-color 4:2:0 (chroma resampling choices cannot diverge)
+    val cbi = new java.awt.image.BufferedImage(20, 14,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = cbi.createGraphics()
+    g2.setColor(new java.awt.Color(170, 90, 40)); g2.fillRect(0, 0, 20, 14)
+    g2.dispose()
+    val cb = progressiveBytes(cbi)
+    val mc = Jpeg.decode(cb).getOrElse(fail("refused ImageIO progressive color"))
+    val rc = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb))
+    val maxC = (0 until 14).flatMap(y => (0 until 20).flatMap { x =>
+      val rgb = rc.getRGB(x, y)
+      val o = (y * 20 + x) * 3
+      Seq(math.abs((mc.pixels(o) & 0xFF) - ((rgb >> 16) & 0xFF)),
+        math.abs((mc.pixels(o + 1) & 0xFF) - ((rgb >> 8) & 0xFF)),
+        math.abs((mc.pixels(o + 2) & 0xFF) - (rgb & 0xFF)))
+    }).max
+    assert(maxC <= 3, s"color progressive: max diff vs ImageIO decode $maxC")
+  }
+
   test("refusal ladder: everything outside baseline sequential returns None") {
     val gray = Array.tabulate(16 * 16)(i => (i % 251).toByte)
     val valid = Jpeg.encodeGray(16, 16, gray)
@@ -176,9 +255,13 @@ class JpegSpec extends AnyFunSuite {
       b(at + 1) = replace.toByte
       b
     }
-    // progressive / extended / lossless / arithmetic frames
-    Seq(0xC1, 0xC2, 0xC3, 0xC9, 0xCB).foreach(sof =>
+    // extended / lossless / arithmetic frames (0xC2 progressive is now
+    // SUPPORTED; a baseline stream relabeled SOF2 still refuses because
+    // its Ss=0..Se=63 scan header is illegal for a progressive frame)
+    Seq(0xC1, 0xC3, 0xC9, 0xCB).foreach(sof =>
       assert(Jpeg.decode(patched(0xC0, sof)).isEmpty, f"SOF FF$sof%02X accepted"))
+    assert(Jpeg.decode(patched(0xC0, 0xC2)).isEmpty,
+      "baseline scan header inside a SOF2 frame accepted")
     // 16-bit quantization (Pq=1) is not baseline
     val pq = valid.clone()
     val dqtAt = pq.sliding(2).indexWhere(p =>
