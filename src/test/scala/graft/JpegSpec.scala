@@ -243,6 +243,40 @@ class JpegSpec extends AnyFunSuite {
     assert(maxC <= 3, s"color progressive: max diff vs ImageIO decode $maxC")
   }
 
+  test("property interop: random ImageIO-authored gray JPEGs (baseline and progressive, edge dims) decode within tolerance") {
+    // randomized generalization of the fixed interop cases: dims down to
+    // 1×1 drive partial-MCU handling on bytes this repo did not author
+    val rnd = new scala.util.Random(0x1A9E6 ^ sys.env.get("SPARK_GRAFT_FUZZ_SEED")
+      .map(_.toLong).getOrElse(0L))
+    (1 to 25).foreach { c =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))))
+      val progressive = c % 2 == 0
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val os = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(os)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = os.toByteArray
+      val mine = Jpeg.decode(bytes).getOrElse(
+        fail(s"case $c (${w}x$h prog=$progressive): refused ImageIO bytes"))
+      assert(mine.width === w && mine.height === h && mine.nComponents === 1)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val maxDiff = (0 until h).flatMap(y => (0 until w).map(x =>
+        math.abs((mine.pixels(y * w + x) & 0xFF) - ref.getRaster.getSample(x, y, 0)))).max
+      assert(maxDiff <= 2,
+        s"case $c (${w}x$h prog=$progressive): max diff vs ImageIO $maxDiff")
+    }
+  }
+
   test("refusal ladder: everything outside baseline sequential returns None") {
     val gray = Array.tabulate(16 * 16)(i => (i % 251).toByte)
     val valid = Jpeg.encodeGray(16, 16, gray)
