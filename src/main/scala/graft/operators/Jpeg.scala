@@ -318,7 +318,7 @@ private[graft] object Jpeg {
     * default progressive scan script uses Al=1 first passes +
     * refinements). */
   private def encodeProgressivePlanes(w: Int, h: Int, planes: Seq[Plane],
-      quants: Seq[Array[Int]]): Array[Byte] = {
+      quants: Seq[Array[Int]], dcSa: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
     marker(out, 0xD8)
     marker(out, 0xE0)
@@ -363,18 +363,19 @@ private[graft] object Jpeg {
     val dcCodes = DcVals.zip(canonicalCodes(DcBits, DcVals)).toMap
     val acCodes = AcVals.zip(canonicalCodes(AcBits, AcVals)).toMap
 
-    // scan 1: DC, all components interleaved
-    marker(out, 0xDA)
-    u16be(out, 6 + 2 * planes.size)
-    out.write(planes.size)
-    planes.zipWithIndex.foreach { case (p, i) =>
-      out.write(i + 1)
-      out.write(p.dcTable << 4) // Ta unused in a DC scan
+    // interleaved walk over every component's DC, shared by the DC-first
+    // and DC-refinement scans
+    def dcScanHeader(ahal: Int): Unit = {
+      marker(out, 0xDA)
+      u16be(out, 6 + 2 * planes.size)
+      out.write(planes.size)
+      planes.zipWithIndex.foreach { case (p, i) =>
+        out.write(i + 1)
+        out.write(p.dcTable << 4) // Ta unused in a DC scan
+      }
+      out.write(0); out.write(0); out.write(ahal) // Ss=0, Se=0
     }
-    out.write(0); out.write(0); out.write(0) // Ss=0, Se=0, AhAl=0
-    locally {
-      val bw = new BitWriter(out)
-      val preds = new Array[Int](planes.size)
+    def dcWalk(f: (Int, Int) => Unit): Unit = { // (componentIdx, dcValue)
       var my = 0
       while (my < mcy) {
         var mx = 0
@@ -384,14 +385,8 @@ private[graft] object Jpeg {
             while (j < p.vSamp) {
               var i2 = 0
               while (i2 < p.hSamp) {
-                val dc = blocks(ci)((my * p.vSamp + j) * bPerLine(ci) +
-                  mx * p.hSamp + i2)(0)
-                val diff = dc - preds(ci)
-                preds(ci) = dc
-                val s = category(diff)
-                val (c, l) = dcCodes(s)
-                bw.put(c, l)
-                if (s > 0) bw.put(if (diff < 0) diff - 1 else diff, s)
+                f(ci, blocks(ci)((my * p.vSamp + j) * bPerLine(ci) +
+                  mx * p.hSamp + i2)(0))
                 i2 += 1
               }
               j += 1
@@ -401,6 +396,33 @@ private[graft] object Jpeg {
         }
         my += 1
       }
+    }
+
+    // scan 1: DC first, all components interleaved — at Al = 1 when the
+    // successive-approximation progression is requested (the point
+    // transform for DC is an ARITHMETIC right shift; the predictor chain
+    // runs over the shifted values, and two's complement makes the
+    // decoder's `(pred << 1) | refinementBit` exact for negatives too)
+    val dcAl = if (dcSa) 1 else 0
+    dcScanHeader(dcAl)
+    locally {
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](planes.size)
+      dcWalk { (ci, dc) =>
+        val v = dc >> dcAl
+        val diff = v - preds(ci)
+        preds(ci) = v
+        val s = category(diff)
+        val (c, l) = dcCodes(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff - 1 else diff, s)
+      }
+      bw.flush()
+    }
+    if (dcSa) { // DC refinement: one raw low bit per block (Ah=1, Al=0)
+      dcScanHeader(0x10)
+      val bw = new BitWriter(out)
+      dcWalk((_, dc) => bw.put(dc & 1, 1))
       bw.flush()
     }
 
@@ -464,12 +486,15 @@ private[graft] object Jpeg {
     out.toByteArray
   }
 
-  /** Grayscale progressive encode. */
+  /** Grayscale progressive encode; `dcSa = true` splits the DC into a
+    * successive-approximation pair (first scan at Al = 1, then a
+    * one-bit refinement scan) so the decoder's DC-refinement path is
+    * exercised on an oracle-gated wire, not only via interop. */
   def encodeGrayProgressive(w: Int, h: Int, gray: Array[Byte],
-      quant: Array[Int] = QuantFlat): Array[Byte] = {
+      quant: Array[Int] = QuantFlat, dcSa: Boolean = false): Array[Byte] = {
     require(gray.length == w * h, "raster size mismatch")
     encodeProgressivePlanes(w, h,
-      Seq(Plane(gray, w, h, 1, 1, 0, 0, 0)), Seq(quant))
+      Seq(Plane(gray, w, h, 1, 1, 0, 0, 0)), Seq(quant), dcSa)
   }
 
   /** 4:2:0 YCbCr progressive encode (planes as in [[encodeYcc420]]). */

@@ -2607,6 +2607,27 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** q126's wire: the q124 progression with the DC split into a
+    * successive-approximation pair (first scan at Al=1, one-bit
+    * refinement scan) — the SA decode machinery ImageIO interop covers
+    * in spec-land, now behind an oracle row too. */
+  def synthesizeJpegProgSa(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      MediaRow(id,
+        Jpeg.encodeGrayProgressive(JpegW, JpegH, blockGray(txt), dcSa = true),
+        "image/jpeg", JpegW, JpegH)
+    }
+
+  /** q126 — progressive JPEG with DC successive approximation. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpegStats(synthesizeJpegProgSa(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_gray")
+      .orderBy($"doc_id")
+  }
+
   /** q123's oracle: same block mean on every channel (neutral chroma). */
   private val q123Sql = {
     val nb = JpegBw * JpegBh
@@ -2643,5 +2664,6 @@ object Multimodal {
     // layout, not content (the q118/q119 rule)
     GQuery("q124_jpeg_progressive_decode", q124, Some(q122Sql)),
     GQuery("q125_jpeg420_progressive_decode", q125, Some(q123Sql)),
+    GQuery("q126_jpeg_sa_decode", q126, Some(q122Sql)),
   )
 }

@@ -194,6 +194,37 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive DC successive approximation: exact roundtrip, with the SA scans really on the wire") {
+    // odd AND even block values so the refinement bit is load-bearing —
+    // dropping it would shift every odd gray level by one
+    val blocks = Array.tabulate(Multimodal.JpegBw * Multimodal.JpegBh)(
+      i => ((i * 3 + 1) % 256).toByte)
+    val gray = blockGray(Multimodal.JpegBw, Multimodal.JpegBh, blocks)
+    val bytes = Jpeg.encodeGrayProgressive(
+      Multimodal.JpegW, Multimodal.JpegH, gray, dcSa = true)
+    // wire shape: three scans — DC first (Ah=0, Al=1), DC refine
+    // (Ah=1, Al=0), AC full band
+    def scanParams(b: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+      var i = 0
+      val out = Seq.newBuilder[(Int, Int, Int, Int)]
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xDA) {
+          val ns = b(i + 4) & 0xFF
+          val at = i + 5 + 2 * ns
+          out += ((b(at) & 0xFF, b(at + 1) & 0xFF,
+            (b(at + 2) & 0xFF) >> 4, b(at + 2) & 0xF))
+          i = at + 3
+        } else i += 1
+      }
+      out.result()
+    }
+    assert(scanParams(bytes) === Seq((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0)),
+      "SA progression not on the wire as declared")
+    val img = Jpeg.decode(bytes).getOrElse(fail("SA progressive refused"))
+    assert(java.util.Arrays.equals(img.pixels, gray),
+      "DC successive approximation roundtrip not exact")
+  }
+
   test("interop: javax.imageio-authored PROGRESSIVE JPEGs (successive approximation) decode within tolerance") {
     // the JDK writer's default progressive scan script uses Al=1 first
     // passes + DC/AC refinement scans — exactly the SA machinery the
