@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr straight through instead of routing
+// them via sbt's logger: the logger re-tags every line ("[info] "/
+// "[error] ") and the driver's artifact parser reads the bench's one
+// stdout JSON line verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -139,17 +139,10 @@ object Bench {
       s""""median":${jmap(_.median)},"spread":${jmap(_.spread)},"cold":${jmap(_.cold)},""" +
       s""""runs":$runs,"cold_runs":$coldRuns,"interleaved":true,"pass_totals":$passTotals,""" +
       f""""prime_sec":$primeSec%.3f,"failed":$failed,"sf":"$sfDir"}"""
-    // self-announcing headline on its own short line, BOTH before and after
-    // the big JSON: the driver's stdout capture has truncated the JSON two
-    // rounds running, and whichever end the capture keeps must still carry
-    // the verdict-relevant numbers
-    val headline = f"[bench] total=$total%.3fs failed=$failed queries=${results.length}"
-    println(headline)
-    println(json)
-    println(headline)
-    // the stdout line has been truncated by output capture before (r6's
-    // artifact lost its warm map to a tail cut) — persist the full JSON to a
-    // file as well so the per-query maps always survive the run
+    // FULL stats (median/spread/cold maps) persist to a file: the driver's
+    // stdout capture keeps only a bounded TAIL, and the full line (~2.6 KB
+    // at 31 queries) has overrun it two rounds running — "parsed": null in
+    // the official artifact both times
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -159,6 +152,17 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // STDOUT gets the contract line only — metric/value/unit/queries/sf
+    // plus the small scalars — compact enough (~1.4 KB) to survive a
+    // 2 KB tail capture whole, printed LAST so the surviving end of any
+    // cut is the parseable one; a short headline rides before it for a
+    // human reading a harder-cut log
+    val contract =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.best)},""" +
+      s""""runs":$runs,"cold_runs":$coldRuns,"failed":$failed,""" +
+      s""""bench_file":"$outPath","sf":"$sfDir"}"""
+    println(f"[bench] total=$total%.3fs failed=$failed queries=${results.length}")
+    println(contract)
     spark.stop()
   }
 }

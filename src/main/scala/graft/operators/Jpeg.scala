@@ -49,10 +49,13 @@ private[graft] object Jpeg {
   // DC: ITU T.81 Annex K.3.1 luminance DC lengths (public-spec constants,
   // like the G.711 BIAS/CLIP) — variable code lengths, so the decoder's
   // canonical multi-length assignment is exercised by every fixture.
-  // AC: all 162 possible baseline AC symbols (EOB, ZRL, 16 runs × 10
-  // magnitude categories) at one 8-bit length — spec-legal (162 ≤ 255
-  // fits the one-byte DHT Li field, no all-ones code) and keeps the
-  // encoder free of Annex K's 162-entry frequency-ordered transcription.
+  // AC: 176 symbols at one 8-bit length — the 162 baseline AC symbols
+  // (EOB, ZRL, 16 runs × 10 magnitude categories) PLUS the 14 EOBn
+  // symbols (0x10..0xE0) baseline never emits but the PROGRESSIVE
+  // encoder's shared table needs. Spec-legal (176 ≤ 255 fits the
+  // one-byte DHT Li field; 176 length-8 codes leave the all-ones byte
+  // unused) and keeps the encoder free of Annex K's frequency-ordered
+  // transcription.
   // ----------------------------------------------------------------------
   private val DcBits: Array[Int] =
     Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
@@ -62,7 +65,7 @@ private[graft] object Jpeg {
       (for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s))
       .distinct.sorted.toArray
   private val AcBits: Array[Int] = {
-    val b = new Array[Int](16); b(7) = AcVals.length; b // all length 8 (177 ≤ 255)
+    val b = new Array[Int](16); b(7) = AcVals.length; b // all length 8 (176 ≤ 255)
   }
 
   /** Canonical code assignment (T.81 C.2): symbol → (code, length). */

@@ -124,10 +124,17 @@ object DedupClusterStream {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(removedDir(rootDir))
-    // gate on the op-split counts, not another action: op ≠ −1 rows may
-    // still anti-join to nothing (added and retired in one batch), and
-    // the insert path is a cheap no-op on an empty frame in that case
-    if (n - nDel > 0L)
+    // gate on the POST-anti-join add count: op ≠ −1 rows may still
+    // anti-join to nothing (every add retired in the same batch), and
+    // while the insert path tolerates an empty frame it is not free — it
+    // runs the revived probe, the candidate joins, and three dynamic
+    // overwrites, and on a store's first such batch would create empty
+    // pairs/shingles roots. The count is the op-split arithmetic when the
+    // batch has no deletes (nothing can anti-join away); only takedown
+    // batches — already the heavy path — pay one extra batch-sized action
+    // on the checkpointed rows.
+    val nAdds = if (!anyDels) n else adds.count()
+    if (nAdds > 0L)
       DedupStream.processBatch(s, adds, batchId,
         indexDir(rootDir), pairsDir(rootDir), family, threshold,
         removedDir = Some(removedDir(rootDir)))

@@ -75,14 +75,17 @@ private[graft] object Stores {
     * Long.MaxValue so a gate reading it skips the hint and the planner
     * decides — the earlier catch-all-return-0 read a filesystem error as
     * "tiny store" and broadcast unconditionally, the exact failure the
-    * gate exists to prevent. Fatal errors (OutOfMemoryError etc.)
-    * propagate. */
+    * gate exists to prevent. ANY non-fatal failure degrades the same way
+    * (exotic FileSystem implementations surface sizing errors as
+    * RuntimeExceptions, not just IOException — the gate's intent is that
+    * sizing failures degrade the optimization, never the read); fatal
+    * errors (OutOfMemoryError etc.) propagate. */
   def bytesUnder(s: SparkSession, path: String): Long =
     try {
       val p = new Path(path)
       val fs = fsOf(s, p)
       if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
-    } catch { case _: java.io.IOException => Long.MaxValue }
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   /** Bytes of `spark.sql.autoBroadcastJoinThreshold`'s value, honoring
     * the full b/k/m/g/t/p (± trailing b) suffix set Spark's byte-string
