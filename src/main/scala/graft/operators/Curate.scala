@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * only checked for docs that survived dedup — and the oracle pins the
   * whole cascade, not each stage in isolation. Each stage keeps its native
   * scale shape: hash group-by, verified-pair CC, inverted-index overlap,
-  * per-row predicates, per-source packing windows; the cascade adds only
-  * left joins against the (small) dropped/kept id sets.
+  * per-row predicates, the distributed packing prefix sum; the cascade
+  * adds only left joins against the (small) dropped/kept id sets.
   */
 object Curate {
 
@@ -50,10 +50,12 @@ object Curate {
           .when($"contam", "dropped_contaminated")
           .when($"toks" < MinWords, "dropped_short")
           .otherwise("kept"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    val kept = statused.filter($"status" === "kept")
-      .withColumn("cum_end", sum($"toks").over(w))
+    // packing offsets via the two-pass distributed prefix sum — a
+    // per-source window here would funnel each corpus source's survivors
+    // through one task (see PrefixSum.cumEndBySource)
+    val kept = PrefixSum.cumEndBySource(
+        statused.filter($"status" === "kept")
+          .select($"source", $"doc_id", $"toks"))
       .withColumn("bin", expr(s"(cum_end - toks) div ${TextOps.PackBinTokens}"))
       .select($"doc_id", $"bin")
     statused.join(kept, Seq("doc_id"), "left")

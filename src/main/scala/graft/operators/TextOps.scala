@@ -493,29 +493,18 @@ object TextOps {
   /** q70 — sequence packing: concatenate documents in deterministic order
     * and chop into fixed token-budget bins (the GPT-style pack-then-split
     * batch construction; a document may straddle a boundary, exactly as
-    * training packers do). Packing runs PER SOURCE — cumulative token
-    * offsets come from a window partitioned by source and ordered by
-    * doc_id, so each source packs independently and in parallel; there is
-    * no global sequential scan, which is what makes the op viable when
-    * "source" is a shard key with millions of rows each. Reported per
+    * training packers do). Cumulative token offsets come from
+    * [[PrefixSum.cumEndBySource]] — a two-pass distributed prefix sum
+    * whose parallelism is the partition count, NOT a per-source window
+    * (which would funnel every row of a corpus source through one
+    * WindowExec task; `source` has a handful of values, so at 100 TB
+    * that is a billions-of-rows single-task sort). Reported per
     * (source, bin): document count, token count, and the doc-id range —
     * the manifest a downstream loader consumes. */
   private def q70(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    docTokens(s, dir)
-      .select($"source", $"doc_id", size($"ws").cast("long").as("toks"))
-      .withColumn("cum_end", sum($"toks").over(w))
-      // bin of a doc = bin containing its first token (0-based offset);
-      // `div` is integer division (plain `/` on longs yields double)
-      .withColumn("bin", expr(s"(cum_end - toks) div $PackBinTokens"))
-      .groupBy($"source", $"bin")
-      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
-        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      .select($"source", $"bin", $"n_docs".cast("long").as("n_docs"),
-        $"n_tokens".cast("long").as("n_tokens"), $"first_doc", $"last_doc")
-      .orderBy($"source", $"bin")
+    packToks(docTokens(s, dir)
+      .select($"source", $"doc_id", size($"ws").cast("long").as("toks")))
   }
 
   private val q70Sql =
@@ -847,7 +836,17 @@ object TextOps {
     * so the "corpus-token-row shuffle" the fold variant's old comment
     * feared never materializes. Both variants produce identical
     * (source, doc_id, toks); [[graft.tools.AbQ115]] asserts it before
-    * timing. */
+    * timing.
+    *
+    * Scale story past the broadcast threshold: the plan stays a LEFT
+    * join keyed on the word, so if a 100 TB corpus's distinct-word
+    * relation ever outgrows the broadcast gate, Spark falls back to a
+    * shuffle join on a Zipf-distributed key — AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin`, on by default with AQE) handles the
+    * head words by splitting their partitions against the (replicable)
+    * word-length build side; and [[docSubwordToksFold]] remains the
+    * scan-local shape with no join at all. PackingPlanSpec pins the
+    * broadcast at shipped SFs. */
   private[graft] def docSubwordToksJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = subwordVocab(s, dir)
@@ -865,12 +864,14 @@ object TextOps {
       .agg(sum(coalesce($"wl", lit(0L))).as("toks"))
   }
 
-  /** q70's packing tail over any (source, doc_id, toks) relation. */
+  /** q70's packing tail over any (source, doc_id, toks) relation —
+    * running offsets via the distributed prefix sum (see
+    * [[PrefixSum.cumEndBySource]] for why not a per-source window). */
   private[graft] def packToks(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    df.withColumn("cum_end", sum($"toks").over(w))
+    PrefixSum.cumEndBySource(df)
+      // bin of a doc = bin containing its first token (0-based offset);
+      // `div` is integer division (plain `/` on longs yields double)
       .withColumn("bin", expr(s"(cum_end - toks) div $PackBinTokens"))
       .groupBy($"source", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
@@ -887,7 +888,7 @@ object TextOps {
     * overflow a real context window, this one cannot. Token counts come
     * from [[docSubwordToksJoin]] (tokenize distinct words, join lengths
     * back, doc-sized aggregation exchange); packing then reuses q70's
-    * per-source cumulative window.
+    * distributed prefix sum ([[PrefixSum.cumEndBySource]]).
     *
     * MEASURED, not assumed (`Q115AB_r16.json`, [[graft.tools.AbQ115]] —
     * interleaved min-of-10 at sf0.1): the round-15 fold variant
