@@ -321,7 +321,8 @@ private[graft] object Jpeg {
     * default progressive scan script uses Al=1 first passes +
     * refinements). */
   private def encodeProgressivePlanes(w: Int, h: Int, planes: Seq[Plane],
-      quants: Seq[Array[Int]], dcSa: Boolean = false): Array[Byte] = {
+      quants: Seq[Array[Int]], dcSa: Boolean = false,
+      acSa: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
     marker(out, 0xD8)
     marker(out, 0xE0)
@@ -429,14 +430,41 @@ private[graft] object Jpeg {
       bw.flush()
     }
 
-    // one full-band AC scan per component, EOBn runs across blocks
-    planes.zipWithIndex.foreach { case (p, ci) =>
+    // AC scans, one component each, EOBn runs across blocks. With
+    // `acSa` the full band ships as a successive-approximation pair —
+    // a first scan at Al = 1 followed by the T.81 G.1.2.3 refinement
+    // scan (Ah = 1, Al = 0) — otherwise a single Al = 0 first scan.
+    def acScanHeader(ci: Int, ahal: Int): Unit = {
       marker(out, 0xDA)
       u16be(out, 6 + 2)
       out.write(1)
       out.write(ci + 1)
-      out.write(p.acTable) // Td unused in an AC scan
-      out.write(1); out.write(63); out.write(0)
+      out.write(planes(ci).acTable) // Td unused in an AC scan
+      out.write(1); out.write(63); out.write(ahal)
+    }
+    def blockGeom(ci: Int): (Int, Int) = {
+      val p = planes(ci)
+      (((w * p.hSamp + hmax - 1) / hmax + 7) / 8,
+        ((h * p.vSamp + vmax - 1) / vmax + 7) / 8)
+    }
+    def foreachBlock(ci: Int)(f: Array[Int] => Unit): Unit = {
+      val (wB, hB) = blockGeom(ci)
+      var by = 0
+      while (by < hB) {
+        var bx = 0
+        while (bx < wB) {
+          f(blocks(ci)(by * bPerLine(ci) + bx))
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // AC FIRST scan at point transform `al`: coefficients ship as
+    // sign·(|v| >> al) (T.81 point transform rounds magnitudes toward
+    // zero); values that shift to zero extend runs/EOB like true zeros.
+    def acFirstScan(ci: Int, al: Int): Unit = {
+      acScanHeader(ci, al)
       val bw = new BitWriter(out)
       var eobrun = 0
       def flushEob(): Unit = if (eobrun > 0) {
@@ -446,44 +474,120 @@ private[graft] object Jpeg {
         if (r > 0) bw.put(eobrun - (1 << r), r)
         eobrun = 0
       }
-      val wB = ((w * p.hSamp + hmax - 1) / hmax + 7) / 8
-      val hB = ((h * p.vSamp + vmax - 1) / vmax + 7) / 8
-      var by = 0
-      while (by < hB) {
-        var bx = 0
-        while (bx < wB) {
-          val coefZ = blocks(ci)(by * bPerLine(ci) + bx)
-          var kLast = 63
-          while (kLast >= 1 && coefZ(kLast) == 0) kLast -= 1
-          if (kLast < 1) { // no AC at all — extend the EOB run
-            eobrun += 1
-            if (eobrun == 32767) flushEob()
-          } else {
-            flushEob()
-            var k = 1
-            var run = 0
-            while (k <= kLast) {
-              if (coefZ(k) == 0) run += 1
-              else {
-                while (run >= 16) {
-                  val (zc, zl) = acCodes(0xF0); bw.put(zc, zl); run -= 16
-                }
-                val s = category(coefZ(k))
-                val (ac, alen) = acCodes((run << 4) | s)
-                bw.put(ac, alen)
-                bw.put(if (coefZ(k) < 0) coefZ(k) - 1 else coefZ(k), s)
-                run = 0
-              }
-              k += 1
-            }
-            if (kLast < 63) eobrun += 1 // trailing zeros end this block
-          }
-          bx += 1
+      foreachBlock(ci) { coefZ =>
+        def vAl(k: Int): Int = {
+          val v = coefZ(k)
+          if (v < 0) -((-v) >> al) else v >> al
         }
-        by += 1
+        var kLast = 63
+        while (kLast >= 1 && vAl(kLast) == 0) kLast -= 1
+        if (kLast < 1) { // no AC at this precision — extend the EOB run
+          eobrun += 1
+          if (eobrun == 32767) flushEob()
+        } else {
+          flushEob()
+          var k = 1
+          var run = 0
+          while (k <= kLast) {
+            val v = vAl(k)
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(0xF0); bw.put(zc, zl); run -= 16
+              }
+              val s = category(v)
+              val (ac, alen) = acCodes((run << 4) | s)
+              bw.put(ac, alen)
+              bw.put(if (v < 0) v - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (kLast < 63) eobrun += 1 // trailing zeros end this block
+        }
       }
       flushEob()
       bw.flush()
+    }
+
+    // AC REFINEMENT scan (Ah = al + 1): already-significant coefficients
+    // (|v| >> (al+1) ≠ 0) contribute one correction bit each — bit `al`
+    // of the magnitude — interleaved in POSITIONAL order with the
+    // symbols; newly-significant ones (|v| >> al == 1) ship as
+    // (run << 4) | 1 plus a sign bit, where the run counts only
+    // zero-history positions; ZRL covers 16 zero-history positions and
+    // is emitted only while a newly-significant coefficient remains
+    // ahead; blocks (and block tails) with no new significance join an
+    // EOBn run whose correction bits buffer up and flush right after
+    // the EOBn symbol. This mirrors exactly what decodeProgressiveScan's
+    // acRefineBlock consumes (its walk reads one bit at every nonzero-
+    // history position it crosses).
+    def acRefineScan(ci: Int, al: Int): Unit = {
+      acScanHeader(ci, (al + 1) << 4 | al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acCodes(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        pending.foreach(b => bw.put(b, 1))
+        pending.clear()
+        eobrun = 0
+      }
+      foreachBlock(ci) { coefZ =>
+        def mag(k: Int): Int = math.abs(coefZ(k)) >> al
+        var kLastNew = 0
+        var k0 = 1
+        while (k0 <= 63) { if (mag(k0) == 1) kLastNew = k0; k0 += 1 }
+        if (kLastNew == 0) {
+          // no new significance anywhere: the whole block joins the EOB
+          // run; its correction bits ride the run's pending buffer
+          eobrun += 1
+          var k = 1
+          while (k <= 63) { if (mag(k) > 1) pending += (mag(k) & 1); k += 1 }
+          if (eobrun == 32767) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var k = 1
+          while (k <= kLastNew) {
+            val m = mag(k)
+            if (m == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acCodes(0xF0); bw.put(zc, zl)
+                buf.foreach(b => bw.put(b, 1)); buf.clear()
+                run -= 16
+              }
+              if (m > 1) buf += (m & 1) // already significant: bit al
+              else {
+                val (ac, alen) = acCodes((run << 4) | 1)
+                bw.put(ac, alen)
+                bw.put(if (coefZ(k) > 0) 1 else 0, 1) // sign of the new ±1
+                buf.foreach(b => bw.put(b, 1)); buf.clear()
+                run = 0
+              }
+            }
+            k += 1
+          }
+          // tail after the last new significance joins the EOB run
+          if (kLastNew < 63) {
+            eobrun += 1
+            var kt = kLastNew + 1
+            while (kt <= 63) { if (mag(kt) > 1) pending += (mag(kt) & 1); kt += 1 }
+          }
+        }
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    planes.indices.foreach { ci =>
+      if (acSa) { acFirstScan(ci, 1); acRefineScan(ci, 0) }
+      else acFirstScan(ci, 0)
     }
     marker(out, 0xD9)
     out.toByteArray
@@ -492,12 +596,16 @@ private[graft] object Jpeg {
   /** Grayscale progressive encode; `dcSa = true` splits the DC into a
     * successive-approximation pair (first scan at Al = 1, then a
     * one-bit refinement scan) so the decoder's DC-refinement path is
-    * exercised on an oracle-gated wire, not only via interop. */
+    * exercised on an oracle-gated wire, not only via interop; `acSa`
+    * does the same for the AC band (first scan at Al = 1 + the
+    * G.1.2.3 refinement scan with correction bits, new-significance
+    * symbols, refine-ZRL and EOBn-with-pending-bits). */
   def encodeGrayProgressive(w: Int, h: Int, gray: Array[Byte],
-      quant: Array[Int] = QuantFlat, dcSa: Boolean = false): Array[Byte] = {
+      quant: Array[Int] = QuantFlat, dcSa: Boolean = false,
+      acSa: Boolean = false): Array[Byte] = {
     require(gray.length == w * h, "raster size mismatch")
     encodeProgressivePlanes(w, h,
-      Seq(Plane(gray, w, h, 1, 1, 0, 0, 0)), Seq(quant), dcSa)
+      Seq(Plane(gray, w, h, 1, 1, 0, 0, 0)), Seq(quant), dcSa, acSa)
   }
 
   /** 4:2:0 YCbCr progressive encode (planes as in [[encodeYcc420]]). */

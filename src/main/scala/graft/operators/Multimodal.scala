@@ -2628,6 +2628,113 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // ------------- q127: AC successive approximation (progressive) --------
+
+  /** Quant table for the AC-SA fixture: flat except 8 at the two exact
+    * square-wave basis positions (nat 4 = (u=4, v=0); nat 36 =
+    * (u=4, v=4)) — their raw spectra are exact multiples of 8
+    * (see [[acSaBlockGray]]), so dividing by 8 makes the QUANTIZED
+    * coefficient the raw amplitude itself: any integer, including the
+    * ODD values and ±1 the successive-approximation refinement paths
+    * need, while the roundtrip stays bit-exact. */
+  val QuantAcSa: Array[Int] = {
+    val q = Jpeg.QuantFlat.clone(); q(4) = 8; q(36) = 8; q
+  }
+
+  /** The 8-point square wave s = √2·cos((2x+1)π/4) — the one ±1-valued
+    * integer pattern that IS a single DCT basis (u = 4), so a block
+    * a + c·s(x) + d·s(x)s(y) has the exact integer spectrum
+    * {DC = 8(a−128), (u=4,v=0) = 8c, (u=4,v=4) = 8d} and nothing else. */
+  private val Sq = Array(1, -1, -1, 1, 1, -1, -1, 1)
+
+  /** Per-block raster for q127: base = v/2 + 64 keeps base ± (|c|+|d|)
+    * inside [0, 255] with no clamping, and the residue class of the
+    * block byte v picks which AC-SA decode path the block drives:
+    *
+    *   v%6=0 — c=d=0: EOB runs in both AC scans (and the padding bytes)
+    *   v%6=1 — c=+1: invisible at Al=1, NEWLY significant (+) in refine
+    *   v%6=2 — c∈−16..−23: significant from the first scan; no new
+    *           significance in refine ⇒ EOBn with PENDING correction bit
+    *   v%6=3 — d∈17..24 alone at zigzag 39: a 38-zero run ⇒ ZRL pair in
+    *           the FIRST scan (Al=1)
+    *   v%6=4 — c∈18..25 at z=14 plus d=±1 at z=39: 24 zero-history
+    *           positions between them ⇒ REFINE-scan ZRL with the
+    *           buffered correction bit flushing after it, then a new ±1
+    *   v%6=5 — c=−1: newly significant with the NEGATIVE sign bit
+    *
+    * Both square-wave terms sum to zero over the block, so the BLOCK
+    * MEAN is base for every class — the SQL oracle stays byte
+    * arithmetic — while the wire exercises every G.1.2.3 branch. */
+  private[graft] def acSaBlockGray(txt: Array[Byte]): Array[Byte] = {
+    val blocks = java.util.Arrays.copyOf(txt, JpegBw * JpegBh)
+    val gray = new Array[Byte](JpegW * JpegH)
+    var by = 0
+    while (by < JpegBh) {
+      var bx = 0
+      while (bx < JpegBw) {
+        val v = blocks(by * JpegBw + bx) & 0xFF
+        val base = (v >> 1) + 64
+        val (c, d) = (v % 6) match {
+          case 0 => (0, 0)
+          case 1 => (1, 0)
+          case 2 => (-(16 + (v & 7)), 0)
+          case 3 => (0, 17 + (v & 7))
+          case 4 => (18 + (v & 7), if ((v & 8) != 0) 1 else -1)
+          case _ => (-1, 0)
+        }
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            gray((by * 8 + y) * JpegW + bx * 8 + x) =
+              (base + c * Sq(x) + d * Sq(x) * Sq(y)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    gray
+  }
+
+  def synthesizeJpegProgAcSa(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      MediaRow(id,
+        Jpeg.encodeGrayProgressive(JpegW, JpegH, acSaBlockGray(txt),
+          quant = QuantAcSa, acSa = true),
+        "image/jpeg", JpegW, JpegH)
+    }
+
+  /** q127 — progressive JPEG with AC successive approximation: the
+    * Al=1 AC first scan plus the T.81 G.1.2.3 refinement scan
+    * (correction bits, new-significance ±1 symbols, refine-ZRL,
+    * EOBn-with-pending-bits — all on the wire by fixture construction,
+    * see [[acSaBlockGray]]), previously gated only by ImageIO interop. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpegStats(synthesizeJpegProgAcSa(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_gray")
+      .orderBy($"doc_id")
+  }
+
+  /** q127's oracle: block mean = v/2 + 64 per (padded) byte — the
+    * square-wave AC terms cancel over each block exactly. */
+  private val q127Sql = {
+    val nb = JpegBw * JpegBh
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($nb) t(j)),
+       |agg AS (SELECT doc_id, CAST(SUM(v // 2 + 64) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($JpegW AS INTEGER) AS width, CAST($JpegH AS INTEGER) AS height,
+       |  sv / $nb.0 AS mean_gray
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** q123's oracle: same block mean on every channel (neutral chroma). */
   private val q123Sql = {
     val nb = JpegBw * JpegBh
@@ -2665,5 +2772,6 @@ object Multimodal {
     GQuery("q124_jpeg_progressive_decode", q124, Some(q122Sql)),
     GQuery("q125_jpeg420_progressive_decode", q125, Some(q123Sql)),
     GQuery("q126_jpeg_sa_decode", q126, Some(q122Sql)),
+    GQuery("q127_jpeg_ac_sa_decode", q127, Some(q127Sql)),
   )
 }

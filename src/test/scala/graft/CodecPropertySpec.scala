@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Jpeg
+import graft.operators.{Jpeg, Multimodal}
 import graft.operators.Multimodal.{Bmp, Gif, Png, Ppm, Qoi, Wav}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.propBoolean
@@ -226,7 +226,12 @@ class CodecPropertySpec extends AnyFunSuite {
           ("jpeg-prog", b => Jpeg.decode(b),
             Jpeg.encodeGrayProgressive(24, 16, gray)),
           ("jpeg-prog-420", b => Jpeg.decode(b),
-            Jpeg.encodeYcc420Progressive(24, 16, gray, cro, cro)))
+            Jpeg.encodeYcc420Progressive(24, 16, gray, cro, cro)),
+          ("jpeg-prog-acsa", b => Jpeg.decode(b),
+            Jpeg.encodeGrayProgressive(Multimodal.JpegW, Multimodal.JpegH,
+              Multimodal.acSaBlockGray(
+                Array.tabulate[Byte](35)(i => (i * 37 + 1).toByte)),
+              quant = Multimodal.QuantAcSa, acSa = true)))
       }
     }
     seeds.foreach { case (name, f, valid) =>

@@ -308,6 +308,56 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive AC successive approximation: exact roundtrip, SA scan script on the wire, ImageIO agrees") {
+    def scanParams(b: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+      var i = 0
+      val out = Seq.newBuilder[(Int, Int, Int, Int)]
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xDA) {
+          val ns = b(i + 4) & 0xFF
+          val at = i + 5 + 2 * ns
+          out += ((b(at) & 0xFF, b(at + 1) & 0xFF,
+            (b(at + 2) & 0xFF) >> 4, b(at + 2) & 0xF))
+          i = at + 3
+        } else i += 1
+      }
+      out.result()
+    }
+    val nb = Multimodal.JpegBw * Multimodal.JpegBh
+    val rnd = new scala.util.Random(127001)
+    // fixture set: one deterministic sweep hitting every residue class
+    // with both parities and signs, plus random fixtures; a coverage
+    // probe below rejects a vacuous set
+    val fixtures = Array.tabulate[Byte](nb)(i => (i * 37 + 1).toByte) +:
+      Array.fill(4)(Array.fill[Byte](nb)((rnd.nextInt(256)).toByte))
+    val classesSeen = scala.collection.mutable.Set.empty[Int]
+    fixtures.foreach { blocks =>
+      blocks.foreach(b => classesSeen += (b & 0xFF) % 6)
+      val gray = Multimodal.acSaBlockGray(blocks)
+      val bytes = Jpeg.encodeGrayProgressive(
+        Multimodal.JpegW, Multimodal.JpegH, gray,
+        quant = Multimodal.QuantAcSa, acSa = true)
+      // scan script: plain DC, AC first at Al=1, AC refine Ah=1/Al=0
+      assert(scanParams(bytes) === Seq((0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0)),
+        "AC-SA progression not on the wire as declared")
+      val img = Jpeg.decode(bytes).getOrElse(fail("AC-SA progressive refused"))
+      assert(java.util.Arrays.equals(img.pixels, gray),
+        "AC successive approximation roundtrip not exact")
+      // the JDK's decoder consumes the same wire (bytes we authored,
+      // decoder we did not): dims + per-pixel tolerance for its IDCT
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "ImageIO refused the AC-SA stream")
+      assert(ref.getWidth == Multimodal.JpegW && ref.getHeight == Multimodal.JpegH)
+      val maxDiff = (0 until Multimodal.JpegH).flatMap(y =>
+        (0 until Multimodal.JpegW).map(x =>
+          math.abs((img.pixels(y * Multimodal.JpegW + x) & 0xFF) -
+            ref.getRaster.getSample(x, y, 0)))).max
+      assert(maxDiff <= 2, s"AC-SA: max diff vs ImageIO decode $maxDiff")
+    }
+    assert(classesSeen == Set(0, 1, 2, 3, 4, 5),
+      s"fixture set misses residue classes: ${(Set(0, 1, 2, 3, 4, 5) -- classesSeen)}")
+  }
+
   test("refusal ladder: everything outside baseline sequential returns None") {
     val gray = Array.tabulate(16 * 16)(i => (i % 251).toByte)
     val valid = Jpeg.encodeGray(16, 16, gray)
