@@ -75,6 +75,12 @@ object SsspDeltaStream {
   /** Sentinel pred of the source row (node ids are non-negative). */
   private val NoPred = -1L
 
+  // Dev-only visibility for tools.ProfileSsspDelta (which term of a
+  // batch scales with SF: cone depth, relax rounds, or per-round data
+  // volume). Written once per processBatch, read by no serving path.
+  @volatile private[graft] var lastConeRounds: Int = 0
+  @volatile private[graft] var lastRelaxRounds: Int = 0
+
   /** Bucketed layout ([[Stores.readPruned]] — restricted reads must
     * prune FILES, not just shuffle): events bucket on src (every edge
     * lookup is src-restricted over the symmetrized rows); distances have
@@ -188,7 +194,9 @@ object SsspDeltaStream {
       .select($"node").localCheckpoint()
     var damaged = damaged0
     var dFrontier = damaged0
+    lastConeRounds = 0
     while (!dFrontier.isEmpty) {
+      lastConeRounds += 1
       // nodes with ANY row pointing at the frontier (superset), then the
       // freshest-row check — both restricted, and the descendant probe
       // pruned to the frontier's PRED buckets (checkpointed: candNodes
@@ -259,7 +267,9 @@ object SsspDeltaStream {
     improvedSoFar = frontier
 
     // ---- propagate to fixpoint within the budget ----
+    lastRelaxRounds = 0
     while (!frontier.isEmpty) {
+      lastRelaxRounds += 1
       val cand = relaxFrom(frontier,
         liveEdgesFrom(eventsDf, frontier.select($"node"))).localCheckpoint()
       val next = improvements(cand, knownFor(cand)).localCheckpoint()
