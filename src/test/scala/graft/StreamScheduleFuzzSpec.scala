@@ -474,6 +474,95 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  // ---- dedup MID-STREAM SERVES: read-your-mask between schedule ops ------
+
+  /** The takedown and purge lanes randomize maintenance but serve only at
+    * the END; this lane serves BETWEEN schedule ops — after every batch,
+    * and immediately after randomly landed compactions and purges — and
+    * checks each serve against the union-find oracle over the pairs whose
+    * endpoints are inserted-and-live AT THAT PREFIX (read-your-mask
+    * semantics mid-stream: a retirement in batch i must be invisible to
+    * the serve after batch i, visible state must include everything
+    * through batch i, and a purge/compaction must never change a served
+    * answer at any point, not just at the end). */
+  test("3 random insert/retire schedules with a serve after EVERY op ≡ per-prefix union-find") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val fullPairs = graft.operators.Dedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    def wantFor(live: Set[Long]): Map[Long, (Long, Long, Boolean)] = {
+      val pairs = fullPairs.filter { case (a, b) => live(a) && live(b) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+        .flatMap { case (_, ms) =>
+          val cid = ms.min
+          ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
+        }.toMap
+    }
+    def serve(store: String): Map[Long, (Long, Long, Boolean)] =
+      graft.streaming.DedupClusterStream.snapshot(spark, store)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val rnd = new scala.util.Random(0x5E27E5EEDL ^ SeedBase)
+    (1 to 3).foreach { c =>
+      val insBatches = rnd.shuffle(allIds).grouped(
+        math.ceil(allIds.size / 3.0).toInt).toSeq
+      val retiredSoFar = scala.collection.mutable.Set.empty[Long]
+      val insertedSoFar = scala.collection.mutable.Set.empty[Long]
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(Boolean, Seq[Long])]
+      insBatches.foreach { wave =>
+        batches += ((true, wave))
+        insertedSoFar ++= wave
+        if (rnd.nextInt(10) < 7) {
+          val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
+          if (candidates.nonEmpty) {
+            val k = 1 + rnd.nextInt(math.min(8, candidates.size))
+            val picks = rnd.shuffle(candidates).take(k)
+            retiredSoFar ++= picks
+            batches += ((false, picks))
+          }
+        }
+      }
+      val store = tmpStore()
+      val liveNow = scala.collection.mutable.Set.empty[Long]
+      batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
+        val frame =
+          if (isInsert) docs.filter($"doc_id".isInCollection(ids))
+            .select($"doc_id", $"text", lit(1).as("op"))
+          else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
+        graft.streaming.DedupClusterStream.processBatch(spark, frame, i.toLong, store)
+        if (isInsert) liveNow ++= ids else liveNow --= ids
+        val ctx = s"case $c serve@batch$i (${if (isInsert) "+" else "-"}${ids.size})"
+        assert(serve(store) === wantFor(liveNow.toSet), s"$ctx diverged")
+        if (rnd.nextInt(3) == 0) {
+          graft.streaming.DedupClusterStream.compact(spark, store,
+            throughBatch = i.toLong)
+          assert(serve(store) === wantFor(liveNow.toSet),
+            s"$ctx diverged AFTER compaction")
+        }
+        if (rnd.nextInt(3) == 0) {
+          graft.streaming.DedupClusterStream.purgeRetired(spark, store,
+            throughBatch = i.toLong)
+          assert(serve(store) === wantFor(liveNow.toSet),
+            s"$ctx diverged AFTER purge")
+        }
+      }
+    }
+    docs.unpersist()
+  }
+
   // ---- dedup PURGE: random insert/retire/purge interleavings ------------
 
   /** The physical-purge maintenance job fuzzed INTO the schedule (the
