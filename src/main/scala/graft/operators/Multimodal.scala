@@ -2721,6 +2721,29 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** q128's wire: the FULL successive-approximation progression — DC
+    * split (Al=1 first + refinement) AND the AC pair, four scans total,
+    * so coefficient accumulation across the maximal scan-script shape is
+    * on an oracle row (the q127 fixture content; DC-SA changes wire
+    * layout, not content, the q118/q119 rule). */
+  def synthesizeJpegProgFullSa(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      MediaRow(id,
+        Jpeg.encodeGrayProgressive(JpegW, JpegH, acSaBlockGray(txt),
+          quant = QuantAcSa, dcSa = true, acSa = true),
+        "image/jpeg", JpegW, JpegH)
+    }
+
+  /** q128 — progressive JPEG, combined DC + AC successive approximation. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeJpegStats(synthesizeJpegProgFullSa(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_gray")
+      .orderBy($"doc_id")
+  }
+
   /** q127's oracle: block mean = v/2 + 64 per (padded) byte — the
     * square-wave AC terms cancel over each block exactly. */
   private val q127Sql = {
@@ -2773,5 +2796,8 @@ object Multimodal {
     GQuery("q125_jpeg420_progressive_decode", q125, Some(q123Sql)),
     GQuery("q126_jpeg_sa_decode", q126, Some(q122Sql)),
     GQuery("q127_jpeg_ac_sa_decode", q127, Some(q127Sql)),
+    // same content as q127 (SA split is wire layout, not content) —
+    // oracle shared, the q118/q119 rule
+    GQuery("q128_jpeg_full_sa_decode", q128, Some(q127Sql)),
   )
 }

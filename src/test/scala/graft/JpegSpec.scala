@@ -358,6 +358,61 @@ class JpegSpec extends AnyFunSuite {
       s"fixture set misses residue classes: ${(Set(0, 1, 2, 3, 4, 5) -- classesSeen)}")
   }
 
+  test("combined DC+AC successive approximation (4 scans): exact roundtrip, script on the wire") {
+    def scanParams(b: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+      var i = 0
+      val out = Seq.newBuilder[(Int, Int, Int, Int)]
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xDA) {
+          val ns = b(i + 4) & 0xFF
+          val at = i + 5 + 2 * ns
+          out += ((b(at) & 0xFF, b(at + 1) & 0xFF,
+            (b(at + 2) & 0xFF) >> 4, b(at + 2) & 0xF))
+          i = at + 3
+        } else i += 1
+      }
+      out.result()
+    }
+    val nb = Multimodal.JpegBw * Multimodal.JpegBh
+    val gray = Multimodal.acSaBlockGray(
+      Array.tabulate[Byte](nb)(i => (i * 41 + 3).toByte))
+    val bytes = Jpeg.encodeGrayProgressive(
+      Multimodal.JpegW, Multimodal.JpegH, gray,
+      quant = Multimodal.QuantAcSa, dcSa = true, acSa = true)
+    assert(scanParams(bytes) ===
+      Seq((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1), (1, 63, 1, 0)),
+      "full SA progression not on the wire as declared")
+    val img = Jpeg.decode(bytes).getOrElse(fail("full-SA progressive refused"))
+    assert(java.util.Arrays.equals(img.pixels, gray),
+      "combined DC+AC successive approximation roundtrip not exact")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "ImageIO refused the full-SA stream")
+  }
+
+  test("AC-refine EOBn run past 32767 blocks: mid-run cap flush with pending correction bits") {
+    // 256×1024 blocks = 32768 > the EOBn cap, every block carrying one
+    // always-even AC coefficient (c = 2 at zigzag 14) — the refine scan
+    // sees NO new significance anywhere, so all blocks join one EOB run
+    // with one pending correction bit each and the encoder must flush
+    // EOBn(32767)+bits mid-run, then a second run for the remainder; the
+    // decoder must chain the runs and land every correction bit
+    val (bw2, bh2) = (256, 128) // 32768 blocks
+    val (w2, h2) = (bw2 * 8, bh2 * 8)
+    val sq = Array(1, -1, -1, 1, 1, -1, -1, 1)
+    val gray = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) { gray(y * w2 + x) = (128 + 2 * sq(x % 8)).toByte; x += 1 }
+      y += 1
+    }
+    val bytes = Jpeg.encodeGrayProgressive(w2, h2, gray,
+      quant = Multimodal.QuantAcSa, acSa = true)
+    val img = Jpeg.decode(bytes).getOrElse(fail("EOBn-cap stream refused"))
+    assert(java.util.Arrays.equals(img.pixels, gray),
+      "EOBn cap flush: roundtrip not exact")
+  }
+
   test("refusal ladder: everything outside baseline sequential returns None") {
     val gray = Array.tabulate(16 * 16)(i => (i % 251).toByte)
     val valid = Jpeg.encodeGray(16, 16, gray)
