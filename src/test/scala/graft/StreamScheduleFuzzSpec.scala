@@ -68,6 +68,10 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       val store = tmp()
       schedule.zipWithIndex.foreach { case (batch, i) =>
         CcStream.processBatch(ev(batch), i.toLong, store)
+        // mid-stream serve (round 17): every prefix must already serve
+        // exactly its own survivors, not just the final state
+        assert(snap(store) === unionFind(survivors(schedule.take(i + 1))),
+          s"case $c serve@batch$i diverged.\nschedule=$schedule")
         // compact mid-stream at a random boundary, at most once per case
         if (i < nBatches - 1 && rnd.nextInt(4) == 0)
           CcStream.compact(spark, store, throughBatch = i.toLong)
