@@ -49,11 +49,19 @@ object PrefixSum {
   final case class TokRow(source: String, doc_id: Long, toks: Long)
   final case class CumRow(source: String, doc_id: Long, toks: Long, cum_end: Long)
 
-  /** `df` must have (source: string, doc_id: long, toks: long); returns
-    * the same rows plus `cum_end` = running sum of toks within source in
-    * doc_id order, inclusive of the current row — exactly the window
-    * `SUM(toks) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED
-    * PRECEDING)`, without its one-task-per-source exchange. */
+  /** `df` must have (source: string, doc_id: long, toks: long) with
+    * doc_id UNIQUE within each source (every caller feeds the documents
+    * table's key; on duplicate keys a ROWS-frame running sum is not
+    * well-defined under any engine — the order of ties is arbitrary);
+    * returns the same rows plus `cum_end` = running sum of toks within
+    * source in doc_id order, inclusive of the current row — exactly the
+    * window `SUM(toks) OVER (PARTITION BY source ORDER BY doc_id ROWS
+    * UNBOUNDED PRECEDING)`, without its one-task-per-source exchange.
+    *
+    * NOTE: construction is EAGER — pass 1 (offsets) runs Spark jobs when
+    * this function is called, not when the caller first acts on the
+    * result; that is inherent to a two-pass algorithm whose second pass
+    * needs the first's output on the driver. */
   def cumEndBySource(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
@@ -80,6 +88,10 @@ object PrefixSum {
       .agg(sum($"toks").as("tot"))
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // `ranged` is fully materialized by the aggregate above; the input
+    // copy has served both its readers (range sampler + exchange) and
+    // can release its blocks now
+    in.unpersist(blocking = false)
     val offsets: Map[(Int, String), Long] = partials
       .groupBy(_._2).iterator.flatMap { case (src, chunks) =>
         var run = 0L
@@ -92,10 +104,15 @@ object PrefixSum {
     // the chunk, so one accumulator per source transition suffices
     ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      // explicit first-row flag: a legitimate NULL source must not
+      // collide with the pre-first-row sentinel (null == null would skip
+      // the offset fetch for a null-source group at a chunk head)
+      var started = false
       var cur: String = null
       var cum = 0L
       it.map { r =>
-        if (r.source != cur) {
+        if (!started || r.source != cur) {
+          started = true
           cur = r.source
           cum = bc.value.getOrElse((pid, r.source), 0L)
         }

@@ -162,6 +162,10 @@ object SsspDeltaStream {
       source: Long, budget: Long): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    // reset BEFORE the empty-batch return: an empty batch must report
+    // zero rounds, not the previous batch's counts
+    lastConeRounds = 0
+    lastRelaxRounds = 0
     if (batch.isEmpty) return
     // negative-weight inserts void the relaxation invariants (the
     // SsspStream contract); delete rows carry no meaningful weight
@@ -194,7 +198,6 @@ object SsspDeltaStream {
       .select($"node").localCheckpoint()
     var damaged = damaged0
     var dFrontier = damaged0
-    lastConeRounds = 0
     while (!dFrontier.isEmpty) {
       lastConeRounds += 1
       // nodes with ANY row pointing at the frontier (superset), then the
@@ -267,7 +270,6 @@ object SsspDeltaStream {
     improvedSoFar = frontier
 
     // ---- propagate to fixpoint within the budget ----
-    lastRelaxRounds = 0
     while (!frontier.isEmpty) {
       lastRelaxRounds += 1
       val cand = relaxFrom(frontier,

@@ -97,8 +97,18 @@ object AbPack {
         f().count()
         (System.nanoTime() - t0) / 1e9
       }
-    // equality on the synthetic arms too (counts + a sample of bins)
-    require(synthWindow().count() == synthPrefix().count(), "synth arms disagree")
+    // equality on the synthetic arms too — content signature (row count
+    // + order-independent sum of row hashes), not just group count: a
+    // bin-shift bug that preserves the number of (source, bin) groups
+    // must fail this gate (the real-data arms above compare full sorted
+    // row sets; 2M synthetic bins are too many to collect)
+    def sig(f: () => DataFrame): (Long, Long) = {
+      val r = f().agg(count(lit(1)),
+        sum(hash($"source", $"bin", $"n_docs", $"n_tokens",
+          $"first_doc", $"last_doc").cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(sig(synthWindow) == sig(synthPrefix), "synth arms disagree")
     val (sw1, sp1) = (timeS(synthWindow), timeS(synthPrefix))
     val (sw2, sp2) = (timeS(synthWindow), timeS(synthPrefix))
     val (swAll, spAll) = (sw1 ++ sw2, sp1 ++ sp2)

@@ -390,7 +390,7 @@ class JpegSpec extends AnyFunSuite {
   }
 
   test("AC-refine EOBn run past 32767 blocks: mid-run cap flush with pending correction bits") {
-    // 256×1024 blocks = 32768 > the EOBn cap, every block carrying one
+    // 256×128 blocks = 32768 > the EOBn cap, every block carrying one
     // always-even AC coefficient (c = 2 at zigzag 14) — the refine scan
     // sees NO new significance anywhere, so all blocks join one EOB run
     // with one pending correction bit each and the encoder must flush

@@ -71,6 +71,23 @@ class PackingPlanSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("cumEndBySource: NULL source is an ordinary group, even at chunk heads") {
+    import spark.implicits._
+    // enough null-source rows to straddle every range chunk: if a chunk
+    // head's null group skipped its broadcast offset (the null == null
+    // sentinel collision), later rows would understate cum_end
+    val rows = (0 until 800).map(i =>
+      (if (i % 2 == 0) null else "a", i.toLong, (i % 7 + 1).toLong))
+    val got = PrefixSum.cumEndBySource(rows.toDF("source", "doc_id", "toks"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val expected = rows.groupBy(r => Option(r._1)).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).map { case (_, id, tk) => cum += tk; (src, id, cum) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected)
+  }
+
   test("cumEndBySource: empty input and single-row input") {
     import spark.implicits._
     val empty = PrefixSum.cumEndBySource(
