@@ -172,6 +172,13 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       schedule.zipWithIndex.foreach { case (batch, i) =>
         SsspDeltaStream.processBatch(evW(batch), i.toLong, store,
           source = 0L, budget = 64L)
+        // mid-stream serve (round 17): each prefix must already serve
+        // its own exact distances — a deletion's damage repair and
+        // tombstones visible at the very batch that caused them
+        assert(SsspDeltaStream.snapshot(spark, store).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          === dijkstra(survivors(schedule.take(i + 1)), 0L, 64L),
+          s"case $c serve@batch$i diverged.\nschedule=$schedule")
         if (i < nBatches - 1 && rnd.nextInt(4) == 0)
           SsspDeltaStream.compact(spark, store, throughBatch = i.toLong)
       }
