@@ -1200,6 +1200,106 @@ object Similarity {
        |FROM c LEFT JOIN ksum k ON k.cell = c.cent_id
        |ORDER BY cluster""".stripMargin
 
+  /** q129's semantic-duplicate cosine floor, as a rational τ = 3/10 so the
+    * pair test is pure integer arithmetic (see [[intDupCond]]). Matches
+    * [[DupThreshold]] — the synthetic corpus' near-orthogonal vectors make a
+    * production-style 0.98 floor return the empty set (same note as q29). */
+  val SemDedupNum = 3L
+  val SemDedupDen = 10L
+
+  /** Integer-exact "cos(a, b) ≥ τ" over int8 code pairs: with d = <a,b>,
+    * na = <a,a>, nb = <b,b> and τ = num/den ≥ 0,
+    *   cos ≥ τ  ⟺  d ≥ 0  ∧  den²·d² ≥ num²·na·nb
+    * (both sides exact integers: |d| ≤ 64·127² ≈ 1.04e6, so den²·d² ≤
+    * 1.1e14 and num²·na·nb ≤ 9.6e12 — far inside Long AND inside 2⁵³, so
+    * the same comparison is exact in DuckDB even if a HUGEINT/DOUBLE path
+    * intervenes). Zero vectors (na = 0 or nb = 0) have no cosine and are
+    * excluded explicitly — without the guard an all-zero code would
+    * "duplicate" its whole cell (0 ≥ 0). */
+  private def intDupCond(dot: Column, na: Column, nb: Column): Column =
+    na > 0L && nb > 0L && dot >= 0L &&
+      lit(SemDedupDen * SemDedupDen) * dot * dot >= lit(SemDedupNum * SemDedupNum) * na * nb
+
+  /** q129 — SemDeDup: SEMANTIC deduplication over the embedding corpus
+    * (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"). Where
+    * q23–q26 deduplicate on TEXT content, SemDeDup removes documents that
+    * say the same thing in different words: cluster the corpus'
+    * embeddings, compare pairs only WITHIN a cluster, and drop every
+    * member that is τ-close to a lower-id member (the greedy min-id
+    * exemplar rule — the paper keeps one exemplar per ε-group; "survives
+    * unless a lower id is τ-close" is the deterministic, oracle-able
+    * variant, and like the paper's it can prune a chain a—b—c whose ends
+    * never compared). Output is the REMOVED set: one row per dropped
+    * member with its cell, the minimum lower duplicate (dup_of) and how
+    * many lower-id duplicates witnessed it (n_dups).
+    *
+    * Exactness: clustering is the shared [[trainedCentroids]] set (exact
+    * integer Lloyd, identically unrolled in the oracle's CTEs); pair
+    * similarity runs on the int8 codes (q62's storage form) through the
+    * all-integer [[intDupCond]], so there is no float comparison anywhere
+    * a hash could diverge on — the only floats are the assignment cosines
+    * both engines evaluate from identical exact inputs.
+    *
+    * Scale shape: assignment + quantization + self-norm ride ONE corpus
+    * projection (no corpus↔corpus rejoin of two functions of the same
+    * scan — the q109 audit note); candidates come from ONE equi-join on
+    * the cell id, pairs exist only within a cell, and the group/aggregate
+    * keys (vec_id) are high-cardinality. Pair work is Σ_cells |cell|² —
+    * SemDeDup's own contract is that k grows with the corpus so |cell|
+    * stays bounded (the paper runs k ≈ n/10⁴ on LAION); the registered
+    * k = [[Centroids]] is the fixture scale of the shared trained set, and
+    * at production k the join key is high-cardinality, so the cell
+    * exchange does not funnel (the packing-family lesson). At 100 TB the
+    * int8 form also cuts the shuffled candidate bytes 8× vs float64. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val cents = trainedCentroids(s, dir)
+    val cells = withInt8Codes(assignToCentroids(emb, cents))
+      .withColumn("nq", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .select($"vec_id", $"cell", $"qs", $"nq")
+    val a = cells.select($"vec_id".as("a_id"), $"cell",
+      $"qs".as("aq"), $"nq".as("an"))
+    val b = cells.select($"vec_id".as("b_id"), $"cell",
+      $"qs".as("bq"), $"nq".as("bn"))
+    val dup = a.join(b, Seq("cell"))
+      .filter($"a_id" < $"b_id")
+      .withColumn("dot",
+        aggregate(zip_with($"aq", $"bq", (u, v) => u * v), lit(0L), (acc, v) => acc + v))
+      .filter(intDupCond($"dot", $"an", $"bn"))
+    dup.groupBy($"b_id", $"cell")
+      .agg(min($"a_id").as("dup_of"), count(lit(1)).as("n_dups"))
+      .select($"b_id".as("vec_id"), $"cell", $"dup_of", $"n_dups")
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the same pipeline over [[batchAnnCtes]]' `assign` relation and
+    * t_qz codes — within-cell pairs via a self-join, the pair dot as an
+    * unrolled SUM over range(1, 65), and the identical all-integer τ test
+    * (every operand CAST to BIGINT before multiplying so DuckDB's
+    * HUGEINT/DOUBLE promotion never enters; the products fit BIGINT with
+    * four orders of magnitude to spare). */
+  private val q129Sql =
+    s"""${batchAnnCtes(BatchQueryMod)},
+       |scq AS (SELECT a.vec_id, a.cell, q.qs FROM assign a JOIN t_qz q USING (vec_id)),
+       |snq AS (SELECT vec_id, CAST(SUM(qs[j] * qs[j]) AS BIGINT) AS nq
+       |  FROM scq CROSS JOIN range(1, 65) t(j) GROUP BY vec_id),
+       |spd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell,
+       |    CAST(SUM(a.qs[j] * b.qs[j]) AS BIGINT) AS dot
+       |  FROM scq a JOIN scq b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  CROSS JOIN range(1, 65) t(j)
+       |  GROUP BY 1, 2, 3),
+       |sdup AS (SELECT p.a_id, p.b_id, p.cell
+       |  FROM spd p JOIN snq na ON na.vec_id = p.a_id
+       |             JOIN snq nb ON nb.vec_id = p.b_id
+       |  WHERE na.nq > 0 AND nb.nq > 0 AND p.dot >= 0
+       |    AND ${SemDedupDen * SemDedupDen} * p.dot * p.dot >=
+       |        ${SemDedupNum * SemDedupNum} * na.nq * nb.nq)
+       |SELECT b_id AS vec_id, cell, MIN(a_id) AS dup_of,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dups
+       |FROM sdup GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery("q27_ann_brute_topk", q27, Some(q27Sql), bench = true),
     GQuery("q28_ann_ivf_topk", q28, Some(q28Sql), bench = true),
@@ -1214,5 +1314,6 @@ object Similarity {
     // path; the COLD column carries the shared centroid training every
     // retrieval query amortizes (the q28/q61/q78/q86 prepare stage)
     GQuery("q109_kmeans_clusters", q109, Some(q109Sql), bench = true),
+    GQuery("q129_semantic_dedup", q129, Some(q129Sql)),
   )
 }
