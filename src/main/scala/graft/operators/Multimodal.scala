@@ -2771,6 +2771,109 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------- TIFF (q130/q131) -----------------------------
+
+  val TiffW = 7
+  val TiffH = 5
+  /** 5 rows at 2 per strip → 3 strips: StripOffsets/StripByteCounts are
+    * forced out of line behind offsets — the pointer-graph branch of the
+    * [[Tiff]] wire (single-strip inline is TiffSpec's job). */
+  val TiffRowsPerStrip = 2
+
+  final case class TiffGrayStats(doc_id: Long, width: Int, height: Int,
+      mean_gray: Double)
+
+  /** One gray TIFF per document (text bytes as the raster, zero-padded),
+    * ALTERNATING byte order by doc_id parity — every run exercises both
+    * the "II" and "MM" read paths on half the corpus each. */
+  def synthesizeTiffGray(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, TiffW * TiffH)
+      MediaRow(id, Tiff.encodeGray(TiffW, TiffH, px,
+        bigEndian = id % 2 == 0, rowsPerStrip = TiffRowsPerStrip),
+        "image/tiff", TiffW, TiffH)
+    }
+
+  /** RGB + PackBits variant for q131: the text bytes give literal-heavy
+    * rows, the zero-padded tail gives repeat runs — both opcode classes
+    * on the wire for every document, packed per row as §9 requires. */
+  def synthesizeTiffRgbPackBits(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaRow] =
+    rows.map { case (id, txt) =>
+      val px = java.util.Arrays.copyOf(txt, TiffW * TiffH * 3)
+      MediaRow(id, Tiff.encodeRgb(TiffW, TiffH, px,
+        bigEndian = id % 2 == 0, rowsPerStrip = TiffRowsPerStrip,
+        packBits = true),
+        "image/tiff", TiffW, TiffH)
+    }
+
+  /** REAL decode → dims + gray mean (refuses non-gray). */
+  def decodeTiffGrayStats(rows: Iterator[MediaRow]): Iterator[TiffGrayStats] =
+    rows.flatMap { r =>
+      Tiff.decode(r.payload).collect {
+        case img if img.samplesPerPixel == 1 =>
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+          TiffGrayStats(r.doc_id, img.width, img.height,
+            sum.toDouble / (img.width * img.height))
+      }
+    }
+
+  /** REAL decode of the RGB path → per-channel means. */
+  def decodeTiffRgbStats(rows: Iterator[MediaRow]): Iterator[BmpStats] =
+    rows.flatMap { r =>
+      Tiff.decode(r.payload).collect {
+        case img if img.samplesPerPixel == 3 =>
+          val n = img.width * img.height
+          val sums = new Array[Long](3)
+          var p = 0
+          while (p < n * 3) { sums(p % 3) += img.pixels(p) & 0xFF; p += 1 }
+          BmpStats(r.doc_id, img.width, img.height,
+            sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+    }
+
+  /** q130 — TIFF decode over the dual-byte-order pointer-graph wire:
+    * header, IFD entry walk, out-of-line strip arrays, multi-strip
+    * assembly — byte order alternating per document. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeTiffGrayStats(synthesizeTiffGray(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_gray")
+      .orderBy($"doc_id")
+  }
+
+  /** q131 — the PackBits + RGB half: per-row RLE opcode streams inside
+    * each strip, 3-sample chunky pixels, out-of-line BitsPerSample. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => decodeTiffRgbStats(synthesizeTiffRgbPackBits(rows)))
+      .select($"doc_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b")
+      .orderBy($"doc_id")
+  }
+
+  /** q130's oracle: roundtrip identity — pixel j is (padded) text byte j,
+    * so the gray mean is pure byte arithmetic. */
+  private val q130Sql = {
+    val np = TiffW * TiffH
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |ch AS (SELECT doc_id,
+       |    CASE WHEN j < len THEN ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b, range($np) t(j)),
+       |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id)
+       |SELECT doc_id, CAST($TiffW AS INTEGER) AS width, CAST($TiffH AS INTEGER) AS height,
+       |  sv / $np.0 AS mean_gray
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  // q131's oracle: the RGB roundtrip identity at the TIFF geometry
+  // (compression is wire layout, not content — the q118/q119 rule)
+  private val q131Sql = rgbRoundtripSql(TiffW, TiffH)
+
   val all: Seq[GQuery] = Seq(
     GQuery("q35_multimodal_decode", q35, Some(q35Sql)),
     GQuery("q48_frame_sample", q48, Some(q48Sql)),
@@ -2799,5 +2902,7 @@ object Multimodal {
     // same content as q127 (SA split is wire layout, not content) —
     // oracle shared, the q118/q119 rule
     GQuery("q128_jpeg_full_sa_decode", q128, Some(q127Sql)),
+    GQuery("q130_tiff_decode", q130, Some(q130Sql)),
+    GQuery("q131_tiff_packbits_decode", q131, Some(q131Sql)),
   )
 }

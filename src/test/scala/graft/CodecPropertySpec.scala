@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Jpeg, Multimodal}
+import graft.operators.{Jpeg, Multimodal, Tiff}
 import graft.operators.Multimodal.{Bmp, Gif, Png, Ppm, Qoi, Wav}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.propBoolean
@@ -117,6 +117,28 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TIFF roundtrip identity across byte order, PackBits, strip geometry") {
+    val genCfg = for {
+      be <- Gen.oneOf(false, true)
+      pb <- Gen.oneOf(false, true)
+      rps <- Gen.oneOf(1, 2, 3, Int.MaxValue)
+    } yield (be, pb, rps)
+    check("tiff-gray", Prop.forAll(genDims, genCfg) { case ((w, h), (be, pb, rps)) =>
+      Prop.forAll(genRaster(w * h)) { px =>
+        Tiff.decode(Tiff.encodeGray(w, h, px, be, rps, pb))
+          .exists(i => i.width == w && i.height == h && i.samplesPerPixel == 1 &&
+            java.util.Arrays.equals(i.pixels, px))
+      }
+    }, 60)
+    check("tiff-rgb", Prop.forAll(genDims, genCfg) { case ((w, h), (be, pb, rps)) =>
+      Prop.forAll(genRaster(w * h * 3)) { px =>
+        Tiff.decode(Tiff.encodeRgb(w, h, px, be, rps, pb))
+          .exists(i => i.samplesPerPixel == 3 &&
+            java.util.Arrays.equals(i.pixels, px))
+      }
+    }, 60)
+  }
+
   test("BMP roundtrip identity across all four wire layouts") {
     check("bmp", Prop.forAll(genDims) { case (w, h) =>
       Prop.forAll(genRaster(w * h * 3)) { px =>
@@ -181,7 +203,8 @@ class CodecPropertySpec extends AnyFunSuite {
     "gif-frames" -> (b => Gif.decodeFrames(b)),
     "gif-composited" -> (b => Gif.decodeComposited(b)),
     "bmp" -> (b => Bmp.decode(b)),
-    "jpeg" -> (b => Jpeg.decode(b)))
+    "jpeg" -> (b => Jpeg.decode(b)),
+    "tiff" -> (b => Tiff.decode(b)))
 
   private def neverThrows(name: String, f: Array[Byte] => Option[Any],
       bytes: Array[Byte]): Prop =
@@ -214,7 +237,12 @@ class CodecPropertySpec extends AnyFunSuite {
           Gif.encode(9, 7, idx, interlaced = true)),
         ("bmp24", b => Bmp.decode(b), Bmp.encode24(9, 7, px)),
         ("bmp8", b => Bmp.decode(b), Bmp.encode8(9, 7, px)),
-        ("bmp-rle8", b => Bmp.decode(b), Bmp.encodeRle8(9, 7, px))) ++ {
+        ("bmp-rle8", b => Bmp.decode(b), Bmp.encodeRle8(9, 7, px)),
+        ("tiff-ii", b => Tiff.decode(b),
+          Tiff.encodeGray(9, 7, idx, bigEndian = false, rowsPerStrip = 2)),
+        ("tiff-mm-packbits", b => Tiff.decode(b),
+          Tiff.encodeRgb(9, 7, px, bigEndian = true, rowsPerStrip = 3,
+            packBits = true))) ++ {
         val gray = Array.tabulate(24 * 16)(i => ((i * 37 + 11) % 251).toByte)
         val cro = Array.tabulate(12 * 8)(i => ((i * 53 + 5) % 251).toByte)
         Seq[(String, Array[Byte] => Option[Any], Array[Byte])](
