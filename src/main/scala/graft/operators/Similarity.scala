@@ -1216,7 +1216,7 @@ object Similarity {
     * intervenes). Zero vectors (na = 0 or nb = 0) have no cosine and are
     * excluded explicitly — without the guard an all-zero code would
     * "duplicate" its whole cell (0 ≥ 0). */
-  private def intDupCond(dot: Column, na: Column, nb: Column): Column =
+  private[graft] def intDupCond(dot: Column, na: Column, nb: Column): Column =
     na > 0L && nb > 0L && dot >= 0L &&
       lit(SemDedupDen * SemDedupDen) * dot * dot >= lit(SemDedupNum * SemDedupNum) * na * nb
 
@@ -1280,9 +1280,16 @@ object Similarity {
     * (every operand CAST to BIGINT before multiplying so DuckDB's
     * HUGEINT/DOUBLE promotion never enters; the products fit BIGINT with
     * four orders of magnitude to spare). */
-  private val q129Sql =
+  private val q129Sql = q129SqlOn("")
+
+  /** q129's oracle restricted to a member predicate on `a.vec_id` —
+    * the SemDedup stream-serve rows oracle as q129 over the SURVIVING
+    * corpus (the q110/q112 pattern): the frozen trained centroids and
+    * per-row assignment are untouched by takedowns, so only the member
+    * relation is filtered. */
+  private[graft] def q129SqlOn(memberPred: String): String =
     s"""${batchAnnCtes(BatchQueryMod)},
-       |scq AS (SELECT a.vec_id, a.cell, q.qs FROM assign a JOIN t_qz q USING (vec_id)),
+       |scq AS (SELECT a.vec_id, a.cell, q.qs FROM assign a JOIN t_qz q USING (vec_id)$memberPred),
        |snq AS (SELECT vec_id, CAST(SUM(qs[j] * qs[j]) AS BIGINT) AS nq
        |  FROM scq CROSS JOIN range(1, 65) t(j) GROUP BY vec_id),
        |spd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell,

@@ -733,6 +733,44 @@ object StreamServe {
   private val q112Sql = graft.operators.Dedup.q63SqlOn(
     " AND (doc_id % 5 <> 0 OR doc_id % 3 = 2)")
 
+  /** q132 — SemDeDup under vector DELETIONS served from the
+    * [[SemDedupStream]] store: the q129 corpus arrives as two insert
+    * batches (vec_id parity — the odd batch lands LOWER-id witnesses
+    * after higher ids already sit in the store, so the late-low-id
+    * update path is load-bearing), then a takedown batch tombstones
+    * every vec_id % 5 == 0 vector, then the % 10 == 0 half is
+    * RE-INSERTED (resurrection — its fresh copy re-pairs against the
+    * survivors, its stale pairs die on the srcb match). Members + pairs
+    * compacted through the takedown with the re-insert batch live.
+    * Frozen centroids ⇒ assignment untouched; oracle = q129 over the
+    * surviving corpus. */
+  private def q132Store(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = tempRoot("semdedupserve")
+    val (inDir, storeDir) = (s"$root/in", s"$root/store")
+    val cents = Similarity.trainedCentroids(s, dir)
+    val emb = Similarity.embeddings(s, dir)
+      .withColumn("del", $"vec_id" % 5 === 0)
+      .withColumn("reins", $"vec_id" % 10 === 0)
+      .cache()
+    writeSlices(inDir, "ev", Seq(
+      emb.filter($"vec_id" % 2 === 0).select($"vec_id", $"vec", lit(1).as("op")),
+      emb.filter($"vec_id" % 2 === 1).select($"vec_id", $"vec", lit(1).as("op")),
+      emb.filter($"del").select($"vec_id",
+        lit(null).cast("array<double>").as("vec"), lit(-1).as("op")),
+      emb.filter($"reins").select($"vec_id", $"vec", lit(1).as("op"))))
+    SemDedupStream.start(s, inDir, storeDir, cents).awaitTermination()
+    emb.unpersist()
+    SemDedupStream.compact(s, storeDir, throughBatch = 2L)
+    storeDir
+  }
+
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    SemDedupStream.serveRemoved(s, q132Store(s, dir))
+
+  private val q132Sql = Similarity.q129SqlOn(
+    " WHERE a.vec_id % 5 <> 0 OR a.vec_id % 10 = 0")
+
   val all: Seq[GQuery] = Seq(
     GQuery("q88_stream_funnel_serve", q88, Some(TemporalJoins.q82Sql)),
     GQuery("q89_stream_ann_serve", q89, Some(Similarity.q28Sql)),
@@ -754,5 +792,6 @@ object StreamServe {
       bench = true, benchRun = Some(q112Serve)),
     GQuery("q113_stream_funnel_retract_serve", q113, Some(q113Sql)),
     GQuery("q114_stream_dedup_purge_serve", q114, Some(q112Sql)),
+    GQuery("q132_stream_semdedup_serve", q132, Some(q132Sql)),
   )
 }
