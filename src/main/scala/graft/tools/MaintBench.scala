@@ -14,7 +14,7 @@
 // Run: sbt 'runMain graft.tools.MaintBench [outFile] [sfDirs,comma-sep] [lanes,comma-sep]'
 package graft.tools
 
-import graft.streaming.{AnnDeltaStream, CcStream, DedupClusterStream, FunnelStream, KCoreStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
+import graft.streaming.{AnnDeltaStream, CcStream, DedupClusterStream, FunnelStream, KCoreStream, SemDedupStream, SsspDeltaStream, SsspStream, TriangleStream, TrussStream}
 import graft.operators.GraphQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -189,7 +189,21 @@ private[tools] final class MaintLanes(spark: SparkSession, dir: String) {
           lit(null).cast("array<double>").as("vec"), lit(-1).as("op")),
         embd.filter($"reins").select($"vec_id", $"vec", lit(1).as("op"))),
       (b, i, d) => AnnDeltaStream.processBatch(b, i, d, cents),
-      prepare = () => { cents; () }))
+      prepare = () => { cents; () }),
+    // the q132 shape: the ann_delta schedule through SemDedupStream —
+    // each batch additionally discovers its τ-pairs against the prior
+    // live rows of the touched cells; the pair-store fold (drop pairs
+    // that no longer resolve, one negative generation) is the
+    // maintenance job, priced as its own post cell
+    Lane("semdedup_delta", Seq(
+        embd.filter($"vec_id" % 2 === 0).select($"vec_id", $"vec", lit(1).as("op")),
+        embd.filter($"vec_id" % 2 === 1).select($"vec_id", $"vec", lit(1).as("op")),
+        embd.filter($"del").select($"vec_id",
+          lit(null).cast("array<double>").as("vec"), lit(-1).as("op")),
+        embd.filter($"reins").select($"vec_id", $"vec", lit(1).as("op"))),
+      (b, i, d) => SemDedupStream.processBatch(b, i, d, cents),
+      prepare = () => { cents; () },
+      post = Some(d => SemDedupStream.compact(spark, d, throughBatch = 3L))))
 
   def unpersist(): Unit = {
     sp.unpersist(); rawPairs.unpersist(); weighted.unpersist()
