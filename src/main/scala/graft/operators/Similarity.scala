@@ -1321,6 +1321,6 @@ object Similarity {
     // path; the COLD column carries the shared centroid training every
     // retrieval query amortizes (the q28/q61/q78/q86 prepare stage)
     GQuery("q109_kmeans_clusters", q109, Some(q109Sql), bench = true),
-    GQuery("q129_semantic_dedup", q129, Some(q129Sql)),
+    GQuery("q129_semantic_dedup", q129, Some(q129Sql), bench = true),
   )
 }

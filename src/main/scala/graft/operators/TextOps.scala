@@ -928,6 +928,169 @@ object TextOps {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q133 — LM-perplexity quality scoring (the CCNet filter, Wenzek et al.
+  // 2020): score each document by its per-token cross-entropy under a
+  // corpus-trained bigram language model with Laplace smoothing —
+  // P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V). The classic curation step this
+  // family still lacked: q32's quality heuristics are surface ratios;
+  // this is the statistical fluency score a CCNet-style pipeline
+  // thresholds on.
+  //
+  // EXACT ORACLE despite transcendentals and a per-doc float SUM: each
+  // bigram's ln is ONE IEEE op on identical inputs (the q75 discipline),
+  // and the per-doc sum — which would be float-order-dependent —
+  // instead sums per-row DECIMAL(38,12) casts, which is exact and
+  // order-independent on both engines (the q01 decimal-sum trick moved
+  // under a transcendental).
+  //
+  // SCALE SHAPE: per-doc DISTINCT-bigram counts first (the q115 Zipf
+  // lesson — score once per distinct bigram, multiply by its count),
+  // then two hash aggregates (corpus bigram counts; context counts),
+  // a scalar vocab crossJoin(broadcast), a join on the bigram string
+  // (high-cardinality) and one on the context word (Zipf — AQE skew-join
+  // is the past-threshold story, as q115), and a doc_id-keyed final
+  // aggregate. No windows, no driver collects, no corpus×corpus.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, n_bigrams, logppl) for any (doc_id, ws) tokenized frame —
+    * logppl = per-bigram cross-entropy −(Σ ln P)/n, rounded to 6. Docs
+    * with fewer than two tokens have no bigram and are excluded. */
+  def bigramLmScores(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val dbc = toks.filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
+      .withColumn("w1", split($"bg", " ")(0))
+      .groupBy($"doc_id", $"bg", $"w1").agg(count(lit(1)).as("c"))
+    val cb = dbc.groupBy($"bg").agg(sum($"c").as("cb"))
+    val cu = dbc.groupBy($"w1").agg(sum($"c").as("cu"))
+    val v = toks.select(explode($"ws").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    dbc.join(cb, "bg").join(cu, "w1").crossJoin(broadcast(v))
+      .withColumn("lnp", log(($"cb".cast("double") + lit(1.0)) /
+        ($"cu".cast("double") + $"v".cast("double"))))
+      .groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("n_bigrams"),
+        sum(($"c".cast("double") * $"lnp").cast("decimal(38,12)")).as("s"))
+      .select($"doc_id", $"n_bigrams",
+        round(-($"s".cast("double")) / $"n_bigrams".cast("double"), 6).as("logppl"))
+      .orderBy($"doc_id")
+  }
+
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    bigramLmScores(docTokens(s, dir))
+
+  private val q133Sql =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') ws FROM documents),
+      |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+      |       FROM w WHERE len(ws) >= 2),
+      |dbc AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, COUNT(*) AS c
+      |        FROM bg GROUP BY doc_id, bg),
+      |cb AS (SELECT bg, SUM(c) AS cb FROM dbc GROUP BY bg),
+      |cu AS (SELECT w1, SUM(c) AS cu FROM dbc GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(ws) AS tok FROM w)),
+      |sc AS (SELECT d.doc_id, d.c,
+      |    ln((CAST(cb.cb AS DOUBLE) + 1.0) / (CAST(cu.cu AS DOUBLE) + CAST(v.v AS DOUBLE))) AS lnp
+      |  FROM dbc d JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    SUM(CAST(CAST(c AS DOUBLE) * lnp AS DECIMAL(38,12))) AS s
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  round(-(CAST(s AS DOUBLE)) / CAST(n_bigrams AS BIGINT), 6) AS logppl
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q134 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): per-document log
+  // importance weight Σ_f c_d(f)·[ln p_target(f) − ln p_raw(f)] over
+  // HASHED n-gram features (unigrams + bigrams → 63-bit hash mod
+  // DsirBuckets), with Laplace-smoothed bucket distributions. Target =
+  // the labeled-English slice (`lang = 'en'`), raw = the whole corpus —
+  // the data-SELECTION operator beside q133's data-FILTERING one.
+  //
+  // Same exactness machinery as q133 (one ln per side per bucket row,
+  // decimal-cast per-doc sums); the feature hash is the pluggable
+  // [[HashFamily]] — Oracle (md5, DuckDB-replicable token for token) on
+  // the gated row, Fast (xxhash64) for production corpora.
+  //
+  // SCALE SHAPE: features aggregate per (doc_id, bucket) first — at most
+  // DsirBuckets distinct join keys downstream per doc — the bucket
+  // tables are ≤ DsirBuckets rows (broadcast-sized BY CONSTRUCTION at
+  // any corpus scale: the hash-bucketing is exactly what bounds them,
+  // per the DSIR paper), and the scalar totals ride one
+  // crossJoin(broadcast). The only corpus-sized exchanges are the
+  // (doc_id, f) aggregate and the final doc_id aggregate.
+  // ---------------------------------------------------------------------
+
+  /** Hashed-feature bucket count (the DSIR paper's 10⁴ scaled to the
+    * fixture; production sizes this to taste — the shape is B-invariant). */
+  val DsirBuckets = 1024
+  /** Target-slice language label. */
+  val DsirTargetLang = "en"
+
+  /** (doc_id, n_feats, logw) — DSIR log importance weight per document
+    * of a (doc_id, lang, ws) frame, rounded to 6. */
+  def dsirWeights(docs: DataFrame, family: HashFamily): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs.select($"doc_id", ($"lang" === DsirTargetLang).as("is_t"),
+        explode($"ws").as("g"))
+      .unionByName(docs.filter(size($"ws") >= 2)
+        .select($"doc_id", ($"lang" === DsirTargetLang).as("is_t"), explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("g")))
+    val dfc = grams
+      .select($"doc_id", $"is_t", (family.hash63($"g") % DsirBuckets).as("f"))
+      .groupBy($"doc_id", $"is_t", $"f").agg(count(lit(1)).as("c"))
+    val ct = dfc.filter($"is_t").groupBy($"f").agg(sum($"c").as("ct"))
+    val cr = dfc.groupBy($"f").agg(sum($"c").as("cr"))
+    val tot = ct.agg(sum($"ct").as("nt")).crossJoin(cr.agg(sum($"cr").as("nr")))
+    dfc.join(broadcast(ct), Seq("f"), "left").join(broadcast(cr), Seq("f"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lr",
+        log((coalesce($"ct", lit(0L)).cast("double") + lit(1.0)) /
+          ($"nt".cast("double") + lit(DsirBuckets.toDouble))) -
+        log(($"cr".cast("double") + lit(1.0)) /
+          ($"nr".cast("double") + lit(DsirBuckets.toDouble))))
+      .groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("n_feats"),
+        sum(($"c".cast("double") * $"lr").cast("decimal(38,12)")).as("s"))
+      .select($"doc_id", $"n_feats", round($"s".cast("double"), 6).as("logw"))
+      .orderBy($"doc_id")
+  }
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = docTokens(s, dir)
+      .join(t(s, dir, "documents").select($"doc_id", $"lang"), "doc_id")
+    dsirWeights(docs, HashFamily.Oracle)
+  }
+
+  private val q134Sql = {
+    val h = Dedup.hash63Sql("g")
+    s"""WITH w AS (SELECT doc_id, lang = '$DsirTargetLang' AS is_t,
+       |    string_split_regex(lower(trim(text)), '\\s+') ws FROM documents),
+       |g AS (SELECT doc_id, is_t, unnest(ws) AS g FROM w
+       |      UNION ALL
+       |      SELECT doc_id, is_t, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+       |      FROM w WHERE len(ws) >= 2),
+       |dfc AS (SELECT doc_id, is_t, $h % $DsirBuckets AS f, COUNT(*) AS c
+       |        FROM g GROUP BY doc_id, is_t, $h % $DsirBuckets),
+       |ct AS (SELECT f, SUM(c) AS ct FROM dfc WHERE is_t GROUP BY f),
+       |cr AS (SELECT f, SUM(c) AS cr FROM dfc GROUP BY f),
+       |tot AS (SELECT (SELECT SUM(ct) FROM ct) AS nt, (SELECT SUM(cr) FROM cr) AS nr),
+       |sc AS (SELECT d.doc_id, d.c,
+       |    ln((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0) / (CAST(t.nt AS DOUBLE) + ${DsirBuckets.toDouble})) -
+       |    ln((CAST(cr.cr AS DOUBLE) + 1.0) / (CAST(t.nr AS DOUBLE) + ${DsirBuckets.toDouble})) AS lr
+       |  FROM dfc d LEFT JOIN ct USING (f) JOIN cr USING (f) CROSS JOIN tot t),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |    SUM(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(38,12))) AS s
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_feats, round(CAST(s AS DOUBLE), 6) AS logw
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[GQuery] = Seq(
     GQuery("q30_token_counts", q30, Some(q30Sql)),
     GQuery("q31_lang_id", q31, Some(q31Sql)),
@@ -948,5 +1111,7 @@ object TextOps {
     // build and the vocab action (the prepare stage)
     GQuery("q111_subword_tokens", q111, Some(q111Sql), bench = true),
     GQuery("q115_subword_packing", q115, Some(q115Sql), bench = true),
+    GQuery("q133_bigram_lm_perplexity", q133, Some(q133Sql), bench = true),
+    GQuery("q134_dsir_weights", q134, Some(q134Sql)),
   )
 }
