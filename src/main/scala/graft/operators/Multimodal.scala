@@ -1987,6 +1987,92 @@ object Multimodal {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q135: frame sampling (the video-pipeline op) --------------------
+  // A training pipeline rarely embeds EVERY frame of a clip — it
+  // stride-samples (every k-th frame, or one per shot) and
+  // feature-extracts the survivors. q135 is that operator over the one
+  // animated container this repo decodes for real: synthesize a
+  // [[GifSampleFrames]]-frame animation per document, decode it with the
+  // in-repo codec, keep every [[GifSampleStride]]-th frame, and emit ONE
+  // ROW PER SAMPLED FRAME — (doc_id, frame_idx, t_cs, mean_px), where
+  // t_cs is the frame's START timestamp (the running sum of the
+  // preceding per-frame delays, exactly what a clip sampler keys on) and
+  // mean_px the frame's palette-resolved pixel mean (the stand-in for
+  // any per-frame feature extractor). Unlike q107's per-doc aggregate,
+  // the output granularity here is per-frame — the relation a
+  // downstream embed-every-sampled-frame stage consumes.
+  //
+  // Per-row byte-column work in one mapPartitions pass — embarrassingly
+  // parallel, no shuffle before the final sort. Oracle: the q107
+  // roundtrip identity per SAMPLED frame (frame f is the doc's bytes
+  // shifted by f, zero-padded), with t_cs = Σ_{g<f} (10+g) = 10f+f(f−1)/2
+  // in closed form.
+
+  /** Frames per synthesized clip (q135). */
+  val GifSampleFrames = 12
+  /** Keep every k-th frame. */
+  val GifSampleStride = 4
+
+  final case class GifFrameSample(doc_id: Long, frame_idx: Int, t_cs: Int,
+      mean_px: Double)
+
+  /** Per document: a [[GifSampleFrames]]-frame animation, frame f = the
+    * doc bytes shifted by f (the [[synthesizeGifAnim]] identity at clip
+    * length), delays 10+f cs. */
+  def synthesizeGifClip(rows: Iterator[(Long, Array[Byte])]): Iterator[(Long, Array[Byte])] =
+    rows.map { case (id, txt) =>
+      val frames = (0 until GifSampleFrames).map { f =>
+        val px = new Array[Byte](GifW * GifH)
+        var j = 0
+        while (j < px.length) {
+          if (j + f < txt.length) px(j) = txt(j + f)
+          j += 1
+        }
+        px
+      }
+      (id, Gif.encodeAnimation(GifW, GifH, frames, (0 until GifSampleFrames).map(10 + _)))
+    }
+
+  /** REAL multi-frame decode → stride-sampled per-frame rows with start
+    * timestamps and the palette-resolved frame mean. */
+  def sampleGifFrames(rows: Iterator[(Long, Array[Byte])]): Iterator[GifFrameSample] =
+    rows.flatMap { case (id, payload) =>
+      Gif.decodeFrames(payload).toSeq.flatMap { anim =>
+        val n = anim.width * anim.height
+        val starts = anim.delaysCs.scanLeft(0)(_ + _)
+        (0 until anim.frames.length by GifSampleStride).map { f =>
+          val fr = anim.frames(f)
+          var sum = 0L
+          var p = 0
+          while (p < n) { sum += anim.palette((fr(p) & 0xFF) * 3) & 0xFF; p += 1 }
+          GifFrameSample(id, f, starts(f), sum.toDouble / n)
+        }
+      }
+    }
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("b")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => sampleGifFrames(synthesizeGifClip(rows)))
+      .select($"doc_id", $"frame_idx", $"t_cs", $"mean_px")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val q135Sql = {
+    val raster = GifW * GifH
+    s"""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       |fr AS (SELECT CAST(f AS INTEGER) AS f FROM range(0, $GifSampleFrames, $GifSampleStride) t(f)),
+       |ch AS (SELECT doc_id, f,
+       |    CASE WHEN j + f < len THEN ascii(substr(text, CAST(j + f + 1 AS INTEGER), 1)) ELSE 0 END AS v
+       |  FROM b CROSS JOIN fr CROSS JOIN range($raster) t(j)),
+       |agg AS (SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS sv FROM ch GROUP BY doc_id, f)
+       |SELECT doc_id, f AS frame_idx,
+       |  CAST(10 * f + (f * (f - 1)) // 2 AS INTEGER) AS t_cs,
+       |  sv / $raster.0 AS mean_px
+       |FROM agg ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   // ---- q108: disposal-method compositing (round 13) --------------------
   // Fixture geometry on the GifW×GifH = 8×4 canvas: frame 0 is the full
   // doc raster (disposal 2 → canvas restored to background 0); frame 1
@@ -2904,5 +2990,6 @@ object Multimodal {
     GQuery("q128_jpeg_full_sa_decode", q128, Some(q127Sql)),
     GQuery("q130_tiff_decode", q130, Some(q130Sql)),
     GQuery("q131_tiff_packbits_decode", q131, Some(q131Sql)),
+    GQuery("q135_gif_frame_sample", q135, Some(q135Sql)),
   )
 }

@@ -325,4 +325,27 @@ class GifSpec extends AnyFunSuite {
         Gif.SubFrame(0, 0, 8, 4, Array.fill[Byte](32)(5), 1, 4, None)))
     }
   }
+
+  test("frame sampling (q135): sampled rows ≡ full decode at the stride, timestamps = delay prefix sums") {
+    import graft.operators.Multimodal
+    val txt = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val clip = Multimodal.synthesizeGifClip(Iterator((7L, txt))).toSeq
+    val samples = Multimodal.sampleGifFrames(clip.iterator).toSeq
+    val anim = Gif.decodeFrames(clip.head._2).get
+    assert(anim.frames.length === Multimodal.GifSampleFrames)
+    val wantIdx = 0 until Multimodal.GifSampleFrames by Multimodal.GifSampleStride
+    assert(samples.map(_.frame_idx) === wantIdx.toSeq)
+    val starts = anim.delaysCs.scanLeft(0)(_ + _)
+    samples.foreach { smp =>
+      assert(smp.doc_id === 7L)
+      assert(smp.t_cs === starts(smp.frame_idx),
+        s"frame ${smp.frame_idx} start timestamp")
+      // frame f is the doc bytes shifted by f, zero-padded: recompute the
+      // mean from the SOURCE bytes, independent of the decode path
+      val n = anim.width * anim.height
+      val want = (0 until n).map(j =>
+        if (j + smp.frame_idx < txt.length) txt(j + smp.frame_idx) & 0xFF else 0).sum
+      assert(smp.mean_px === want.toDouble / n, s"frame ${smp.frame_idx} mean")
+    }
+  }
 }
