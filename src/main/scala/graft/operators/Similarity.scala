@@ -1256,9 +1256,14 @@ object Similarity {
     import s.implicits._
     val emb = embeddings(s, dir)
     val cents = trainedCentroids(s, dir)
+    // materialize the assignment+quantize+norm chain ONCE before the
+    // self-join references it twice — the literal-centroid argmax is a
+    // large expression tree, and without the cut both join sides
+    // re-evaluate it over the full corpus (the q84 plan-cut discipline)
     val cells = withInt8Codes(assignToCentroids(emb, cents))
       .withColumn("nq", aggregate($"qs", lit(0L), (a, x) => a + x * x))
       .select($"vec_id", $"cell", $"qs", $"nq")
+      .localCheckpoint()
     val a = cells.select($"vec_id".as("a_id"), $"cell",
       $"qs".as("aq"), $"nq".as("an"))
     val b = cells.select($"vec_id".as("b_id"), $"cell",
