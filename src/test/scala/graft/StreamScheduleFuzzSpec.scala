@@ -344,7 +344,9 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     * per-pair. Oracle: batch assignment of the surviving (id → freshest
     * vector) corpus under the frozen codebook, vectors compared
     * byte-for-byte so a served stale copy cannot hide in a same-cell
-    * coincidence. */
+    * coincidence — asserted after EVERY batch and every mid-stream
+    * compaction, not just at the end (the round-17 mid-stream-serve
+    * discipline). */
   test("15 random ±op vector schedules with drift ≡ batch assignment of survivors (ANN)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
@@ -373,30 +375,41 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
           case (id, Some(v)) => (id, v, 1)
           case (id, None) => (id, null.asInstanceOf[Array[Double]], -1)
         }.toDF("vec_id", "vec", "op")
-      schedule.zipWithIndex.foreach { case (batch, i) =>
-        AnnDeltaStream.processBatch(frame(batch), i.toLong, store, cents)
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
-          AnnDeltaStream.compact(spark, store, throughBatch = i.toLong)
-      }
-      if (rnd.nextBoolean())
-        AnnDeltaStream.processBatch(frame(schedule.last),
-          (nBatches - 1).toLong, store, cents)
-      // driver fold: per id, the LAST op across batches decides (one op
-      // per id per batch, so no in-batch tie exists by construction)
+      // driver fold: per id, the LAST op across executed batches decides
+      // (one op per id per batch, so no in-batch tie exists by
+      // construction) — maintained incrementally so EVERY prefix serves
+      // (the round-17 mid-stream discipline, ANN joining CC / dedup /
+      // sssp_delta)
       val state = scala.collection.mutable.Map.empty[Long, Option[Array[Double]]]
-      schedule.foreach(_.foreach { case (id, v) => state(id) = v })
-      val surviving = state.toSeq.collect { case (id, Some(v)) => (id, v) }
-      val want =
+      def wantNow(): Set[(Long, Long, Seq[Double])] = {
+        val surviving = state.toSeq.collect { case (id, Some(v)) => (id, v) }
         if (surviving.isEmpty) Set.empty[(Long, Long, Seq[Double])]
         else graft.operators.Similarity.assignToCentroids(
           surviving.toDF("vec_id", "vec"), cents)
           .select($"vec_id", $"cell", $"vec").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
-      val got = AnnDeltaStream.liveRows(spark, store)
-        .select($"vec_id", $"cell", $"vec").collect()
-        .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Double](2)))
-        .toSet
-      assert(got === want, s"case $c (ids=$nIds) diverged on the liveness fold")
+      }
+      def gotNow(): Set[(Long, Long, Seq[Double])] =
+        AnnDeltaStream.liveRows(spark, store)
+          .select($"vec_id", $"cell", $"vec").collect()
+          .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Double](2)))
+          .toSet
+      schedule.zipWithIndex.foreach { case (batch, i) =>
+        AnnDeltaStream.processBatch(frame(batch), i.toLong, store, cents)
+        batch.foreach { case (id, v) => state(id) = v }
+        assert(gotNow() === wantNow(),
+          s"case $c batch $i: mid-stream liveness fold diverged")
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
+          AnnDeltaStream.compact(spark, store, throughBatch = i.toLong)
+          assert(gotNow() === wantNow(),
+            s"case $c batch $i: compaction changed the mid-stream fold")
+        }
+      }
+      if (rnd.nextBoolean())
+        AnnDeltaStream.processBatch(frame(schedule.last),
+          (nBatches - 1).toLong, store, cents)
+      assert(gotNow() === wantNow(),
+        s"case $c (ids=$nIds) diverged on the liveness fold")
     }
   }
 
