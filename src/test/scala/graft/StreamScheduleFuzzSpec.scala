@@ -121,8 +121,16 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       val store = tmp()
       schedule.zipWithIndex.foreach { case (batch, i) =>
         TriangleStream.processBatch(evTri(batch), i.toLong, store, cap)
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+        // mid-stream serve: the executed prefix must already serve its
+        // counts (the round-17 discipline)
+        val wantNow = bruteTriangles(survivors(schedule.take(i + 1)), cap)
+        assert(triSnap(store) === wantNow,
+          s"case $c batch $i: mid-stream counts diverged.\nschedule=$schedule")
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
           TriangleStream.compact(spark, store, throughBatch = i.toLong)
+          assert(triSnap(store) === wantNow,
+            s"case $c batch $i: compaction changed the counts")
+        }
       }
       if (rnd.nextBoolean())
         TriangleStream.processBatch(evTri(schedule.last), (nBatches - 1).toLong,
@@ -303,16 +311,35 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         }
       }
       val store = tmp()
+      def funnelOf(prefix: Seq[Seq[(Long, String, Long, Int)]]): Map[Long, (Long, Option[Long])] = {
+        val surv = survivingEvents(prefix)
+        if (surv.isEmpty) Map.empty
+        else graft.operators.TemporalJoins.funnelStages(
+          surv.toDF("user_id", "event_type", "ts_us")).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      }
+      def snap(): Map[Long, (Long, Option[Long])] =
+        FunnelStream.snapshot(spark, store).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
       schedule.zipWithIndex.foreach { case (batch, i) =>
         FunnelStream.processBatch(
           batch.toDF("user_id", "event_type", "ts_us", "op"), i.toLong, store)
+        // mid-stream serve: every executed prefix already answers as the
+        // batch funnel over its surviving events (the round-17 discipline)
+        assert(snap() === funnelOf(schedule.take(i + 1)),
+          s"case $c batch $i: mid-stream funnel diverged.\nschedule=$schedule")
         // compaction cut at a RANDOM boundary ≤ the current batch — a cut
         // BELOW a later retraction leaves that retraction live against
         // the folded generation, so the generation's preserved liveness
         // columns must keep resolving against it (the state shape a
         // current-boundary-only cut never produces)
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
           FunnelStream.compact(spark, store, throughBatch = rnd.nextInt(i + 1).toLong)
+          assert(snap() === funnelOf(schedule.take(i + 1)),
+            s"case $c batch $i: compaction changed the mid-stream funnel")
+        }
       }
       if (rnd.nextBoolean())
         FunnelStream.processBatch(
