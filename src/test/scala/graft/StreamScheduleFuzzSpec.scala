@@ -222,16 +222,25 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         }
       }
       val store = tmp()
+      def kcSnap(): Map[Long, Long] = KCoreStream.snapshot(spark, store)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       schedule.zipWithIndex.foreach { case (batch, i) =>
         KCoreStream.processBatch(ev(batch), i.toLong, store)
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+        // mid-stream serve (round-17 discipline)
+        val wantNow = brutePeel(survivors(schedule.take(i + 1)),
+          graft.operators.GraphQueries.KCoreK)
+        assert(kcSnap() === wantNow,
+          s"case $c batch $i: mid-stream peel diverged.\nschedule=$schedule")
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
           KCoreStream.compact(spark, store, throughBatch = i.toLong)
+          assert(kcSnap() === wantNow,
+            s"case $c batch $i: compaction changed the peel")
+        }
       }
       if (rnd.nextBoolean())
         KCoreStream.processBatch(ev(schedule.last), (nBatches - 1).toLong, store)
       val want = brutePeel(survivors(schedule), graft.operators.GraphQueries.KCoreK)
-      val got = KCoreStream.snapshot(spark, store).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = kcSnap()
       assert(got === want,
         s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
     }
@@ -259,18 +268,26 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         }
       }
       val store = tmp()
+      def trSnap(): Map[(Long, Long), Long] = TrussStream.snapshot(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       schedule.zipWithIndex.foreach { case (batch, i) =>
         TrussStream.processBatch(ev(batch).toDF("a", "b", "op"), i.toLong,
           store, k = k)
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+        // mid-stream serve (round-17 discipline)
+        val wantNow = bruteTruss(survivors(schedule.take(i + 1)), k)
+        assert(trSnap() === wantNow,
+          s"case $c batch $i: mid-stream support peel diverged.\nschedule=$schedule")
+        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
           TrussStream.compact(spark, store, throughBatch = i.toLong)
+          assert(trSnap() === wantNow,
+            s"case $c batch $i: compaction changed the support peel")
+        }
       }
       if (rnd.nextBoolean())
         TrussStream.processBatch(ev(schedule.last).toDF("a", "b", "op"),
           (nBatches - 1).toLong, store, k = k)
       val want = bruteTruss(survivors(schedule), k)
-      val got = TrussStream.snapshot(spark, store).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = trSnap()
       assert(got === want,
         s"case $c (n=$n k=$k) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
     }
