@@ -959,11 +959,16 @@ object TextOps {
   def bigramLmScores(toks: DataFrame): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
+    // materialized once (the q84 plan-cut discipline): dbc feeds the
+    // corpus-bigram aggregate, the context aggregate AND the score join —
+    // uncut, Catalyst re-derives the tokenize+explode+aggregate chain
+    // from a separate scan for each consumer (three corpus passes)
     val dbc = toks.filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
       .withColumn("w1", split($"bg", " ")(0))
       .groupBy($"doc_id", $"bg", $"w1").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cb = dbc.groupBy($"bg").agg(sum($"c").as("cb"))
     val cu = dbc.groupBy($"w1").agg(sum($"c").as("cu"))
     val v = toks.select(explode($"ws").as("tok"))
@@ -1040,9 +1045,12 @@ object TextOps {
       .unionByName(docs.filter(size($"ws") >= 2)
         .select($"doc_id", ($"lang" === DsirTargetLang).as("is_t"), explode(expr(
           "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("g")))
+    // materialized once: dfc feeds the target aggregate, the raw
+    // aggregate and the score join (the q133/q84 plan-cut discipline)
     val dfc = grams
       .select($"doc_id", $"is_t", (family.hash63($"g") % DsirBuckets).as("f"))
       .groupBy($"doc_id", $"is_t", $"f").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ct = dfc.filter($"is_t").groupBy($"f").agg(sum($"c").as("ct"))
     val cr = dfc.groupBy($"f").agg(sum($"c").as("cr"))
     val tot = ct.agg(sum($"ct").as("nt")).crossJoin(cr.agg(sum($"cr").as("nr")))

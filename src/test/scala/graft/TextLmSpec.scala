@@ -104,8 +104,14 @@ class TextLmSpec extends AnyFunSuite {
       HashFamily.Oracle)
     Seq("q133" -> q133, "q134" -> q134).foreach { case (n, df) =>
       df.collect() // AQE: final plan
-      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
         s"$n grew a Window — the family is hash-aggregate-only by design")
+      // the doc-feature aggregate is CUT (localCheckpoint) before its
+      // three consumers — uncut, Catalyst re-derives tokenize+explode+
+      // aggregate from a separate corpus scan per consumer
+      assert(plan.contains("ExistingRDD"),
+        s"$n lost the plan cut — each aggregate consumer re-scans the corpus")
     }
     // ct/cr are ≤ DsirBuckets rows by construction — broadcast at any SF
     val p134 = q134.queryExecution.executedPlan.toString
