@@ -1200,6 +1200,57 @@ object Similarity {
        |FROM c LEFT JOIN ksum k ON k.cell = c.cent_id
        |ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q136 — cluster-balanced sampling (the D4 diversification step,
+  // Tirumala et al. 2023, arXiv:2308.12284): admit up to ClusterQuota
+  // members per SEMANTIC cluster in deterministic hash order — the
+  // diversity-sampling primitive that keeps a training mix from being
+  // dominated by its largest semantic modes, composing the similarity
+  // family's trained cells (q109's strata) with the sampling family's
+  // deterministic-hash quota discipline (q51's machinery verbatim:
+  // BottomK bounded aggregate, O(quota) partials, never a corpus window
+  // sort; md5 Oracle hash on the gated row, xxhash64 in production).
+  // One hash exchange on the cell id; at production k (cells sized
+  // O(corpus/k) — the SemDeDup contract) the key is high-cardinality.
+  // ---------------------------------------------------------------------
+
+  /** Members admitted per semantic cluster. */
+  val ClusterQuota = 20
+
+  /** (cell, rk, vec_id) — up to `quota` members per trained cell in
+    * ascending hash64(vec_id) order (rank 1 = the cell's first pick). */
+  def clusterBalancedSample(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+      quota: Int, family: graft.functions.HashFamily): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    assignToCentroids(emb, cents)
+      .select($"cell", $"vec_id",
+        family.hash63($"vec_id".cast("string")).as("hkey"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2)) // (hash, vec_id) ascending
+      .agg(graft.functions.BottomK(quota).toColumn)
+      .flatMap { case (cell, picks) =>
+        picks.zipWithIndex.map { case ((_, id), i) => (cell, i + 1, id) }
+      }
+      .toDF("cell", "rk", "vec_id")
+      .orderBy($"cell", $"rk")
+  }
+
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    clusterBalancedSample(embeddings(s, dir), trainedCentroids(s, dir),
+      ClusterQuota, graft.functions.HashFamily.Oracle)
+
+  private val q136Sql = {
+    val h = Dedup.hash63Sql("CAST(vec_id AS VARCHAR)")
+    s"""${batchAnnCtes(BatchQueryMod)}
+       |SELECT cell, rk, vec_id FROM (
+       |  SELECT cell, vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY $h, vec_id) AS INTEGER) AS rk
+       |  FROM assign)
+       |WHERE rk <= $ClusterQuota ORDER BY cell, rk""".stripMargin
+  }
+
   /** q129's semantic-duplicate cosine floor, as a rational τ = 3/10 so the
     * pair test is pure integer arithmetic (see [[intDupCond]]). Matches
     * [[DupThreshold]] — the synthetic corpus' near-orthogonal vectors make a
@@ -1327,5 +1378,6 @@ object Similarity {
     // retrieval query amortizes (the q28/q61/q78/q86 prepare stage)
     GQuery("q109_kmeans_clusters", q109, Some(q109Sql), bench = true),
     GQuery("q129_semantic_dedup", q129, Some(q129Sql), bench = true),
+    GQuery("q136_cluster_balanced_sample", q136, Some(q136Sql)),
   )
 }

@@ -97,4 +97,41 @@ class KMeansSpec extends AnyFunSuite {
       assert(literalSide, s"q109 join lacks a k-row driver-literal side: $j")
     }
   }
+
+  /** The Oracle family's md5 hash63 from the published arithmetic,
+    * independent of the Column expression (the TextLmSpec walk). */
+  private def hash63(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2147483648L) * 4294967296L +
+      java.lang.Long.parseLong(hex.substring(8, 16), 16)
+  }
+
+  test("q136 ≡ independent per-cell lowest-hash walk; quotas respected") {
+    import spark.implicits._
+    val cents = Similarity.trainedCentroids(spark, dir)
+    val assigned = Similarity.assignToCentroids(
+        Similarity.embeddings(spark, dir), cents)
+      .select($"cell", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = assigned.groupBy(_._1).toSeq.flatMap { case (cell, ms) =>
+      ms.map(_._2).sortBy(id => (hash63(id.toString), id))
+        .take(Similarity.ClusterQuota).zipWithIndex
+        .map { case (id, i) => (cell, i + 1, id) }
+    }.toSet
+    val got = SparkEntry.queries("q136_cluster_balanced_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+    // quota + per-cell-count invariants
+    val perCell = got.groupBy(_._1)
+    perCell.foreach { case (cell, picks) =>
+      assert(picks.size <= Similarity.ClusterQuota, s"cell $cell over quota")
+      assert(picks.map(_._2).toSeq.sorted == (1 to picks.size), s"cell $cell ranks")
+    }
+    // non-vacuity: some cell hits its quota, and the sample genuinely
+    // SUBSETS the corpus (at this fixture every non-empty cell exceeds
+    // the quota, so an under-quota cell would be vacuous to demand)
+    assert(perCell.values.exists(_.size == Similarity.ClusterQuota))
+    assert(got.size < assigned.length, "quota never bound — sample ≡ corpus")
+  }
 }
