@@ -768,6 +768,14 @@ object StreamServe {
   private def q132(s: SparkSession, dir: String): DataFrame =
     SemDedupStream.serveRemoved(s, q132Store(s, dir))
 
+  /** Bench lane: the ±op pipeline builds once per session (cold pass);
+    * warm passes time only the liveness-resolved pair serve — the
+    * q110/q112 steady-state-serve pattern on the newest maintainer. */
+  private[graft] def q132Serve(s: SparkSession, dir: String): DataFrame = {
+    val store = benchStores.computeIfAbsent(("q132", dir), _ => q132Store(s, dir))
+    SemDedupStream.serveRemoved(s, store)
+  }
+
   private val q132Sql = Similarity.q129SqlOn(
     " WHERE a.vec_id % 5 <> 0 OR a.vec_id % 10 = 0")
 
@@ -792,6 +800,7 @@ object StreamServe {
       bench = true, benchRun = Some(q112Serve)),
     GQuery("q113_stream_funnel_retract_serve", q113, Some(q113Sql)),
     GQuery("q114_stream_dedup_purge_serve", q114, Some(q112Sql)),
-    GQuery("q132_stream_semdedup_serve", q132, Some(q132Sql)),
+    GQuery("q132_stream_semdedup_serve", q132, Some(q132Sql),
+      bench = true, benchRun = Some(q132Serve)),
   )
 }

@@ -30,4 +30,12 @@ class StreamServeBenchSpec extends AnyFunSuite {
     assert(first.nonEmpty, "serve returned nothing — vacuous")
     assert(warm === first, "cached-store serve diverged from fresh build")
   }
+
+  test("q132 bench serve: cached-store warm call equals the fresh build") {
+    StreamServe.invalidateBenchStores()
+    val first = rows(StreamServe.q132Serve(spark, dir))
+    val warm = rows(StreamServe.q132Serve(spark, dir))
+    assert(first.nonEmpty, "serve returned nothing — vacuous")
+    assert(warm === first, "cached-store serve diverged from fresh build")
+  }
 }
