@@ -202,8 +202,13 @@ object SemDedupStream {
           StructField("cell", LongType),
           StructField("dup_of", LongType),
           StructField("n_dups", LongType, nullable = false))))
+    // materialized once: both endpoint joins reference the liveness
+    // resolution (store read + freshest-row window + tombstone join) —
+    // uncut, Catalyst re-derives that chain per join side (the q129
+    // plan-cut discipline)
     val live = liveRowsBefore(s, storeDir, Long.MaxValue)
       .select($"vec_id", $"srcb")
+      .localCheckpoint()
     val pairs = s.read.parquet(pairsPath(storeDir))
     pairs
       .join(live.select($"vec_id".as("a_id"), $"srcb".as("a_srcb")),
@@ -237,6 +242,7 @@ object SemDedupStream {
       val stagingId = batchIds.filter(_ < 0).minOption.getOrElse(0L) - 1L
       val live = liveRowsBefore(s, storeDir, Long.MaxValue)
         .select($"vec_id", $"srcb")
+        .localCheckpoint() // referenced by both endpoint joins (see serveRemoved)
       val folded = s.read.parquet(pairsPath(storeDir))
         .filter($"batch".isInCollection(sources))
         .join(live.select($"vec_id".as("a_id"), $"srcb".as("a_srcb")),
