@@ -184,10 +184,79 @@ object Sampling {
        |        FROM documents))
        |WHERE cum_tokens <= $TokenBudgetPerSource ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q137 — temperature-scaled language mixing (the multilingual
+  // α-sampling knob: exponential smoothing of per-language sampling
+  // rates, Conneau et al. 2020 "Unsupervised Cross-lingual Representation
+  // Learning at Scale" §3 / Devlin et al.'s mBERT recipe): per-language
+  // quota ∝ n_lang^α with α = 1/2 — high-resource languages are
+  // DOWN-weighted relative to proportional sampling, low-resource ones
+  // up — then the quota fills in deterministic hash order (q51's
+  // machinery). Where q51 fixes one quota per stratum and q81 buys
+  // TOKENS per source in hash order, this derives the quotas themselves
+  // from the corpus distribution — the third member of the mixing family.
+  //
+  // Exactness: weight = sqrt(n) is ONE IEEE op on an integer both
+  // engines hold exactly; the weight total — a float sum over languages,
+  // order-dependent — rides the q133 decimal-cast trick; the quota is
+  // floor(budget·w/total + 0.5) (explicit floor-based round-half-up, the
+  // q62 discipline — round() half-even/half-away semantics differ across
+  // engines). Scale shape: the language aggregate is languages-sized
+  // (broadcast by construction), ranks come from the BottomK bounded
+  // aggregate (O(budget) partials, never a corpus window sort), and the
+  // quota join broadcasts.
+  // ---------------------------------------------------------------------
+
+  /** Total documents the temperature mix admits. */
+  val MixBudget = 100
+
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val cnt = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(
+      sum(sqrt($"n".cast("double")).cast("decimal(38,12)")).as("tw"))
+    val quotas = cnt.crossJoin(broadcast(tot))
+      .withColumn("quota", greatest(lit(1L),
+        floor(lit(MixBudget.toDouble) * sqrt($"n".cast("double")) /
+          $"tw".cast("double") + lit(0.5)).cast("long")))
+      .select($"lang", $"quota")
+    val ranked = docs
+      .select($"lang", $"doc_id", h($"doc_id").as("hkey"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(graft.functions.BottomK(MixBudget).toColumn)
+      .flatMap { case (lang, picks) =>
+        picks.zipWithIndex.map { case ((_, id), i) => (lang, i + 1, id) }
+      }
+      .toDF("lang", "rk", "doc_id")
+    ranked.join(broadcast(quotas), "lang")
+      .filter($"rk" <= $"quota")
+      .select($"lang", $"rk", $"doc_id", $"quota")
+      .orderBy($"lang", $"rk")
+  }
+
+  private val q137Sql =
+    s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |tot AS (SELECT SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,12))) AS tw FROM cnt),
+       |q AS (SELECT lang,
+       |    GREATEST(1, CAST(floor(${MixBudget.toDouble} * sqrt(CAST(n AS DOUBLE)) / CAST(t.tw AS DOUBLE) + 0.5) AS BIGINT)) AS quota
+       |  FROM cnt CROSS JOIN tot t),
+       |r AS (SELECT lang, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ${hSql("doc_id")}, doc_id) AS INTEGER) AS rk
+       |  FROM documents)
+       |SELECT lang, rk, doc_id, quota FROM r JOIN q USING (lang)
+       |WHERE rk <= quota ORDER BY lang, rk""".stripMargin
+
+  // registry LAST: object vals initialize in declaration order, so every
+  // referenced qNNNSql must already be assigned (a GQuery capturing a
+  // not-yet-initialized val silently carries null into oracle_sql.json)
   val all: Seq[GQuery] = Seq(
     GQuery("q50_hash_split", q50, Some(q50Sql)),
     GQuery("q51_stratified_sample", q51, Some(q51Sql)),
     GQuery("q52_supplier_share", q52, Some(q52Sql)),
     GQuery("q81_token_budget_mix", q81, Some(q81Sql)),
+    GQuery("q137_temperature_mixing", q137, Some(q137Sql)),
   )
 }

@@ -77,4 +77,37 @@ class SamplingSpec extends AnyFunSuite {
       .select($"l_suppkey").distinct().as[Long].collect().toSet
     assert(out.map(_.getLong(0)).toSet === suppliers)
   }
+
+  test("temperature mixing: quotas ≡ independent sqrt walk; smoothing premise holds") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent quota walk: one IEEE sqrt per language, exact-decimal
+    // total (mirrors the operator's decimal-cast sum), floor-half-up
+    val tw = counts.values.toSeq.sorted
+      .map(n => BigDecimal(math.sqrt(n.toDouble)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val wantQuota = counts.map { case (l, n) =>
+      l -> math.max(1L, math.floor(Sampling.MixBudget * math.sqrt(n.toDouble) / tw + 0.5).toLong)
+    }
+    val out = run("q137_temperature_mixing").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val gotQuota = out.map(r => r._1 -> r._4).toMap
+    assert(gotQuota === wantQuota)
+    // per-language admitted counts = min(quota, n), ranks contiguous
+    out.groupBy(_._1).foreach { case (l, picks) =>
+      assert(picks.length.toLong === math.min(wantQuota(l), counts(l)), s"lang $l size")
+      assert(picks.map(_._2).sorted.toSeq == (1 to picks.length), s"lang $l ranks")
+    }
+    // the operator's premise: α = 1/2 DOWN-weights the largest language
+    // vs proportional sampling and UP-weights the smallest
+    val total = counts.values.sum.toDouble
+    val (maxL, minL) = (counts.maxBy(_._2)._1, counts.minBy(_._2)._1)
+    assert(wantQuota(maxL) < Sampling.MixBudget * counts(maxL) / total,
+      s"largest language $maxL not down-weighted")
+    assert(wantQuota(minL) > Sampling.MixBudget * counts(minL) / total,
+      s"smallest language $minL not up-weighted")
+  }
 }
