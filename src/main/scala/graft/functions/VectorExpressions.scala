@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §2.10 —
   * preference order: built-ins, then a custom `Expression` before any UDF).
@@ -28,6 +28,20 @@ object VectorExpressions {
   /** dot(a, b) over two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** dot(a, b) over two array<long> columns — exact integer fold (the
+    * int8-code hot path: q78/q86/q129 candidate scoring and the SemDedup
+    * maintainer). Addition on longs is associative and order-free, so the
+    * result is bit-identical to `aggregate(zip_with(a, b, *), 0L, +)` on
+    * every in-range input; callers bound |element| ≤ 127 and dim ≤ 64, four
+    * orders of magnitude inside overflow. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ (a_i − b_i)² over two array<long> columns — the PQ argmin-L2 inner
+    * loop (q86 encode/ADC). Same exactness contract as [[longDot]]. */
+  def longSqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(LongSquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Fused dot/norm cosine similarity; codegen emits one loop per row. */
@@ -86,6 +100,108 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused integer dot product over two array<long> columns; codegen emits
+  * one loop per row — replaces the interpreted `aggregate(zip_with(·,·,*))`
+  * fold that dominated the int8 pair scans (a CodegenFallback tree that
+  * also allocates an intermediate 64-element array per evaluation; join
+  * conditions inline it several times per probed pair). Length mismatch →
+  * null, matching zip_with's null padding. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $x.getLong($i) * $y.getLong($i); }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused integer squared L2 distance over two array<long> columns — the
+  * PQ codebook argmin's inner loop. Same null/length semantics as
+  * [[LongDotProduct]]. */
+case class LongSquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = x.getLong(i) - y.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $x.getLong($i) - $y.getLong($i); $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -608,14 +608,20 @@ object GraphQueries {
     var prevKeep = -1L
     var i = 0
     var converged = false
+    // the round's degree aggregate is checkpointed ONCE and shared by the
+    // count action, both semi-join build sides and — on convergence — the
+    // result itself: at the fixpoint nothing dropped, so every vertex of
+    // cur has deg ≥ k and this frame IS deg(cur), making the final
+    // re-aggregate over the surviving edge list redundant
+    var lastDegs: DataFrame = null
     while (i < rounds && !converged) {
       i += 1
-      // keep's plan is one aggregate over cur's LogicalRDD — small enough
-      // to recompute per reference (two semi-joins + the count action)
-      val keep = deg(cur).filter(col("deg") >= k).select(col("src").as("node"))
+      val degs = deg(cur).localCheckpoint()
+      val keep = degs.filter(col("deg") >= k).select(col("src").as("node"))
       val nKeep = keep.count()
       if (nKeep == prevKeep) {
         converged = true // nothing dropped: fixpoint, skip the re-induce
+        lastDegs = degs
       } else {
         cur = cur
           .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
@@ -624,7 +630,8 @@ object GraphQueries {
         prevKeep = nKeep
       }
     }
-    deg(cur).select(col("src").as("node"), col("deg"))
+    (if (converged) lastDegs else deg(cur))
+      .select(col("src").as("node"), col("deg"))
   }
 
   /** q84 — k-core decomposition at data scale: fourth member of the
@@ -691,11 +698,25 @@ object GraphQueries {
     * cost O(Σ wedges). Simple-graph input means w ≠ a, b automatically
     * (no self-loops in the symmetrized relation). */
   private def edgeSupport(e: DataFrame): DataFrame = {
-    val sym = e.select(col("a").as("u"), col("b").as("v"))
-      .union(e.select(col("b").as("u"), col("a").as("v")))
-    e.join(sym.toDF("a", "w"), Seq("a"))
-      .join(sym.toDF("b", "w"), Seq("b", "w"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    // ordered-triangle enumeration (the q83 layout): find each triangle
+    // x < y < z exactly once via two joins on the ORDERED edge list, then
+    // credit one support to each of its three edges. The first join's
+    // intermediate is the ordered wedge set Σ_y deg_<(y)·deg_>(y) — about
+    // 4× smaller than the symmetrized-adjacency probe (Σ_v deg(v)² both
+    // sides) the previous formulation paid, and the whole pipeline stays
+    // equi-joins + one hash aggregate on the edge key. Counts are exact
+    // integers either way: each common neighbor w of (a, b) closes exactly
+    // one ordered triangle containing the edge.
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+    // one generate per triangle row (a union of three projections would
+    // re-run the joins three times), then the per-edge aggregate
+    tri.select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("y").as("a"), col("z").as("b")),
+        struct(col("x").as("a"), col("z").as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b")).agg(count(lit(1)).as("sup"))
   }
 
   /** Synchronous k-truss peeling on an ordered distinct edge list
@@ -729,15 +750,24 @@ object GraphQueries {
     var curN = cur.count()
     var i = 0
     var converged = false
+    // survivors of the LAST support pass, with their supports: when a
+    // round removes nothing (kept == cur as sets), the supports it
+    // computed were taken in exactly the surviving subgraph, so they ARE
+    // the final answer — re-running edgeSupport over the same edge set
+    // would repeat the whole wedge join + aggregate (the single most
+    // expensive stage of the peel) to rebuild a frame we already hold.
+    var lastKept: DataFrame = null
     while (i < rounds && !converged) {
       i += 1
-      val kept = edgeSupport(cur).filter(col("sup") >= k - 2)
-        .select(col("a"), col("b")).localCheckpoint()
+      val kept = edgeSupport(cur).filter(col("sup") >= k - 2).localCheckpoint()
       val n = kept.count()
-      if (n == curN) converged = true
-      else { cur = kept; curN = n }
+      if (n == curN) { converged = true; lastKept = kept }
+      else { cur = kept.select(col("a"), col("b")); curN = n }
     }
-    edgeSupport(cur)
+    // converged: the cached support frame (identical to edgeSupport(cur));
+    // budget exhausted mid-cascade: supports must be re-taken in the
+    // final surviving subgraph (kept's sups were measured pre-drop)
+    if (converged) lastKept else edgeSupport(cur)
   }
 
   /** q105 — k-truss decomposition at data scale: sixth member of the

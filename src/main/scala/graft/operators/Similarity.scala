@@ -40,6 +40,25 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Exact integer dot over array<long> codes — fused codegen expression
+    * (see [[graft.functions.VectorExpressions.longDot]]); result equals the
+    * `aggregate(zip_with(·,·,*), 0L, +)` fold bit for bit. */
+  def longDot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.longDot(a, b)
+
+  /** HOF formulation of [[longDot]], kept for the equivalence spec. */
+  def longDotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (u, v) => u * v), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared L2 distance over array<long> codes — fused
+    * codegen expression. */
+  def longSqDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.longSqDist(a, b)
+
+  /** HOF formulation of [[longSqDist]], kept for the equivalence spec. */
+  def longSqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (a0, x) => a0 + x)
+
   private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
@@ -85,11 +104,13 @@ object Similarity {
     (x.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** sig = bit per hyperplane: sign of <vec, plane>. */
+  /** sig = bit per hyperplane: sign of <vec, plane>. The per-plane dot is
+    * the fused native expression (identical left-to-right double fold →
+    * bit-equal signs). */
   def lshSignature(s: SparkSession, vecCol: Column): Column = {
     val bits: Seq[Column] = (0 until Planes).map { p =>
       val coefs = array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
-      val dot = aggregate(zip_with(vecCol, coefs, (u, v) => u * v), lit(0.0), (a, v) => a + v)
+      val dot = graft.functions.VectorExpressions.dot(vecCol, coefs)
       when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -761,7 +782,7 @@ object Similarity {
     val emb = embeddings(s, dir)
     val cents = trainedCentroids(s, dir)
     val qz = quantized(s, dir)
-      .withColumn("qnorm", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .withColumn("qnorm", longDot($"qs", $"qs"))
       .select($"vec_id", $"qs", $"qnorm")
     // int8 index: cell assignment (trained centroids) + codes (the float
     // vec is NOT carried)
@@ -783,8 +804,7 @@ object Similarity {
     // deterministic cross-engine rational
     val cand8 = probed.join(idx8, "cell")
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("d",
-        aggregate(zip_with($"qs", $"q_qs", (x, y) => x * y), lit(0L), (a, x) => a + x))
+      .withColumn("d", longDot($"qs", $"q_qs"))
       .withColumn("score8",
         when($"qnorm" === 0L || $"q_qnorm" === 0L, lit(-2.0))
           .otherwise(($"d" * abs($"d")).cast("double") /
@@ -861,8 +881,7 @@ object Similarity {
     * returns the FIRST index of the minimum and the literal array is
     * ordered by code). */
   private def argminCode(sub: Column, book: Seq[Seq[Long]]): Column = {
-    val dists = transform(bookLit(book), c =>
-      aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x))
+    val dists = transform(bookLit(book), c => longSqDist(sub, c))
     (array_position(dists, array_min(dists)) - 1L).cast("int")
   }
 
@@ -945,7 +964,7 @@ object Similarity {
     val errs = (0 until PqM).map { m =>
       val sub = subVec($"qs", m)
       val cv = element_at(bookLit(books(m)), argminCode(sub, books(m)) + 1)
-      aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+      longSqDist(sub, cv)
     }.reduce(_ + _)
     val r = int8Codes(emb).select(errs.as("e")).agg(sum($"e"), count(lit(1))).head()
     r.getLong(0).toDouble / r.getLong(1)
@@ -971,7 +990,7 @@ object Similarity {
     val cents = trainedCentroids(s, dir)
     val books = pqBooks(s, dir)
     val qz = quantized(s, dir)
-      .withColumn("qnorm", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .withColumn("qnorm", longDot($"qs", $"qs"))
       .select($"vec_id", $"qs", $"qnorm")
     // the PQ index relation (vec_id, cell, 8 codes) is materialized once
     // per (session, SF) — encoding on the fly would re-read the wide
@@ -992,9 +1011,8 @@ object Similarity {
       .join(qz.select($"vec_id".as("query_id"), $"qs".as("q_qs"),
         $"qnorm".as("q_qnorm")), "query_id")
     val d = (0 until PqM).map { m =>
-      aggregate(zip_with(subVec($"q_qs", m),
-        element_at(bookLit(books(m)), element_at($"pq", m + 1) + 1),
-        (x, y) => x * y), lit(0L), (a, x) => a + x)
+      longDot(subVec($"q_qs", m),
+        element_at(bookLit(books(m)), element_at($"pq", m + 1) + 1))
     }.reduce(_ + _)
     val pnorm = (0 until PqM).map { m =>
       element_at(array(books(m).map(cv => lit(cv.map(x => x * x).sum)): _*),
@@ -1312,7 +1330,7 @@ object Similarity {
     // large expression tree, and without the cut both join sides
     // re-evaluate it over the full corpus (the q84 plan-cut discipline)
     val cells = withInt8Codes(assignToCentroids(emb, cents))
-      .withColumn("nq", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .withColumn("nq", longDot($"qs", $"qs"))
       .select($"vec_id", $"cell", $"qs", $"nq")
       .localCheckpoint()
     val a = cells.select($"vec_id".as("a_id"), $"cell",
@@ -1321,8 +1339,7 @@ object Similarity {
       $"qs".as("bq"), $"nq".as("bn"))
     val dup = a.join(b, Seq("cell"))
       .filter($"a_id" < $"b_id")
-      .withColumn("dot",
-        aggregate(zip_with($"aq", $"bq", (u, v) => u * v), lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", longDot($"aq", $"bq"))
       .filter(intDupCond($"dot", $"an", $"bn"))
     dup.groupBy($"b_id", $"cell")
       .agg(min($"a_id").as("dup_of"), count(lit(1)).as("n_dups"))

@@ -963,11 +963,15 @@ object TextOps {
     // corpus-bigram aggregate, the context aggregate AND the score join —
     // uncut, Catalyst re-derives the tokenize+explode+aggregate chain
     // from a separate scan for each consumer (three corpus passes)
+    // the transform emits (bg, w1) pairs directly — w1 = ws[i] is already
+    // in hand inside the lambda; the previous `split($"bg", " ")(0)` paid
+    // a per-occurrence regex split just to recover it (tokens are
+    // whitespace-split, so ws[i] and the re-split first field are
+    // identical by construction)
     val dbc = toks.filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
-      .withColumn("w1", split($"bg", " ")(0))
-      .groupBy($"doc_id", $"bg", $"w1").agg(count(lit(1)).as("c"))
+        "transform(sequence(0, size(ws)-2), i -> struct(concat_ws(' ', ws[i], ws[i+1]) AS bg, ws[i] AS w1))")).as("g"))
+      .groupBy($"doc_id", $"g.bg".as("bg"), $"g.w1".as("w1")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val cb = dbc.groupBy($"bg").agg(sum($"c").as("cb"))
     val cu = dbc.groupBy($"w1").agg(sum($"c").as("cu"))

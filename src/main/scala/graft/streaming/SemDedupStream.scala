@@ -67,7 +67,7 @@ object SemDedupStream {
   private def codesOf(df: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     import df.sparkSession.implicits._
     Similarity.withInt8Codes(Similarity.assignToCentroids(df, cents))
-      .withColumn("nq", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+      .withColumn("nq", Similarity.longDot($"qs", $"qs"))
       .select($"vec_id", $"cell", $"qs", $"nq")
   }
 
@@ -135,7 +135,7 @@ object SemDedupStream {
       // one projection, no re-assignment and no self-rejoin
       val prior = Similarity.withInt8Codes(
           liveRowsBefore(s, storeDir, batchId, Some(touched)))
-        .withColumn("nq", aggregate($"qs", lit(0L), (a, x) => a + x * x))
+        .withColumn("nq", Similarity.longDot($"qs", $"qs"))
       val newSide = nw.select($"vec_id".as("n_id"), $"cell",
         $"qs".as("nqs"), $"nq".as("nn"), lit(batchId).as("n_srcb"))
       // new × prior-live (both orientations resolved into a_id < b_id)
@@ -143,8 +143,7 @@ object SemDedupStream {
           prior.select($"vec_id".as("o_id"), $"cell", $"qs".as("oqs"),
             $"nq".as("on"), $"srcb".as("o_srcb")), Seq("cell"))
         .filter($"n_id" =!= $"o_id")
-        .withColumn("dot", aggregate(zip_with($"nqs", $"oqs", (u, v) => u * v),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("dot", Similarity.longDot($"nqs", $"oqs"))
         .filter(Similarity.intDupCond($"dot", $"nn", $"on"))
         .select($"cell",
           when($"n_id" < $"o_id", $"n_id").otherwise($"o_id").as("a_id"),
@@ -156,8 +155,7 @@ object SemDedupStream {
           newSide.select($"n_id".as("m_id"), $"cell", $"nqs".as("mqs"),
             $"nn".as("mn")), Seq("cell"))
         .filter($"n_id" < $"m_id")
-        .withColumn("dot", aggregate(zip_with($"nqs", $"mqs", (u, v) => u * v),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("dot", Similarity.longDot($"nqs", $"mqs"))
         .filter(Similarity.intDupCond($"dot", $"nn", $"mn"))
         .select($"cell", $"n_id".as("a_id"), lit(batchId).as("a_srcb"),
           $"m_id".as("b_id"), lit(batchId).as("b_srcb"))

@@ -317,6 +317,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(mism.isNullAt(0) && mism.isNullAt(1))
   }
 
+  test("native LongDotProduct / LongSquaredDistance ≡ higher-order-function folds, exact") {
+    import spark.implicits._
+    // int8-code shape: the q62 quantization of the real corpus
+    val codes = Similarity.int8Codes(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("vec")))
+    val q = codes.filter($"vec_id" === 0L).select($"qs".as("q_qs"))
+    val both = codes.crossJoin(broadcast(q))
+      .select($"vec_id",
+        Similarity.longDot($"qs", $"q_qs").as("nd"),
+        Similarity.longDotHof($"qs", $"q_qs").as("hd"),
+        Similarity.longSqDist($"qs", $"q_qs").as("ns"),
+        Similarity.longSqDistHof($"qs", $"q_qs").as("hs"))
+    assert(both.filter($"nd" =!= $"hd" || $"ns" =!= $"hs").count() === 0L)
+    // interpreted eval path agrees with codegen path
+    val row = both.filter($"vec_id" === 17L).head()
+    assert(row.getLong(1) === row.getLong(2) && row.getLong(3) === row.getLong(4))
+    // length mismatch → null, matching the zip_with null-padding semantics
+    val mism = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(Similarity.longDot(col("a"), col("b")).as("nd"),
+        Similarity.longSqDist(col("a"), col("b")).as("ns"))
+      .head()
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+  }
+
   test("multimodal stub decoder: deterministic, 8-dim, empty-safe") {
     val rows = Iterator(
       Multimodal.MediaRow(1L, "hello".getBytes("UTF-8"), "image/fake", 10, 10),
