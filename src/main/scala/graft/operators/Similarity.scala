@@ -109,7 +109,7 @@ object Similarity {
     * bit-equal signs). */
   def lshSignature(s: SparkSession, vecCol: Column): Column = {
     val bits: Seq[Column] = (0 until Planes).map { p =>
-      val coefs = array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
+      val coefs = typedLit((0 until 64).map(d => planeCoef(p, d)))
       val dot = graft.functions.VectorExpressions.dot(vecCol, coefs)
       when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -289,10 +289,17 @@ object Similarity {
   /** The centroid list as ONE literal array-of-structs column (k·dim
     * double literals — broadcast-free, sorted by centroid id so positional
     * argmax ties resolve to the smallest id). */
+  /** Literal-struct shape of the embedded centroid list. */
+  private case class CentLit(vec_id: Long, vec: Seq[Double])
+
+  /** ONE literal expression node holding the whole centroid list (an
+    * `array(struct(lit, array(lit...)))` tree is k·(dim+1) expression
+    * nodes — ~520 at the shipped geometry — and every run re-pays
+    * analysis/optimization walks over it; a single typed literal carries
+    * the same value in one node). Field names and element values are
+    * identical, so consumers and oracle parity are untouched. */
   private def centStructs(cents: Seq[(Long, Seq[Double])]): Column =
-    array(cents.sortBy(_._1).map { case (id, v) =>
-      struct(lit(id).as("vec_id"), array(v.map(lit): _*).cast("array<double>").as("vec"))
-    }: _*)
+    typedLit(cents.sortBy(_._1).map { case (id, v) => CentLit(id, v) })
 
   /** Assign every vector to its argmax-cosine centroid from an explicit
     * centroid list (driver-provided, embedded as literals — k·dim doubles,
@@ -871,7 +878,7 @@ object Similarity {
     * code id (k·subdim ints — embedded like [[centStructs]], no shuffle,
     * no broadcast needed). */
   private def bookLit(book: Seq[Seq[Long]]): Column =
-    array(book.map(cv => array(cv.map(lit): _*)): _*)
+    typedLit(book) // one literal node, not PqKs·PqSubDim of them (see centStructs)
 
   private def subVec(qs: Column, m: Int): Column =
     slice(qs, m * PqSubDim + 1, PqSubDim)
@@ -1015,7 +1022,7 @@ object Similarity {
         element_at(bookLit(books(m)), element_at($"pq", m + 1) + 1))
     }.reduce(_ + _)
     val pnorm = (0 until PqM).map { m =>
-      element_at(array(books(m).map(cv => lit(cv.map(x => x * x).sum)): _*),
+      element_at(typedLit(books(m).map(cv => cv.map(x => x * x).sum)),
         element_at($"pq", m + 1) + 1)
     }.reduce(_ + _)
     val cand = probed.join(idx, "cell")

@@ -722,7 +722,10 @@ object TextOps {
     * single-char fallback always matches (base chars cover the word
     * character class), so the fold is total. */
   private[graft] def subwordIds(w: Column, vocab: Seq[(String, Long)]): Column = {
-    val m = map(vocab.flatMap { case (tok, id) => Seq(lit(tok), lit(id)) }: _*)
+    // ONE literal map node (tokens are unique, so Map loses nothing); the
+    // flat map(lit, lit, ...) form is 2·|vocab| expression nodes inside a
+    // lambda the analyzer re-walks every run
+    val m = typedLit(vocab.toMap)
     aggregate(
       sequence(lit(0), length(w) - 1),
       struct(lit(0).as("nxt"), array().cast("array<bigint>").as("ids")),
