@@ -971,14 +971,35 @@ object TextOps {
     // a per-occurrence regex split just to recover it (tokens are
     // whitespace-split, so ws[i] and the re-split first field are
     // identical by construction)
+    // the aggregate groups by (doc_id, bg) ONLY and recovers w1 = first
+    // word AFTER the shuffle (substring_index on the aggregated rows):
+    // w1 is a function of bg, so grouping by it too changed nothing of
+    // the result while shipping one extra string per partial-aggregate
+    // row through the exchange and widening the hash key (guide §2.3:
+    // shuffle fewer bytes). substring_index is plain codegen'd byte
+    // scanning, paid once per DISTINCT (doc, bigram), not per occurrence
+    // — the r16 objection to re-splitting applied to the per-occurrence
+    // lambda, not here.
     val dbc = toks.filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws)-2), i -> struct(concat_ws(' ', ws[i], ws[i+1]) AS bg, ws[i] AS w1))")).as("g"))
-      .groupBy($"doc_id", $"g.bg".as("bg"), $"g.w1".as("w1")).agg(count(lit(1)).as("c"))
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
       .localCheckpoint()
     val cb = dbc.groupBy($"bg").agg(sum($"c").as("cb"))
     val cu = dbc.groupBy($"w1").agg(sum($"c").as("cu"))
-    val v = toks.select(explode($"ws").as("tok"))
+    // |vocab| without the corpus-token-volume explode + 2-exchange
+    // distinct the previous shape paid: every token occurrence is either
+    // a non-final occurrence in a ≥2-token doc — hence a w1 value, hence
+    // in cu's key set — or the FINAL token of its doc; so the distinct
+    // token set is exactly (cu keys) ∪ (per-doc last tokens). The union's
+    // left side is vocabulary-sized and the right side is one row per
+    // document (element_at(ws, -1); ws is never empty — split of an empty
+    // text yields [""]), so the distinct aggregate runs over doc-volume
+    // instead of token-volume rows (guide §2.3: aggregate/shrink before
+    // the exchange).
+    val v = cu.select($"w1".as("tok"))
+      .union(toks.select(element_at($"ws", -1).as("tok")))
       .agg(countDistinct($"tok").as("v"))
     dbc.join(cb, "bg").join(cu, "w1").crossJoin(broadcast(v))
       .withColumn("lnp", log(($"cb".cast("double") + lit(1.0)) /
