@@ -345,13 +345,26 @@ object Dijkstra {
     // (the DataFrame dispatch path), scanning `g` re-runs the whole
     // edge-build per pass — two silent full passes that GRAPHBENCH_r04's
     // frame-dispatch row paid before this was moved
-    val dlt = if (delta > 0.0) delta else chooseDelta(cur)
+    // ONE fold computes the Δ statistics (sum, count — the chooseDelta
+    // inputs) AND the max weight: the heavy-edge probe below compares
+    // max against Δ, so the old separate filter().isEmpty() job over the
+    // edge set is fused away (guide §2.4: two passes keyed the same way
+    // share one)
+    val (wSum, wN, wMax) = cur.edges
+      .map(e => (e.attr, 1L, e.attr))
+      .fold((0.0, 0L, Double.NegativeInfinity)) { case ((s1, c1, m1), (s2, c2, m2)) =>
+        (s1 + s2, c1 + c2, math.max(m1, m2))
+      }
+    val dlt =
+      if (delta > 0.0) delta
+      else if (wN == 0L || wSum <= 0.0) 1.0
+      else DeltaMeanMultiplier * wSum / wN
     stats.foreach(_.delta = dlt)
 
     // with a coarse Δ (the measured default) many graphs have NO heavy
-    // edge at all — one early-exit scan here saves a full heavy-phase
-    // relax per bucket
-    val anyHeavy = !cur.edges.filter(_.attr >= dlt).isEmpty()
+    // edge at all — skipping the heavy phase saves a full relax per
+    // bucket; the max from the shared fold answers it without a scan
+    val anyHeavy = wMax >= dlt
 
     // periodic lineage truncation (see [[CheckpointInterval]]): high-
     // diameter graphs drive thousands of supersteps through this loop and

@@ -336,11 +336,33 @@ object GraphQueries {
     * stays distributed until the final ordered dump. */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = partSupplierEdges(s, dir)
-    val source = 2L * t(s, dir, "lineitem")
-      .agg(min($"l_suppkey".cast("long"))).head().getLong(0) + 1L
-    val g = Graph.fromEdges(
-      edges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble)), 0L)
+    // one distinct-pair computation per run (localCheckpoint), consumed
+    // three ways: the pair count (sizes the edge partitioning), the
+    // source vertex (min supplier — the same value the old separate
+    // lineitem scan computed, since every supplier appears in some pair),
+    // and the edge RDD itself. The old shape paid the lineitem scan twice
+    // (source + edges) and built the graph TWICE — Graph.fromEdges at the
+    // session default 32 partitions, then adaptParts' coalesce REBUILT it
+    // at ~|E|/131072 partitions; emitting both edge directions from the
+    // checkpointed pairs via one flatMap, pre-coalesced to the same
+    // target adaptParts would pick, makes the rebuild a no-op (guide
+    // §1.2: fix the algorithm's passes before per-task work).
+    val pairs = t(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+      .distinct()
+      .localCheckpoint()
+    val agg = pairs.agg(count(lit(1)), min($"su")).head()
+    val (nPairs, minSu) = (agg.getLong(0), agg.getLong(1))
+    val source = 2L * minSu + 1L
+    val parts = math.max(1L,
+      (2L * nPairs + Dijkstra.EdgesPerPartition - 1L) / Dijkstra.EdgesPerPartition)
+      .min(pairs.rdd.getNumPartitions.toLong).toInt
+    val edgeRdd = pairs.rdd.coalesce(parts).flatMap { r =>
+      val p = r.getLong(0); val su = r.getLong(1)
+      val w = (1L + (p * 3 + su * 5) % 7).toDouble
+      Iterator(Edge(p * 2, su * 2 + 1, w), Edge(su * 2 + 1, p * 2, w))
+    }
+    val g = Graph.fromEdges(edgeRdd, 0L)
     val verts = Dijkstra.deltaSssp(g, source).vertices
       .filter { case (_, (d, _)) => !d.isInfinite && d <= ScaleSsspBudget.toDouble }
       .map { case (id, (d, _)) => (id, d.toLong) }
