@@ -313,11 +313,26 @@ object GraphQueries {
     * ids (2p), suppliers on odd (2s+1) — disjoint at any scale factor;
     * weights are exact small-integer arithmetic so distances are exact in
     * double and BIGINT alike. */
+  /** DISTINCT (p, su) pairs of lineitem — the base relation every
+    * data-scale graph operator derives its edges from (q79 SSSP warm,
+    * q85/q90 store builds), served from the per-session
+    * [[graft.store.Materialized]] store: the lineitem scan + distinct
+    * exchange is a pure function of the corpus snapshot that each warm
+    * q79 run was re-paying (~0.75 s of its ~1.6 s at sf0.1 — probed by
+    * [[graft.tools.ProbeGraphInputs]]); the bench's cold lane pays the
+    * build visibly, the same contract as the tri-projection/token/
+    * shingle stores. */
+  def partSupplierPairs(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"pspairs:$dir") {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+        .distinct()
+    }
+
   def partSupplierEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = t(s, dir, "lineitem")
-      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
-      .distinct()
+    val pairs = partSupplierPairs(s, dir)
     val fwd = pairs.select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"),
       (lit(1L) + ($"p" * 3 + $"su" * 5) % 7).as("w"))
     fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
@@ -336,21 +351,18 @@ object GraphQueries {
     * stays distributed until the final ordered dump. */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // one distinct-pair computation per run (localCheckpoint), consumed
-    // three ways: the pair count (sizes the edge partitioning), the
-    // source vertex (min supplier — the same value the old separate
-    // lineitem scan computed, since every supplier appears in some pair),
-    // and the edge RDD itself. The old shape paid the lineitem scan twice
-    // (source + edges) and built the graph TWICE — Graph.fromEdges at the
-    // session default 32 partitions, then adaptParts' coalesce REBUILT it
-    // at ~|E|/131072 partitions; emitting both edge directions from the
-    // checkpointed pairs via one flatMap, pre-coalesced to the same
-    // target adaptParts would pick, makes the rebuild a no-op (guide
+    // the distinct pairs come from the [[partSupplierPairs]] store (one
+    // columnar relation), consumed three ways: the pair count (sizes the
+    // edge partitioning), the source vertex (min supplier — the same
+    // value the old separate lineitem scan computed, since every supplier
+    // appears in some pair), and the edge RDD itself. The pre-store shape
+    // paid the lineitem scan + distinct exchange per run and built the
+    // graph TWICE — Graph.fromEdges at the session default 32 partitions,
+    // then adaptParts' coalesce REBUILT it at ~|E|/131072 partitions;
+    // emitting both edge directions via one flatMap, pre-coalesced to the
+    // same target adaptParts would pick, makes the rebuild a no-op (guide
     // §1.2: fix the algorithm's passes before per-task work).
-    val pairs = t(s, dir, "lineitem")
-      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
-      .distinct()
-      .localCheckpoint()
+    val pairs = partSupplierPairs(s, dir)
     val agg = pairs.agg(count(lit(1)), min($"su")).head()
     val (nPairs, minSu) = (agg.getLong(0), agg.getLong(1))
     val source = 2L * minSu + 1L
@@ -407,12 +419,24 @@ object GraphQueries {
     * components over it is a non-vacuous data-scale computation. Vertex
     * ids as in [[partSupplierEdges]]: parts even (2p), suppliers odd
     * (2s+1), disjoint at any scale factor. */
+  /** DISTINCT max-quantity (p, su) pairs — the sparse graph's base
+    * relation, materialized once per corpus snapshot (the
+    * [[partSupplierPairs]] contract): q80's and q84's warm runs each
+    * re-paid the lineitem scan + filter + distinct (~0.5 s of their
+    * ~1.1–1.3 s at sf0.1, [[graft.tools.ProbeGraphInputs]]), and the
+    * q83/q105 projection build starts from the identical pair set. */
+  def sparsePartSupplierPairs(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"pspairs-sparse:$dir") {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" === 50)
+        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
+        .distinct()
+    }
+
   def sparsePartSupplierEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = t(s, dir, "lineitem")
-      .filter($"l_quantity" === 50)
-      .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
-      .distinct()
+    val pairs = sparsePartSupplierPairs(s, dir)
     val fwd = pairs.select(($"p" * 2).as("src"), ($"su" * 2 + 1).as("dst"))
     fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
   }
@@ -528,10 +552,8 @@ object GraphQueries {
   private def projectedPartEdges(s: SparkSession, dir: String): DataFrame =
     graft.store.Materialized.relation(s, s"tri-projection:$dir") {
       import s.implicits._
-      val pairs = t(s, dir, "lineitem")
-        .filter($"l_quantity" === 50)
-        .select($"l_partkey".cast("long").as("p"), $"l_suppkey".cast("long").as("su"))
-        .distinct()
+      // the identical pair set q80/q84 consume — build from their store
+      val pairs = sparsePartSupplierPairs(s, dir)
       val smallSu = pairs.groupBy($"su").agg(count(lit(1)).as("d"))
         .filter($"d" <= TriDegreeCap).select($"su")
       val kept = pairs.join(smallSu, Seq("su"), "left_semi")
