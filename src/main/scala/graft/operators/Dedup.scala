@@ -379,9 +379,11 @@ object Dedup {
   def simhashFingerprints(s: SparkSession, dir: String,
       family: HashFamily = HashFamily.Oracle): DataFrame = {
     import s.implicits._
-    val tokens = TextOps.docTokens(s, dir)
-      .select($"doc_id", explode($"ws").as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+    // per-doc term counts from the materialized tf store (the shared
+    // explode + (doc, term) aggregate q26/q34/q68 consume) — only the
+    // family hash is computed here, per DISTINCT (doc, term) row
+    val tokens = TextOps.docTermFreqs(s, dir)
+      .select($"doc_id", $"term".as("tok"), $"tf".as("cnt"))
       .withColumn("h", family.hash63($"tok"))
     val bitSums: Seq[Column] = (0 until SimHashBits).map { j =>
       sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, $"cnt").otherwise(-$"cnt")).as(s"b$j")

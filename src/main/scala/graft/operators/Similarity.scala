@@ -792,9 +792,17 @@ object Similarity {
       .withColumn("qnorm", longDot($"qs", $"qs"))
       .select($"vec_id", $"qs", $"qnorm")
     // int8 index: cell assignment (trained centroids) + codes (the float
-    // vec is NOT carried)
-    val idx8 = assignToCentroids(emb, cents).select($"vec_id", $"cell")
-      .join(qz, "vec_id")
+    // vec is NOT carried) — materialized once per (session, SF) exactly
+    // like q86's pq-index and q28's persisted IVF directory: the corpus
+    // cell assignment + code join is a pure function of the snapshot
+    // that every warm q78 run was re-paying (corpus argmax scan + a
+    // vec_id join exchange); served from the prepare-stage store the
+    // candidate scan reads one columnar relation (the bench's cold lane
+    // pays the build visibly)
+    val idx8 = graft.store.Materialized.relation(s, s"int8-index:$dir") {
+      assignToCentroids(emb, cents).select($"vec_id", $"cell")
+        .join(qz, "vec_id")
+    }
     // probe-cell selection identical to q61 (queries are full-precision)
     val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
       .withColumn("cs", centStructs(cents))
