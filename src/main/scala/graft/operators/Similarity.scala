@@ -784,6 +784,26 @@ object Similarity {
     * the final sim is the same rounded float cosine q61 emits, making the
     * two retrieval paths directly comparable (PipelineSpec asserts
     * high overlap and identical sims on shared hits). */
+  /** (vec_id, cell, qs, qnorm) — the int8 serving index: trained-cell
+    * assignment + codes + self-norm (the float vec is NOT carried),
+    * materialized once per (session, SF) exactly like q86's pq-index and
+    * q28's persisted IVF directory. The corpus argmax scan + vec_id join
+    * is a pure function of the snapshot that q78 re-paid per warm run
+    * and q129 re-derived per run behind a localCheckpoint; both now scan
+    * this one columnar relation (the bench's cold lane pays the build
+    * visibly). */
+  private def int8Index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.store.Materialized.relation(s, s"int8-index:$dir") {
+      val qz = quantized(s, dir)
+        .withColumn("qnorm", longDot($"qs", $"qs"))
+        .select($"vec_id", $"qs", $"qnorm")
+      assignToCentroids(embeddings(s, dir), trainedCentroids(s, dir))
+        .select($"vec_id", $"cell")
+        .join(qz, "vec_id")
+    }
+  }
+
   private def q78(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
@@ -791,18 +811,7 @@ object Similarity {
     val qz = quantized(s, dir)
       .withColumn("qnorm", longDot($"qs", $"qs"))
       .select($"vec_id", $"qs", $"qnorm")
-    // int8 index: cell assignment (trained centroids) + codes (the float
-    // vec is NOT carried) — materialized once per (session, SF) exactly
-    // like q86's pq-index and q28's persisted IVF directory: the corpus
-    // cell assignment + code join is a pure function of the snapshot
-    // that every warm q78 run was re-paying (corpus argmax scan + a
-    // vec_id join exchange); served from the prepare-stage store the
-    // candidate scan reads one columnar relation (the bench's cold lane
-    // pays the build visibly)
-    val idx8 = graft.store.Materialized.relation(s, s"int8-index:$dir") {
-      assignToCentroids(emb, cents).select($"vec_id", $"cell")
-        .join(qz, "vec_id")
-    }
+    val idx8 = int8Index(s, dir)
     // probe-cell selection identical to q61 (queries are full-precision)
     val probed = emb.filter($"vec_id" % BatchQueryMod === 0L)
       .withColumn("cs", centStructs(cents))
@@ -1338,16 +1347,14 @@ object Similarity {
     * int8 form also cuts the shuffled candidate bytes 8× vs float64. */
   private def q129(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = embeddings(s, dir)
-    val cents = trainedCentroids(s, dir)
-    // materialize the assignment+quantize+norm chain ONCE before the
-    // self-join references it twice — the literal-centroid argmax is a
-    // large expression tree, and without the cut both join sides
-    // re-evaluate it over the full corpus (the q84 plan-cut discipline)
-    val cells = withInt8Codes(assignToCentroids(emb, cents))
-      .withColumn("nq", longDot($"qs", $"qs"))
-      .select($"vec_id", $"cell", $"qs", $"nq")
-      .localCheckpoint()
+    // the assignment+quantize+norm chain is the shared [[int8Index]]
+    // store (identical values: same trained centroids, same q62
+    // quantization, same self-norm) — the per-run localCheckpoint this
+    // replaced cut the plan for the self-join's two references, which a
+    // store scan does even better: both sides are columnar scans and the
+    // corpus argmax is paid once per snapshot, not once per run
+    val cells = int8Index(s, dir)
+      .select($"vec_id", $"cell", $"qs", $"qnorm".as("nq"))
     val a = cells.select($"vec_id".as("a_id"), $"cell",
       $"qs".as("aq"), $"nq".as("an"))
     val b = cells.select($"vec_id".as("b_id"), $"cell",
