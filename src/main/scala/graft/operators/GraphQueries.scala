@@ -549,7 +549,7 @@ object GraphQueries {
     * reference; served from the prepare-stage store, all three are
     * columnar scans of one small relation (the [[graft.store.Materialized]]
     * contract — the bench's cold lane pays the build visibly). */
-  private def projectedPartEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def projectedPartEdges(s: SparkSession, dir: String): DataFrame =
     graft.store.Materialized.relation(s, s"tri-projection:$dir") {
       import s.implicits._
       // the identical pair set q80/q84 consume — build from their store
@@ -647,9 +647,17 @@ object GraphQueries {
     * cached blocks reclaimed by the `ContextCleaner`; rounds are bounded
     * by the budget, so at most a handful of shrinking edge lists are
     * ever live. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** `inputStable = true` skips the INITIAL checkpoint only: round 1
+    * then re-executes the caller's input plan once per reference (the
+    * degree aggregate + join source), which is a WIN exactly when that
+    * plan is a flat store scan (q84's materialized sparse pairs) and a
+    * loss when it is an expensive derivation (the streaming maintainers'
+    * induced subgraphs keep the default). Per-ROUND checkpoints are
+    * untouched — they are the 3^rounds plan-growth guard. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      inputStable: Boolean = false): DataFrame = {
     val deg = (e: DataFrame) => e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var cur = edges.localCheckpoint()
+    var cur = if (inputStable) edges else edges.localCheckpoint()
     // ONE driver action per round: the survivor count. Peeling is
     // monotone (the survivor set only shrinks), so two consecutive equal
     // keep-counts force keep_i = keep_{i-1} = nodes(cur_i) — i.e. the
@@ -796,8 +804,16 @@ object GraphQueries {
     * adjacency sides, twice), so the plan cut is load-bearing exactly
     * as in [[kCorePeel]] — without it the logical plan tree grows
     * ~5^rounds. */
-  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var cur = edges.select(col("a"), col("b")).localCheckpoint()
+  /** `inputStable` as in [[kCorePeel]]: skip only the INITIAL checkpoint
+    * when the input is already a flat materialized scan (q105's
+    * projection store); round 1 then reads the store once per reference
+    * (the wedge join's three sides) instead of paying a copy job. */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int,
+      inputStable: Boolean = false): DataFrame = {
+    var cur = {
+      val e = edges.select(col("a"), col("b"))
+      if (inputStable) e else e.localCheckpoint()
+    }
     var curN = cur.count()
     var i = 0
     var converged = false
@@ -832,7 +848,8 @@ object GraphQueries {
     * relation). */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    kTrussPeel(projectedPartEdges(s, dir), TrussK, TrussRounds)
+    kTrussPeel(projectedPartEdges(s, dir), TrussK, TrussRounds,
+      inputStable = true)
       .orderBy($"a", $"b")
   }
 
