@@ -567,9 +567,14 @@ object GraphQueries {
     val tri = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
       .select($"e1.a".as("ta"), $"e1.b".as("tb"), $"e2.b".as("tc"))
       .join(e.as("e3"), $"ta" === $"e3.a" && $"tc" === $"e3.b", "left_semi")
-    val corners = tri.select($"ta".as("part"))
-      .union(tri.select($"tb")).union(tri.select($"tc"))
-    corners.groupBy($"part").agg(count(lit(1)).as("n_triangles"))
+    // one Generate per triangle row — the edgeSupport lesson applied to
+    // the corner count: the previous union of three projections planned
+    // the WHOLE enumeration (wedge join + closing semi-join) three times,
+    // once per Union branch (visible in plans/r17/q83_..._before.txt:
+    // three copies of the join subtree under Union). Same corner
+    // multiset, one enumeration.
+    tri.select(explode(array($"ta", $"tb", $"tc")).as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("n_triangles"))
       .orderBy($"part")
   }
 
