@@ -17,7 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * compaction at an arbitrary cut, and redelivery of the final batch.
   *
   * Deterministic: fixed seed; a failing case prints its full schedule,
-  * so it reproduces as a one-line fixture. */
+  * so it reproduces as a one-line fixture.
+  *
+  * Round 18: every draw from a lane's RNG happens SEQUENTIALLY up front
+  * (schedule, compaction flags, redelivery — the same consumption order
+  * the old interleaved loop used, so the cases are bit-identical to the
+  * r17 suite), and the fully-planned cases then execute CONCURRENTLY,
+  * each against its own temp store. The lanes were 2,368 s of
+  * back-to-back tiny Spark jobs — pure driver/IO latency that concurrent
+  * jobs overlap (guide §2.6); coverage is unchanged. */
 class StreamScheduleFuzzSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -28,6 +36,26 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     * so it lands back in the repo as a fixed-case regression. */
   private val SeedBase: Long =
     sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0L)
+
+  /** Execute independent fully-planned fuzz cases concurrently. Every
+    * case's plan was already drawn from the lane RNG, so execution order
+    * cannot perturb determinism; each case owns its temp store. All
+    * failures surface (first thrown, rest printed), matching the
+    * sequential lane's fail-with-schedule contract. */
+  private def inParallel[P](plans: Seq[P], threads: Int = 8)(run: P => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = plans.map(p => Future(run(p)))
+      val errs = futs.flatMap(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+      if (errs.size > 1) errs.tail.foreach(e =>
+        System.err.println(s"[fuzz] additional failure: ${e.getMessage}"))
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
+  }
 
   private def tmp() =
     java.nio.file.Files.createTempDirectory("ccfuzz").toString + "/store"
@@ -48,42 +76,56 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
   private def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] =
     FuzzOracles.unionFind(edges)
 
+  /** One ±op pair-schedule case, fully drawn before execution: the batch
+    * schedule, the per-boundary compaction flags (batches 0..n−2, the
+    * draw order of the old interleaved loop) and the final-batch
+    * redelivery flag. Shared by the CC / k-core lanes (and, with the
+    * weighted wrapper, SSSP). */
+  private case class PairPlan(c: Int, n: Int,
+      schedule: Seq[Seq[(Long, Long, Int)]],
+      compactAfter: Seq[Boolean], redeliver: Boolean)
+
+  private def drawPairPlan(rnd: scala.util.Random, c: Int, maxExtraNodes: Int): PairPlan = {
+    val n = 5 + rnd.nextInt(maxExtraNodes)
+    val universe = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+    } yield (a, b)).toIndexedSeq
+    val nBatches = 2 + rnd.nextInt(3)
+    val schedule = Seq.fill(nBatches) {
+      val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
+      Seq.fill(k) {
+        val (a, b) = universe(rnd.nextInt(universe.size))
+        (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
+      }
+    }
+    val compactAfter = (0 until nBatches - 1).map(_ => rnd.nextInt(4) == 0)
+    PairPlan(c, n, schedule, compactAfter, rnd.nextBoolean())
+  }
+
   test("25 random ±op schedules ≡ union-find on survivors (compaction + redelivery mixed in)") {
     val rnd = new scala.util.Random(0xCC5EED ^ SeedBase)
-    (1 to 25).foreach { c =>
-      val n = 5 + rnd.nextInt(8) // 5..12 nodes
-      val universe = (for {
-        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
-      } yield (a, b)).toIndexedSeq
-      val nBatches = 2 + rnd.nextInt(3) // 2..4 batches
-      // each batch: 1..|U|/2 random ±ops drawn WITH repeats, so the same
-      // pair can appear twice in one batch with conflicting ops
-      val schedule = Seq.fill(nBatches) {
-        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
-        Seq.fill(k) {
-          val (a, b) = universe(rnd.nextInt(universe.size))
-          (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
-        }
-      }
+    val plans = (1 to 25).map(c => drawPairPlan(rnd, c, 8)) // 5..12 nodes
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
       val store = tmp()
-      schedule.zipWithIndex.foreach { case (batch, i) =>
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
         CcStream.processBatch(ev(batch), i.toLong, store)
         // mid-stream serve (round 17): every prefix must already serve
         // exactly its own survivors, not just the final state
-        assert(snap(store) === unionFind(survivors(schedule.take(i + 1))),
-          s"case $c serve@batch$i diverged.\nschedule=$schedule")
+        assert(snap(store) === unionFind(survivors(p.schedule.take(i + 1))),
+          s"case ${p.c} serve@batch$i diverged.\nschedule=${p.schedule}")
         // compact mid-stream at a random boundary, at most once per case
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+        if (i < nBatches - 1 && p.compactAfter(i))
           CcStream.compact(spark, store, throughBatch = i.toLong)
       }
       // redelivery of the final batch (the only batch a real stream can
       // redeliver after a crash) must converge
-      if (rnd.nextBoolean())
-        CcStream.processBatch(ev(schedule.last), (nBatches - 1).toLong, store)
-      val want = unionFind(survivors(schedule))
+      if (p.redeliver)
+        CcStream.processBatch(ev(p.schedule.last), (nBatches - 1).toLong, store)
+      val want = unionFind(survivors(p.schedule))
       val got = snap(store)
       assert(got === want,
-        s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+        s"case ${p.c} (n=${p.n}) diverged.\nschedule=${p.schedule}\nwant=$want\ngot=$got")
     }
   }
 
@@ -101,9 +143,13 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     TriangleStream.snapshot(spark, store).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private case class TriPlan(c: Int, nParts: Int, nSus: Int, cap: Long,
+      schedule: Seq[Seq[(Long, Long, Int)]],
+      compactAfter: Seq[Boolean], redeliver: Boolean)
+
   test("20 random ±op witness schedules ≡ brute-force triangles on survivors (low cap: crossings in reach)") {
     val rnd = new scala.util.Random(0x731F5EED ^ SeedBase)
-    (1 to 20).foreach { c =>
+    val plans = (1 to 20).map { c =>
       val nParts = 4 + rnd.nextInt(4) // 4..7 parts
       val nSus = 2 + rnd.nextInt(3) // 2..4 suppliers
       val cap = 2L + rnd.nextInt(3) // 2..4 — deletions can UNCROSS the cap
@@ -118,28 +164,33 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
           (p, su, if (rnd.nextInt(3) == 0) -1 else 1)
         }
       }
+      val compactAfter = (0 until nBatches - 1).map(_ => rnd.nextInt(4) == 0)
+      TriPlan(c, nParts, nSus, cap, schedule, compactAfter, rnd.nextBoolean())
+    }
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
       val store = tmp()
-      schedule.zipWithIndex.foreach { case (batch, i) =>
-        TriangleStream.processBatch(evTri(batch), i.toLong, store, cap)
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
+        TriangleStream.processBatch(evTri(batch), i.toLong, store, p.cap)
         // mid-stream serve: the executed prefix must already serve its
         // counts (the round-17 discipline)
-        val wantNow = bruteTriangles(survivors(schedule.take(i + 1)), cap)
+        val wantNow = bruteTriangles(survivors(p.schedule.take(i + 1)), p.cap)
         assert(triSnap(store) === wantNow,
-          s"case $c batch $i: mid-stream counts diverged.\nschedule=$schedule")
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
+          s"case ${p.c} batch $i: mid-stream counts diverged.\nschedule=${p.schedule}")
+        if (i < nBatches - 1 && p.compactAfter(i)) {
           TriangleStream.compact(spark, store, throughBatch = i.toLong)
           assert(triSnap(store) === wantNow,
-            s"case $c batch $i: compaction changed the counts")
+            s"case ${p.c} batch $i: compaction changed the counts")
         }
       }
-      if (rnd.nextBoolean())
-        TriangleStream.processBatch(evTri(schedule.last), (nBatches - 1).toLong,
-          store, cap)
-      val want = bruteTriangles(survivors(schedule), cap)
+      if (p.redeliver)
+        TriangleStream.processBatch(evTri(p.schedule.last), (nBatches - 1).toLong,
+          store, p.cap)
+      val want = bruteTriangles(survivors(p.schedule), p.cap)
       val got = triSnap(store)
       assert(got === want,
-        s"case $c (parts=$nParts sus=$nSus cap=$cap) diverged." +
-          s"\nschedule=$schedule\nwant=$want\ngot=$got")
+        s"case ${p.c} (parts=${p.nParts} sus=${p.nSus} cap=${p.cap}) diverged." +
+          s"\nschedule=${p.schedule}\nwant=$want\ngot=$got")
     }
   }
 
@@ -163,21 +214,11 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
 
   test("20 random ±op weighted schedules ≡ driver Dijkstra on survivors (lengthen/disconnect/resurrect reached)") {
     val rnd = new scala.util.Random(0x55595EED ^ SeedBase)
-    (1 to 20).foreach { c =>
-      val n = 5 + rnd.nextInt(6) // 5..10 nodes
-      val universe = (for {
-        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
-      } yield (a, b)).toIndexedSeq
-      val nBatches = 2 + rnd.nextInt(3)
-      val schedule = Seq.fill(nBatches) {
-        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
-        Seq.fill(k) {
-          val (a, b) = universe(rnd.nextInt(universe.size))
-          (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
-        }
-      }
+    val plans = (1 to 20).map(c => drawPairPlan(rnd, c, 6)) // 5..10 nodes
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
       val store = tmp()
-      schedule.zipWithIndex.foreach { case (batch, i) =>
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
         SsspDeltaStream.processBatch(evW(batch), i.toLong, store,
           source = 0L, budget = 64L)
         // mid-stream serve (round 17): each prefix must already serve
@@ -185,19 +226,19 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         // tombstones visible at the very batch that caused them
         assert(SsspDeltaStream.snapshot(spark, store).collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
-          === dijkstra(survivors(schedule.take(i + 1)), 0L, 64L),
-          s"case $c serve@batch$i diverged.\nschedule=$schedule")
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0)
+          === dijkstra(survivors(p.schedule.take(i + 1)), 0L, 64L),
+          s"case ${p.c} serve@batch$i diverged.\nschedule=${p.schedule}")
+        if (i < nBatches - 1 && p.compactAfter(i))
           SsspDeltaStream.compact(spark, store, throughBatch = i.toLong)
       }
-      if (rnd.nextBoolean())
-        SsspDeltaStream.processBatch(evW(schedule.last), (nBatches - 1).toLong,
+      if (p.redeliver)
+        SsspDeltaStream.processBatch(evW(p.schedule.last), (nBatches - 1).toLong,
           store, source = 0L, budget = 64L)
-      val want = dijkstra(survivors(schedule), 0L, 64L)
+      val want = dijkstra(survivors(p.schedule), 0L, 64L)
       val got = SsspDeltaStream.snapshot(spark, store).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want,
-        s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+        s"case ${p.c} (n=${p.n}) diverged.\nschedule=${p.schedule}\nwant=$want\ngot=$got")
     }
   }
 
@@ -208,41 +249,31 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
 
   test("20 random ±op schedules ≡ driver synchronous peel on survivors (k-core)") {
     val rnd = new scala.util.Random(0x6C07E5EEDL ^ SeedBase)
-    (1 to 20).foreach { c =>
-      val n = 5 + rnd.nextInt(6)
-      val universe = (for {
-        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
-      } yield (a, b)).toIndexedSeq
-      val nBatches = 2 + rnd.nextInt(3)
-      val schedule = Seq.fill(nBatches) {
-        val k = 1 + rnd.nextInt(math.max(1, universe.size / 2))
-        Seq.fill(k) {
-          val (a, b) = universe(rnd.nextInt(universe.size))
-          (a, b, if (rnd.nextInt(3) == 0) -1 else 1)
-        }
-      }
+    val plans = (1 to 20).map(c => drawPairPlan(rnd, c, 6)) // 5..10 nodes
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
       val store = tmp()
       def kcSnap(): Map[Long, Long] = KCoreStream.snapshot(spark, store)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      schedule.zipWithIndex.foreach { case (batch, i) =>
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
         KCoreStream.processBatch(ev(batch), i.toLong, store)
         // mid-stream serve (round-17 discipline)
-        val wantNow = brutePeel(survivors(schedule.take(i + 1)),
+        val wantNow = brutePeel(survivors(p.schedule.take(i + 1)),
           graft.operators.GraphQueries.KCoreK)
         assert(kcSnap() === wantNow,
-          s"case $c batch $i: mid-stream peel diverged.\nschedule=$schedule")
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
+          s"case ${p.c} batch $i: mid-stream peel diverged.\nschedule=${p.schedule}")
+        if (i < nBatches - 1 && p.compactAfter(i)) {
           KCoreStream.compact(spark, store, throughBatch = i.toLong)
           assert(kcSnap() === wantNow,
-            s"case $c batch $i: compaction changed the peel")
+            s"case ${p.c} batch $i: compaction changed the peel")
         }
       }
-      if (rnd.nextBoolean())
-        KCoreStream.processBatch(ev(schedule.last), (nBatches - 1).toLong, store)
-      val want = brutePeel(survivors(schedule), graft.operators.GraphQueries.KCoreK)
+      if (p.redeliver)
+        KCoreStream.processBatch(ev(p.schedule.last), (nBatches - 1).toLong, store)
+      val want = brutePeel(survivors(p.schedule), graft.operators.GraphQueries.KCoreK)
       val got = kcSnap()
       assert(got === want,
-        s"case $c (n=$n) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+        s"case ${p.c} (n=${p.n}) diverged.\nschedule=${p.schedule}\nwant=$want\ngot=$got")
     }
   }
 
@@ -251,9 +282,13 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
   private def bruteTruss(edges: Set[(Long, Long)],
       k: Int): Map[(Long, Long), Long] = FuzzOracles.bruteTruss(edges, k)
 
+  private case class TrussPlan(c: Int, n: Int, k: Int,
+      schedule: Seq[Seq[(Long, Long, Int)]],
+      compactAfter: Seq[Boolean], redeliver: Boolean)
+
   test("12 random ±op schedules ≡ driver support peel on survivors (k-truss, the CC+peel composition)") {
     val rnd = new scala.util.Random(0x7055EEDL ^ SeedBase)
-    (1 to 12).foreach { c =>
+    val plans = (1 to 12).map { c =>
       val n = 5 + rnd.nextInt(4) // 5..8 nodes: dense enough for triangles
       val k = 3 + rnd.nextInt(2) // 3..4: support thresholds 1..2
       val universe = (for {
@@ -267,29 +302,34 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
           (a, b, if (rnd.nextInt(4) == 0) -1 else 1) // denser: triangles form
         }
       }
+      val compactAfter = (0 until nBatches - 1).map(_ => rnd.nextInt(4) == 0)
+      TrussPlan(c, n, k, schedule, compactAfter, rnd.nextBoolean())
+    }
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
       val store = tmp()
       def trSnap(): Map[(Long, Long), Long] = TrussStream.snapshot(spark, store)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      schedule.zipWithIndex.foreach { case (batch, i) =>
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
         TrussStream.processBatch(ev(batch).toDF("a", "b", "op"), i.toLong,
-          store, k = k)
+          store, k = p.k)
         // mid-stream serve (round-17 discipline)
-        val wantNow = bruteTruss(survivors(schedule.take(i + 1)), k)
+        val wantNow = bruteTruss(survivors(p.schedule.take(i + 1)), p.k)
         assert(trSnap() === wantNow,
-          s"case $c batch $i: mid-stream support peel diverged.\nschedule=$schedule")
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
+          s"case ${p.c} batch $i: mid-stream support peel diverged.\nschedule=${p.schedule}")
+        if (i < nBatches - 1 && p.compactAfter(i)) {
           TrussStream.compact(spark, store, throughBatch = i.toLong)
           assert(trSnap() === wantNow,
-            s"case $c batch $i: compaction changed the support peel")
+            s"case ${p.c} batch $i: compaction changed the support peel")
         }
       }
-      if (rnd.nextBoolean())
-        TrussStream.processBatch(ev(schedule.last).toDF("a", "b", "op"),
-          (nBatches - 1).toLong, store, k = k)
-      val want = bruteTruss(survivors(schedule), k)
+      if (p.redeliver)
+        TrussStream.processBatch(ev(p.schedule.last).toDF("a", "b", "op"),
+          (nBatches - 1).toLong, store, k = p.k)
+      val want = bruteTruss(survivors(p.schedule), p.k)
       val got = trSnap()
       assert(got === want,
-        s"case $c (n=$n k=$k) diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+        s"case ${p.c} (n=${p.n} k=${p.k}) diverged.\nschedule=${p.schedule}\nwant=$want\ngot=$got")
     }
   }
 
@@ -309,11 +349,15 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     state.filter(_._2 == 1).keys.toSeq
   }
 
+  private case class FunnelPlan(c: Int,
+      schedule: Seq[Seq[(Long, String, Long, Int)]],
+      compactCut: Seq[Option[Long]], redeliver: Boolean)
+
   test("15 random ±op event schedules ≡ batch funnel on surviving events") {
     import spark.implicits._
     val rnd = new scala.util.Random(0xF0E15EEDL ^ SeedBase)
     val types = Seq("view", "click", "purchase")
-    (1 to 15).foreach { c =>
+    val plans = (1 to 15).map { c =>
       val nUsers = 2 + rnd.nextInt(3) // 2..4 users
       val nTs = 5 + rnd.nextInt(5) // 5..9 distinct timestamps
       val universe = (for {
@@ -327,53 +371,59 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
           (u, t, ts, if (rnd.nextInt(3) == 0) -1 else 1)
         }
       }
-      val store = tmp()
-      def funnelOf(prefix: Seq[Seq[(Long, String, Long, Int)]]): Map[Long, (Long, Option[Long])] = {
-        val surv = survivingEvents(prefix)
-        if (surv.isEmpty) Map.empty
-        else graft.operators.TemporalJoins.funnelStages(
-          surv.toDF("user_id", "event_type", "ts_us")).collect()
-          .map(r => r.getLong(0) ->
-            ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      // compaction cut at a RANDOM boundary ≤ the current batch (same
+      // draw order as the interleaved loop: flag, then the cut)
+      val compactCut = (0 until nBatches - 1).map { i =>
+        if (rnd.nextInt(4) == 0) Some(rnd.nextInt(i + 1).toLong) else None
       }
-      def snap(): Map[Long, (Long, Option[Long])] =
+      FunnelPlan(c, schedule, compactCut, rnd.nextBoolean())
+    }
+    def funnelOf(prefix: Seq[Seq[(Long, String, Long, Int)]]): Map[Long, (Long, Option[Long])] = {
+      val surv = survivingEvents(prefix)
+      if (surv.isEmpty) Map.empty
+      else graft.operators.TemporalJoins.funnelStages(
+        surv.toDF("user_id", "event_type", "ts_us")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    }
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
+      val store = tmp()
+      def snapF(): Map[Long, (Long, Option[Long])] =
         FunnelStream.snapshot(spark, store).collect()
           .map(r => r.getLong(0) ->
             ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
-      schedule.zipWithIndex.foreach { case (batch, i) =>
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
         FunnelStream.processBatch(
           batch.toDF("user_id", "event_type", "ts_us", "op"), i.toLong, store)
         // mid-stream serve: every executed prefix already answers as the
         // batch funnel over its surviving events (the round-17 discipline)
-        assert(snap() === funnelOf(schedule.take(i + 1)),
-          s"case $c batch $i: mid-stream funnel diverged.\nschedule=$schedule")
-        // compaction cut at a RANDOM boundary ≤ the current batch — a cut
-        // BELOW a later retraction leaves that retraction live against
-        // the folded generation, so the generation's preserved liveness
-        // columns must keep resolving against it (the state shape a
-        // current-boundary-only cut never produces)
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
-          FunnelStream.compact(spark, store, throughBatch = rnd.nextInt(i + 1).toLong)
-          assert(snap() === funnelOf(schedule.take(i + 1)),
-            s"case $c batch $i: compaction changed the mid-stream funnel")
+        assert(snapF() === funnelOf(p.schedule.take(i + 1)),
+          s"case ${p.c} batch $i: mid-stream funnel diverged.\nschedule=${p.schedule}")
+        // a cut BELOW a later retraction leaves that retraction live
+        // against the folded generation, so the generation's preserved
+        // liveness columns must keep resolving against it (the state
+        // shape a current-boundary-only cut never produces)
+        if (i < nBatches - 1) p.compactCut(i).foreach { cut =>
+          FunnelStream.compact(spark, store, throughBatch = cut)
+          assert(snapF() === funnelOf(p.schedule.take(i + 1)),
+            s"case ${p.c} batch $i: compaction changed the mid-stream funnel")
         }
       }
-      if (rnd.nextBoolean())
+      if (p.redeliver)
         FunnelStream.processBatch(
-          schedule.last.toDF("user_id", "event_type", "ts_us", "op"),
+          p.schedule.last.toDF("user_id", "event_type", "ts_us", "op"),
           (nBatches - 1).toLong, store)
-      val surv = survivingEvents(schedule)
+      val surv = survivingEvents(p.schedule)
       val want =
         if (surv.isEmpty) Map.empty[Long, (Long, Option[Long])]
         else graft.operators.TemporalJoins.funnelStages(
           surv.toDF("user_id", "event_type", "ts_us")).collect()
           .map(r => r.getLong(0) ->
             ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
-      val got = FunnelStream.snapshot(spark, store).collect()
-        .map(r => r.getLong(0) ->
-          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val got = snapF()
       assert(got === want,
-        s"case $c diverged.\nschedule=$schedule\nwant=$want\ngot=$got")
+        s"case ${p.c} diverged.\nschedule=${p.schedule}\nwant=$want\ngot=$got")
     }
   }
 
@@ -391,6 +441,10 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     * coincidence — asserted after EVERY batch and every mid-stream
     * compaction, not just at the end (the round-17 mid-stream-serve
     * discipline). */
+  private case class AnnPlan(c: Int, nIds: Int,
+      schedule: Seq[Seq[(Long, Option[Array[Double]])]],
+      compactAfter: Seq[Boolean], redeliver: Boolean)
+
   test("15 random ±op vector schedules with drift ≡ batch assignment of survivors (ANN)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
@@ -400,7 +454,7 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       .orderBy($"vec_id").limit(40).collect()
       .map(_.getSeq[Double](1).toArray)
     val rnd = new scala.util.Random(0xA115EEDL ^ SeedBase)
-    (1 to 15).foreach { c =>
+    val plans = (1 to 15).map { c =>
       val nIds = 4 + rnd.nextInt(5) // 4..8 vec ids
       val nBatches = 2 + rnd.nextInt(3)
       // at most one op per id per batch (two same-batch inserts of one id
@@ -413,6 +467,11 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
             else (id, Some(pool(rnd.nextInt(pool.length))))
           }
       }
+      val compactAfter = (0 until nBatches - 1).map(_ => rnd.nextInt(4) == 0)
+      AnnPlan(c, nIds, schedule, compactAfter, rnd.nextBoolean())
+    }
+    inParallel(plans) { p =>
+      val nBatches = p.schedule.size
       val store = tmp()
       def frame(batch: Seq[(Long, Option[Array[Double]])]): DataFrame =
         batch.map {
@@ -438,26 +497,80 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
           .select($"vec_id", $"cell", $"vec").collect()
           .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Double](2)))
           .toSet
-      schedule.zipWithIndex.foreach { case (batch, i) =>
+      p.schedule.zipWithIndex.foreach { case (batch, i) =>
         AnnDeltaStream.processBatch(frame(batch), i.toLong, store, cents)
         batch.foreach { case (id, v) => state(id) = v }
         assert(gotNow() === wantNow(),
-          s"case $c batch $i: mid-stream liveness fold diverged")
-        if (i < nBatches - 1 && rnd.nextInt(4) == 0) {
+          s"case ${p.c} batch $i: mid-stream liveness fold diverged")
+        if (i < nBatches - 1 && p.compactAfter(i)) {
           AnnDeltaStream.compact(spark, store, throughBatch = i.toLong)
           assert(gotNow() === wantNow(),
-            s"case $c batch $i: compaction changed the mid-stream fold")
+            s"case ${p.c} batch $i: compaction changed the mid-stream fold")
         }
       }
-      if (rnd.nextBoolean())
-        AnnDeltaStream.processBatch(frame(schedule.last),
+      if (p.redeliver)
+        AnnDeltaStream.processBatch(frame(p.schedule.last),
           (nBatches - 1).toLong, store, cents)
       assert(gotNow() === wantNow(),
-        s"case $c (ids=$nIds) diverged on the liveness fold")
+        s"case ${p.c} (ids=${p.nIds}) diverged on the liveness fold")
     }
   }
 
   // ---- dedup takedowns: random insert/retire schedules ------------------
+
+  /** Insert/retire batch list plus the execution-time draws, fully
+    * planned: retirement is terminal so the retire candidates are a
+    * deterministic function of the prefix, and the compaction / purge /
+    * redelivery draws follow the same RNG order the interleaved loops
+    * used. */
+  private case class DedupPlan(c: Int, batches: Seq[(Boolean, Seq[Long])],
+      retired: Set[Long], compactAfter: Seq[Boolean],
+      purgeAfter: Seq[Boolean], redeliver: Boolean)
+
+  private def drawDedupBatches(rnd: scala.util.Random,
+      allIds: Seq[Long]): (Seq[(Boolean, Seq[Long])], Set[Long]) = {
+    val insBatches = rnd.shuffle(allIds).grouped(
+      math.ceil(allIds.size / 3.0).toInt).toSeq // 3 insert waves
+    val retiredSoFar = scala.collection.mutable.Set.empty[Long]
+    val insertedSoFar = scala.collection.mutable.Set.empty[Long]
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Boolean, Seq[Long])] // (isInsert, ids)
+    insBatches.foreach { wave =>
+      batches += ((true, wave))
+      insertedSoFar ++= wave
+      if (rnd.nextInt(10) < 7) {
+        val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
+        if (candidates.nonEmpty) {
+          val k = 1 + rnd.nextInt(math.min(8, candidates.size))
+          val picks = rnd.shuffle(candidates).take(k)
+          retiredSoFar ++= picks
+          batches += ((false, picks))
+        }
+      }
+    }
+    (batches.toSeq, retiredSoFar.toSet)
+  }
+
+  /** Union-find cluster oracle over the exact pair set restricted to the
+    * given live endpoints — shared by the three dedup lanes. */
+  private def clusterOracle(fullPairs: Seq[(Long, Long)],
+      live: Long => Boolean): Map[Long, (Long, Long, Boolean)] = {
+    val pairs = fullPairs.filter { case (a, b) => live(a) && live(b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+      .flatMap { case (_, ms) =>
+        val cid = ms.min
+        ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
+      }.toMap
+  }
 
   /** Terminal retirement means the generator never re-inserts a retired
     * id (the stream refuses loudly, pinned by DedupTakedownSpec); what
@@ -476,68 +589,37 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
     val rnd = new scala.util.Random(0xDED5EEDL ^ SeedBase)
-    (1 to 6).foreach { c =>
-      val insBatches = rnd.shuffle(allIds).grouped(
-        math.ceil(allIds.size / 3.0).toInt).toSeq // 3 insert waves
-      val retiredSoFar = scala.collection.mutable.Set.empty[Long]
-      val insertedSoFar = scala.collection.mutable.Set.empty[Long]
-      // build the interleaved batch list: wave, then maybe a retire batch
-      val batches = scala.collection.mutable.ArrayBuffer
-        .empty[(Boolean, Seq[Long])] // (isInsert, ids)
-      insBatches.foreach { wave =>
-        batches += ((true, wave))
-        insertedSoFar ++= wave
-        if (rnd.nextInt(10) < 7) {
-          val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
-          if (candidates.nonEmpty) {
-            val k = 1 + rnd.nextInt(math.min(8, candidates.size))
-            val picks = rnd.shuffle(candidates).take(k)
-            retiredSoFar ++= picks
-            batches += ((false, picks))
-          }
-        }
-      }
+    val plans = (1 to 6).map { c =>
+      val (batches, retired) = drawDedupBatches(rnd, allIds)
+      val compactAfter = batches.indices.map(i =>
+        i < batches.size - 1 && rnd.nextInt(4) == 0)
+      DedupPlan(c, batches, retired, compactAfter,
+        purgeAfter = batches.indices.map(_ => false), redeliver = rnd.nextBoolean())
+    }
+    inParallel(plans, threads = 4) { p =>
       val store = tmpStore()
-      batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
-        val frame =
-          if (isInsert) docs.filter($"doc_id".isInCollection(ids))
-            .select($"doc_id", $"text", lit(1).as("op"))
-          else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
-        graft.streaming.DedupClusterStream.processBatch(spark, frame, i.toLong, store)
-        if (i < batches.size - 1 && rnd.nextInt(4) == 0)
+      def frameOf(isInsert: Boolean, ids: Seq[Long]): DataFrame =
+        if (isInsert) docs.filter($"doc_id".isInCollection(ids))
+          .select($"doc_id", $"text", lit(1).as("op"))
+        else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
+      p.batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
+        graft.streaming.DedupClusterStream.processBatch(spark,
+          frameOf(isInsert, ids), i.toLong, store)
+        if (p.compactAfter(i))
           graft.streaming.DedupClusterStream.compact(spark, store,
             throughBatch = i.toLong)
       }
-      if (rnd.nextBoolean()) { // redelivery of the final batch
-        val (isInsert, ids) = batches.last
-        val frame =
-          if (isInsert) docs.filter($"doc_id".isInCollection(ids))
-            .select($"doc_id", $"text", lit(1).as("op"))
-          else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
-        graft.streaming.DedupClusterStream.processBatch(spark, frame,
-          (batches.size - 1).toLong, store)
+      if (p.redeliver) { // redelivery of the final batch
+        val (isInsert, ids) = p.batches.last
+        graft.streaming.DedupClusterStream.processBatch(spark,
+          frameOf(isInsert, ids), (p.batches.size - 1).toLong, store)
       }
-      val pairs = fullPairs.filter { case (a, b) =>
-        !retiredSoFar(a) && !retiredSoFar(b) }
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
-        .flatMap { case (_, ms) =>
-          val cid = ms.min
-          ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
-        }.toMap
+      val want = clusterOracle(fullPairs, id => !p.retired(id))
       val got = graft.streaming.DedupClusterStream.snapshot(spark, store)
         .collect().map(r =>
           r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
       assert(got === want,
-        s"case $c diverged (retired=${retiredSoFar.toSeq.sorted.take(20)}...)")
+        s"case ${p.c} diverged (retired=${p.retired.toSeq.sorted.take(20)}...)")
     }
     docs.unpersist()
   }
@@ -561,69 +643,41 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
     val fullPairs = graft.operators.Dedup.ngramJaccardPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
-    def wantFor(live: Set[Long]): Map[Long, (Long, Long, Boolean)] = {
-      val pairs = fullPairs.filter { case (a, b) => live(a) && live(b) }
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
-        .flatMap { case (_, ms) =>
-          val cid = ms.min
-          ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
-        }.toMap
-    }
     def serve(store: String): Map[Long, (Long, Long, Boolean)] =
       graft.streaming.DedupClusterStream.snapshot(spark, store)
         .collect().map(r =>
           r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     val rnd = new scala.util.Random(0x5E27E5EEDL ^ SeedBase)
-    (1 to 3).foreach { c =>
-      val insBatches = rnd.shuffle(allIds).grouped(
-        math.ceil(allIds.size / 3.0).toInt).toSeq
-      val retiredSoFar = scala.collection.mutable.Set.empty[Long]
-      val insertedSoFar = scala.collection.mutable.Set.empty[Long]
-      val batches = scala.collection.mutable.ArrayBuffer
-        .empty[(Boolean, Seq[Long])]
-      insBatches.foreach { wave =>
-        batches += ((true, wave))
-        insertedSoFar ++= wave
-        if (rnd.nextInt(10) < 7) {
-          val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
-          if (candidates.nonEmpty) {
-            val k = 1 + rnd.nextInt(math.min(8, candidates.size))
-            val picks = rnd.shuffle(candidates).take(k)
-            retiredSoFar ++= picks
-            batches += ((false, picks))
-          }
-        }
-      }
+    val plans = (1 to 3).map { c =>
+      val (batches, retired) = drawDedupBatches(rnd, allIds)
+      // same RNG order as the interleaved loop: compact draw, then purge
+      // draw, per executed batch
+      val draws = batches.indices.map(_ => (rnd.nextInt(3) == 0, rnd.nextInt(3) == 0))
+      DedupPlan(c, batches, retired, draws.map(_._1), draws.map(_._2),
+        redeliver = false)
+    }
+    inParallel(plans, threads = 3) { p =>
       val store = tmpStore()
       val liveNow = scala.collection.mutable.Set.empty[Long]
-      batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
+      p.batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
         val frame =
           if (isInsert) docs.filter($"doc_id".isInCollection(ids))
             .select($"doc_id", $"text", lit(1).as("op"))
           else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
         graft.streaming.DedupClusterStream.processBatch(spark, frame, i.toLong, store)
         if (isInsert) liveNow ++= ids else liveNow --= ids
-        val ctx = s"case $c serve@batch$i (${if (isInsert) "+" else "-"}${ids.size})"
-        assert(serve(store) === wantFor(liveNow.toSet), s"$ctx diverged")
-        if (rnd.nextInt(3) == 0) {
+        val ctx = s"case ${p.c} serve@batch$i (${if (isInsert) "+" else "-"}${ids.size})"
+        assert(serve(store) === clusterOracle(fullPairs, liveNow.toSet), s"$ctx diverged")
+        if (p.compactAfter(i)) {
           graft.streaming.DedupClusterStream.compact(spark, store,
             throughBatch = i.toLong)
-          assert(serve(store) === wantFor(liveNow.toSet),
+          assert(serve(store) === clusterOracle(fullPairs, liveNow.toSet),
             s"$ctx diverged AFTER compaction")
         }
-        if (rnd.nextInt(3) == 0) {
+        if (p.purgeAfter(i)) {
           graft.streaming.DedupClusterStream.purgeRetired(spark, store,
             throughBatch = i.toLong)
-          assert(serve(store) === wantFor(liveNow.toSet),
+          assert(serve(store) === clusterOracle(fullPairs, liveNow.toSet),
             s"$ctx diverged AFTER purge")
         }
       }
@@ -652,26 +706,21 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val allIds = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
     val rnd = new scala.util.Random(0x9E6ED5EEDL ^ SeedBase)
-    (1 to 4).foreach { c =>
-      val insBatches = rnd.shuffle(allIds).grouped(
-        math.ceil(allIds.size / 3.0).toInt).toSeq
-      val retiredSoFar = scala.collection.mutable.Set.empty[Long]
-      val insertedSoFar = scala.collection.mutable.Set.empty[Long]
-      val batches = scala.collection.mutable.ArrayBuffer
-        .empty[(Boolean, Seq[Long])]
-      insBatches.foreach { wave =>
-        batches += ((true, wave))
-        insertedSoFar ++= wave
-        if (rnd.nextInt(10) < 7) {
-          val candidates = (insertedSoFar -- retiredSoFar).toSeq.sorted
-          if (candidates.nonEmpty) {
-            val k = 1 + rnd.nextInt(math.min(8, candidates.size))
-            val picks = rnd.shuffle(candidates).take(k)
-            retiredSoFar ++= picks
-            batches += ((false, picks))
-          }
-        }
+    val plans = (1 to 4).map { c =>
+      val (batches, retired) = drawDedupBatches(rnd, allIds)
+      // retiredByNow after batch i is schedule-determined (terminal
+      // retirement), so the conditional purge draw replays exactly
+      val retiredByNow = scala.collection.mutable.Set.empty[Long]
+      val draws = batches.zipWithIndex.map { case ((isInsert, ids), i) =>
+        if (!isInsert) retiredByNow ++= ids
+        val purge = retiredByNow.nonEmpty && rnd.nextInt(3) == 0
+        val compactB = i < batches.size - 1 && rnd.nextInt(4) == 0
+        (purge, compactB)
       }
+      DedupPlan(c, batches, retired, draws.map(_._2), draws.map(_._1),
+        redeliver = false)
+    }
+    inParallel(plans, threads = 4) { p =>
       val store = tmpStore()
       def assertPurged(ids: Set[Long], at: String): Unit = {
         if (ids.isEmpty) return
@@ -682,8 +731,8 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         val sh = spark.read.parquet(s"$store/index/shingles")
           .join(r, "doc_id").count()
         assert((bands, sh) === ((0L, 0L)),
-          s"case $c $at: retired rows physically present (bands=$bands, sh=$sh)\n" +
-            s"batches=${batches.map { case (ins, is) =>
+          s"case ${p.c} $at: retired rows physically present (bands=$bands, sh=$sh)\n" +
+            s"batches=${p.batches.map { case (ins, is) =>
               (if (ins) "+" else "-") + is.mkString("{", ",", "}") }.mkString(" ")}\n" +
             s"retired=${ids.toSeq.sorted.mkString(",")}\n" +
             s"lingering=${spark.table(graft.streaming.DedupStream.bandsTable(s"$store/index"))
@@ -692,57 +741,41 @@ class StreamScheduleFuzzSpec extends AnyFunSuite {
         val rmGens = new java.io.File(s"$store/removed").listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
         assert(rmGens.size === 1 && rmGens.head.getName.stripPrefix("batch=").toLong < 0,
-          s"case $c $at: removed store not folded to one generation: " +
+          s"case ${p.c} $at: removed store not folded to one generation: " +
             rmGens.map(_.getName).mkString(","))
       }
-      // retiredSoFar was filled while BUILDING the schedule; the mid-loop
-      // physical-absence assert may only demand erasure of retirements
-      // the executed prefix has actually recorded (the first cut of this
-      // lane asserted the FINAL set and flagged the engine for not
-      // erasing a retirement that hadn't happened yet — a test-oracle
-      // bug, documented here as the trap it was)
+      // the mid-loop physical-absence assert may only demand erasure of
+      // retirements the executed prefix has actually recorded (the first
+      // cut of this lane asserted the FINAL set and flagged the engine
+      // for not erasing a retirement that hadn't happened yet — a
+      // test-oracle bug, documented here as the trap it was)
       val retiredByNow = scala.collection.mutable.Set.empty[Long]
-      batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
+      p.batches.zipWithIndex.foreach { case ((isInsert, ids), i) =>
         val frame =
           if (isInsert) docs.filter($"doc_id".isInCollection(ids))
             .select($"doc_id", $"text", lit(1).as("op"))
           else ids.map(id => (id, "", -1)).toDF("doc_id", "text", "op")
         graft.streaming.DedupClusterStream.processBatch(spark, frame, i.toLong, store)
         if (!isInsert) retiredByNow ++= ids
-        if (retiredByNow.nonEmpty && rnd.nextInt(3) == 0) {
+        if (p.purgeAfter(i)) {
           graft.streaming.DedupClusterStream.purgeRetired(spark, store,
             throughBatch = i.toLong)
           assertPurged(retiredByNow.toSet, s"after purge@batch$i")
         }
-        if (i < batches.size - 1 && rnd.nextInt(4) == 0)
+        if (p.compactAfter(i))
           graft.streaming.DedupClusterStream.compact(spark, store,
             throughBatch = i.toLong)
       }
       // final purge so every case ends with the byte-erasure property
       graft.streaming.DedupClusterStream.purgeRetired(spark, store,
-        throughBatch = (batches.size - 1).toLong)
-      assertPurged(retiredSoFar.toSet, "after final purge")
-      val pairs = fullPairs.filter { case (a, b) =>
-        !retiredSoFar(a) && !retiredSoFar(b) }
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
-        .flatMap { case (_, ms) =>
-          val cid = ms.min
-          ms.map(m => m -> ((cid, ms.size.toLong, m == cid)))
-        }.toMap
+        throughBatch = (p.batches.size - 1).toLong)
+      assertPurged(p.retired, "after final purge")
+      val want = clusterOracle(fullPairs, id => !p.retired(id))
       val got = graft.streaming.DedupClusterStream.snapshot(spark, store)
         .collect().map(r =>
           r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
       assert(got === want,
-        s"case $c diverged after purges (retired=${retiredSoFar.toSeq.sorted.take(20)})")
+        s"case ${p.c} diverged after purges (retired=${p.retired.toSeq.sorted.take(20)})")
     }
     docs.unpersist()
   }
