@@ -60,8 +60,54 @@ object ProbeQ90 {
     out
   }
 
+  /** Build each arm's 10-iteration chain WITHOUT the final checkpoint and
+    * dump its formatted plan — the registered q90 explain only shows the
+    * materialized-store scan, so the per-iteration exchange shape lives
+    * here (plans/r18/q90_*). */
+  private def explainChain(s: SparkSession, dir: String, neu: Boolean): Unit = {
+    import s.implicits._
+    val e = GraphQueries.partSupplierEdges(s, dir).select($"src", $"dst")
+    if (neu) {
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val e2 = e.join(deg, "src").repartition($"src").cache()
+      var r = e2.select($"src".as("node")).distinct()
+        .select($"node", lit(GraphQueries.PrScale / 21000L).as("r"))
+      for (_ <- 1 to GraphQueries.PrIters) {
+        r = e2.join(r.withColumnRenamed("node", "src"), "src")
+          .select($"dst", expr("(r * 17) div (20 * deg)").as("mv"))
+          .groupBy($"dst".as("node")).agg((sum($"mv") + 1L).as("r"))
+      }
+      r.select($"node", $"r".as("rank_s15")).explain("formatted")
+      e2.unpersist(blocking = false)
+    } else {
+      val e1 = e.repartition($"src").cache()
+      val deg = e1.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")).cache()
+      var r = deg.select($"node", lit(GraphQueries.PrScale / 21000L).as("r"))
+      for (_ <- 1 to GraphQueries.PrIters) {
+        val mv = r.join(deg, "node")
+          .select($"node".as("src"), expr("(r * 17) div (20 * deg)").as("mv"))
+        val sums = e1.join(mv, "src").groupBy($"dst".as("node")).agg(sum($"mv").as("m"))
+        r = deg.select($"node").join(sums, Seq("node"), "left")
+          .select($"node", (coalesce($"m", lit(0L)) + 1L).as("r"))
+      }
+      r.select($"node", $"r".as("rank_s15")).explain("formatted")
+      deg.unpersist(blocking = false); e1.unpersist(blocking = false)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && (args(1) == "explain-old" || args(1) == "explain-new")) {
+      val spark = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", 4)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      explainChain(spark, dir, args(1) == "explain-new")
+      spark.stop()
+      return
+    }
     val rounds = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
