@@ -87,9 +87,21 @@ object DedupStream {
     if (pathExists(s, path)) s.read.parquet(path)
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** `indexDir/shingles` holds xxhash64-HASHED shingle sets (round 18):
+    * the store's only consumer is the verify stage, which compares
+    * xxhash64 values (the [[Dedup.verifyPairs]] collision note — banding
+    * hashes the STRING shingle via `family.hash63`, so the candidate
+    * space is untouched), and the old string layout made every batch
+    * re-run the per-shingle hash transform over the ENTIRE store —
+    * corpus-sized interpreted-HOF work per batch, measured growing
+    * 1.4 → 2.6 s/batch across q112's replay at sf0.1. Hashed at ingest,
+    * the per-batch transform is batch-sized and the store is ~4×
+    * narrower on disk. Verified pairs are byte-identical (same hash
+    * domain, same Jaccard arithmetic — DedupStreamSpec pins equality
+    * with the batch pipeline). */
   private val shingleSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("sh", ArrayType(StringType, containsNull = false)),
+    StructField("sh", ArrayType(LongType, containsNull = false)),
     StructField("batch", LongType)))
 
   /** Catalog name for the bands table of a given index location — derived
@@ -110,7 +122,7 @@ object DedupStream {
     * fresh session re-attaching a populated one needs CREATE TABLE +
     * RECOVER PARTITIONS (the MaterializedSpec re-attach tests surfaced
     * this; DedupStreamSpec now pins it for this table too). */
-  private def ensureBandsTable(s: SparkSession, indexDir: String): String = {
+  private[graft] def ensureBandsTable(s: SparkSession, indexDir: String): String = {
     val name = bandsTable(indexDir)
     if (!s.catalog.tableExists(name)) {
       val bandsPath = s"$indexDir/bands"
@@ -186,6 +198,10 @@ object DedupStream {
       removedDir: Option[String] = None): Unit = {
     val newSh = Dedup.shinglesOf(batch).cache()
     val newBands = Dedup.bandsOf(newSh, family).cache()
+    // hashed ONCE per batch off the cached string shingles — verify and
+    // the store write share this batch-sized transform (see shingleSchema)
+    val newShH = newSh.select(col("doc_id"),
+      expr("transform(sh, s -> xxhash64(s))").as("sh"))
     val table = ensureBandsTable(s, indexDir)
 
     // an op-less stream never materializes the removed store — one cheap
@@ -231,7 +247,7 @@ object DedupStream {
           col("doc_b") === col("__rm_b"), "left_anti")
     }
 
-    val verified = Dedup.verifyPairs(cand, oldSh.unionByName(newSh), threshold)
+    val verified = Dedup.verifyHashedPairs(cand, oldSh.unionByName(newShH), threshold)
 
     // three per-batch-partition dynamic overwrites: each rewrites ONLY
     // partition batch=<id>, so any replay (full or after a partial crash)
@@ -249,7 +265,7 @@ object DedupStream {
         .withColumn("batch", lit(batchId))
         .write.mode(SaveMode.Overwrite).insertInto(table)
     }
-    newSh.withColumn("batch", lit(batchId))
+    newShH.withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$indexDir/shingles")
     newBands.unpersist()

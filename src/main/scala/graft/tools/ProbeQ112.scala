@@ -11,7 +11,7 @@ package graft.tools
 
 import graft.streaming.{CcStream, DedupStream, Stores}
 import graft.functions.HashFamily
-import graft.operators.Dedup
+import graft.operators.{Dedup, GraphQueries}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,100 @@ object ProbeQ112 {
     org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+
+  /** DedupStream.processBatch, instrumented sub-phase by sub-phase (in
+    * lockstep with the production body — probe-only, never served). */
+  private def dedupBatchTimed(s: SparkSession, batch: DataFrame, batchId: Long,
+      indexDir: String, pairsDir: String, removedDir: String): Unit = {
+    import graft.operators.Dedup
+    val family = HashFamily.Fast
+    val threshold = Dedup.JaccardThreshold
+    val newSh = Dedup.shinglesOf(batch).cache()
+    val newBands = Dedup.bandsOf(newSh, family).cache()
+    val newShH = newSh.select(col("doc_id"),
+      expr("transform(sh, s -> xxhash64(s))").as("sh"))
+    val table = t("  ensureBandsTable")(DedupStream.ensureBandsTable(s, indexDir))
+    val removedPath = {
+      val p = new org.apache.hadoop.fs.Path(removedDir)
+      if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) Some(removedDir) else None
+    }
+    removedPath.foreach { d =>
+      t("  revived-check") {
+        val rm = s.read.parquet(d)
+        val revived = batch.select(col("doc_id"))
+          .join(rm.filter(col("batch") < batchId).select(col("doc_id")), "doc_id")
+          .limit(1).collect()
+        require(revived.isEmpty)
+      }
+    }
+    val oldSh = {
+      val p = s"$indexDir/shingles"
+      val ph = new org.apache.hadoop.fs.Path(p)
+      if (ph.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ph))
+        s.read.parquet(p).filter(col("batch") < batchId).select(col("doc_id"), col("sh"))
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sh",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))))
+    }
+    val cand0 = t("  candidates(probe+self+distinct) [lazy]")(
+      DedupStream.candidates(s, newBands, batchId, indexDir))
+    val cand = removedPath.fold(cand0) { d =>
+      val mask = s.read.parquet(d).filter(col("batch") <= batchId)
+      cand0
+        .join(Stores.broadcastIfUnder(mask.select(col("doc_id").as("__rm_a")), d),
+          col("doc_a") === col("__rm_a"), "left_anti")
+        .join(Stores.broadcastIfUnder(mask.select(col("doc_id").as("__rm_b")), d),
+          col("doc_b") === col("__rm_b"), "left_anti")
+    }
+    val verified = Dedup.verifyHashedPairs(cand, oldSh.unionByName(newShH), threshold)
+    t("  verify+pairs-write")(
+      verified.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(pairsDir))
+    t("  bands-write")(
+      graft.store.Bucketing.withDynamicPartitionOverwrite(s, batch.sparkSession) {
+        newBands.select(col("doc_id"), col("band"), col("bhash"))
+          .withColumn("batch", lit(batchId))
+          .write.mode(SaveMode.Overwrite).insertInto(table)
+      })
+    t("  shingles-write")(
+      newShH.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$indexDir/shingles"))
+    newBands.unpersist(); newSh.unpersist()
+  }
+
+  /** CcStream.processBatch, instrumented sub-phase by sub-phase. */
+  private def ccBatchTimed(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    if (batch.isEmpty) return
+    val withOp =
+      if (batch.columns.contains("op")) batch.select($"src", $"dst", $"op")
+      else batch.select($"src", $"dst", lit(1).as("op"))
+    t("  edges-writeBatch")(Stores.writeBatch(
+      withOp.union(withOp.select($"dst".as("src"), $"src".as("dst"), $"op")),
+      batchId, s"$storeDir/edges", CcStream.EdgeBuckets))
+    val touched = t("  touched-ckpt")(batch.select($"src".as("node"))
+      .union(batch.select($"dst")).distinct().localCheckpoint())
+    val labelsExist = Stores.exists(s, s"$storeDir/labels")
+    val affectedNodes = t("  membersOf+union")((
+      if (!labelsExist) touched
+      else CcStream.membersOf(s, storeDir, touched).union(touched).distinct()
+    ).localCheckpoint())
+    val induced = CcStream.liveEdgesRestricted(s, storeDir, batchId, affectedNodes)
+    val labels = t("  minLabelPropagation")(
+      GraphQueries.minLabelPropagation(induced, GraphQueries.ScaleCcRounds)
+        .localCheckpoint())
+    val tombstones = affectedNodes.join(labels, Seq("node"), "left_anti")
+      .select($"node", lit(null).cast("long").as("component"))
+    val labelRows = t("  tombstones+labelRows-ckpt")(
+      labels.union(tombstones).localCheckpoint())
+    t("  labels-writeReplicaBatch")(
+      Stores.writeReplicaBatch(labelRows, batchId, storeDir, CcStream.LabelReplicas))
+  }
 
   /** DedupClusterStream.processBatch, instrumented phase by phase (kept
     * in lockstep with the production body — probe-only, never served). */
@@ -61,8 +155,7 @@ object ProbeQ112 {
     val nAdds = if (!anyDels) n else adds.count()
     if (nAdds > 0L)
       t("DedupStream.processBatch")(
-        DedupStream.processBatch(s, adds, batchId, indexDir, pairsDir,
-          HashFamily.Fast, Dedup.JaccardThreshold, removedDir = Some(removedDir)))
+        dedupBatchTimed(s, adds, batchId, indexDir, pairsDir, removedDir))
     val exists = {
       val p = new org.apache.hadoop.fs.Path(pairsDir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
@@ -96,7 +189,7 @@ object ProbeQ112 {
       }
     val ccBatch = t("ccBatch checkpoint")(deadPairs.union(newPairs).localCheckpoint())
     if (!ccBatch.isEmpty)
-      t("CcStream.processBatch")(CcStream.processBatch(ccBatch, batchId, s"$rootDir/cc"))
+      t("CcStream.processBatch")(ccBatchTimed(ccBatch, batchId, s"$rootDir/cc"))
     val _ = ccDir
   }
 
