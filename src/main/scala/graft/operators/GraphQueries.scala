@@ -618,19 +618,33 @@ object GraphQueries {
         .select($"x.p".as("a"), $"y.p".as("b")).distinct()
     }
 
+  /** The ORDERED TRIANGLE SET (x < y < z, each triangle exactly once) of
+    * the capped part–part projection, materialized once per (session,
+    * SF) — round 18: q83's corner counts and q105's first-round edge
+    * supports are both one explode + one aggregate over this relation,
+    * and each previously re-ran the identical wedge join + closing
+    * semi-join over [[projectedPartEdges]] (the single most expensive
+    * stage of either query — the whole O(Σ wedges) enumeration). Same
+    * multi-consumer pure-corpus-function contract as the projection
+    * store it derives from; 284,650 rows at sf0.1, so the one-time
+    * write is trivial and the bench's cold lane pays the build
+    * visibly. */
+  private[graft] def projectedTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.store.Materialized.relation(s, s"tri-triangles:$dir") {
+      import s.implicits._
+      val e = projectedPartEdges(s, dir)
+      e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+        .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+        .join(e.as("e3"), $"x" === $"e3.a" && $"z" === $"e3.b", "left_semi")
+    }
+
   private def q83(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = projectedPartEdges(s, dir)
-    val tri = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
-      .select($"e1.a".as("ta"), $"e1.b".as("tb"), $"e2.b".as("tc"))
-      .join(e.as("e3"), $"ta" === $"e3.a" && $"tc" === $"e3.b", "left_semi")
     // one Generate per triangle row — the edgeSupport lesson applied to
-    // the corner count: the previous union of three projections planned
-    // the WHOLE enumeration (wedge join + closing semi-join) three times,
-    // once per Union branch (visible in plans/r17/q83_..._before.txt:
-    // three copies of the join subtree under Union). Same corner
-    // multiset, one enumeration.
-    tri.select(explode(array($"ta", $"tb", $"tc")).as("part"))
+    // the corner count (same corner multiset, one enumeration), with the
+    // enumeration itself served from the shared triangle store
+    projectedTriangles(s, dir)
+      .select(explode(array($"x", $"y", $"z")).as("part"))
       .groupBy($"part").agg(count(lit(1)).as("n_triangles"))
       .orderBy($"part")
   }
@@ -908,10 +922,66 @@ object GraphQueries {
     * triangle counts (whose projection and enumeration layout it
     * reuses, including the [[projectedPartEdges]] materialized
     * relation). */
+  /** [[kTrussPeel]] driven off a PRE-ENUMERATED ordered triangle set
+    * (round 18): identical function, different engine. Because every
+    * round's surviving edge set is a subset of the input's, the
+    * triangles of each round's induced subgraph are EXACTLY the input
+    * triangles whose three edges all survive — so per-round supports are
+    * one explode + hash aggregate over the (shrinking) triangle set, and
+    * the re-induce is three semi-joins of the triangles against the kept
+    * edges (survivor-sized build sides, broadcast in practice), instead
+    * of re-running the full wedge join + closing semi-join every round.
+    * Per-round volume drops from Σ wedges to the live triangle count.
+    * `tris` MUST be the ordered triangle set (x < y < z, each exactly
+    * once) of the `edges` relation — q105 passes the shared
+    * [[projectedTriangles]] store; TrussPeelEquivSpec pins this peel ≡
+    * [[kTrussPeel]] on randomized graphs, round budget and all.
+    *
+    * Same output contract as [[kTrussPeel]]: survivors with supports in
+    * the peeled subgraph; edges the budget left mid-cascade re-measure
+    * their supports in the final surviving subgraph. Early exit when a
+    * round removes nothing (kept ⊆ cur ⇒ equal counts force equality —
+    * one driver action per round). */
+  def kTrussPeelFromTriangles(edges: DataFrame, tris: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val supOf = (t: DataFrame) => t.select(explode(array(
+        struct(col("x").as("a"), col("y").as("b")),
+        struct(col("y").as("a"), col("z").as("b")),
+        struct(col("x").as("a"), col("z").as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b")).agg(count(lit(1)).as("sup"))
+    val induce = (t: DataFrame, kept: DataFrame) => t
+      .join(kept.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+      .join(kept.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_semi")
+      .join(kept.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+    var curTris = tris.select(col("x"), col("y"), col("z"))
+    var curN = edges.select(col("a"), col("b")).count()
+    var i = 0
+    var converged = false
+    var lastKept: DataFrame = null
+    while (i < rounds && !converged) {
+      i += 1
+      // per-round plan cut: kept is re-referenced by the count action,
+      // the three semi-join build sides and (on convergence) the result
+      val kept = supOf(curTris).filter(col("sup") >= k - 2).localCheckpoint()
+      val n = kept.count()
+      if (n == curN) { converged = true; lastKept = kept }
+      else {
+        curTris = induce(curTris, kept).localCheckpoint()
+        curN = n
+      }
+    }
+    if (converged) lastKept
+    else supOf(curTris) // budget exhausted mid-cascade: tris already induced
+  }
+
   private def q105(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    kTrussPeel(projectedPartEdges(s, dir), TrussK, TrussRounds,
-      inputStable = true)
+    // the peel runs off the shared triangle store: supports and
+    // re-induces are triangle-volume, never wedge-volume (see
+    // kTrussPeelFromTriangles; the general kTrussPeel stays for the
+    // streaming maintainer's induced subgraphs, which hold no store)
+    kTrussPeelFromTriangles(projectedPartEdges(s, dir),
+      projectedTriangles(s, dir), TrussK, TrussRounds)
       .orderBy($"a", $"b")
   }
 
