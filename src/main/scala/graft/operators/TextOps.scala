@@ -981,28 +981,31 @@ object TextOps {
     // corpus-bigram aggregate, the context aggregate AND the score join —
     // uncut, Catalyst re-derives the tokenize+explode+aggregate chain
     // from a separate scan for each consumer (three corpus passes)
-    // the transform emits (bg, w1) pairs directly — w1 = ws[i] is already
-    // in hand inside the lambda; the previous `split($"bg", " ")(0)` paid
-    // a per-occurrence regex split just to recover it (tokens are
-    // whitespace-split, so ws[i] and the re-split first field are
-    // identical by construction)
-    // the aggregate groups by (doc_id, bg) ONLY and recovers w1 = first
-    // word AFTER the shuffle (substring_index on the aggregated rows):
-    // w1 is a function of bg, so grouping by it too changed nothing of
-    // the result while shipping one extra string per partial-aggregate
-    // row through the exchange and widening the hash key (guide §2.3:
-    // shuffle fewer bytes). substring_index is plain codegen'd byte
-    // scanning, paid once per DISTINCT (doc, bigram), not per occurrence
-    // — the r16 objection to re-splitting applied to the per-occurrence
-    // lambda, not here.
+    // HASH-KEYED exchanges (round 18, VERDICT r17 item 8): every shuffle
+    // and join below keys on xxhash64 of the bigram / context word
+    // instead of the strings — the lambda emits (hbg, hw1) longs
+    // directly, so the (doc, bigram) aggregate, both corpus aggregates
+    // and the score joins ship two 8-byte keys where they shipped a
+    // ~15–30-byte bigram string plus its first word (guide §2.3: shuffle
+    // fewer bytes; the checkpointed dbc shrinks the same way). Counts
+    // and groupings are unchanged as long as xxhash64 is injective on
+    // the corpus' bigrams and tokens — the verify-stage collision
+    // argument (Dedup.verifyPairs: odds ~N²/2⁶⁴ ≈ 10⁻⁷ at sf0.1), here
+    // additionally PINNED by Q133HashAuditSpec, which asserts zero
+    // bigram/token hash collisions at every shipped SF including the
+    // bench's sf0.1, and by the unchanged string-keyed oracle at the
+    // gate SFs. hw1 is a function of the bigram, so grouping by
+    // (doc_id, hbg, hw1) has exactly (doc_id, bigram) granularity.
     val dbc = toks.filter(size($"ws") >= 2)
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-      .withColumn("w1", substring_index($"bg", " ", 1))
+        """transform(sequence(0, size(ws)-2), i -> named_struct(
+          |'hbg', xxhash64(concat_ws(' ', ws[i], ws[i+1])),
+          |'hw1', xxhash64(ws[i])))""".stripMargin)).as("e"))
+      .groupBy($"doc_id", $"e.hbg".as("hbg"), $"e.hw1".as("hw1"))
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val cb = dbc.groupBy($"bg").agg(sum($"c").as("cb"))
-    val cu = dbc.groupBy($"w1").agg(sum($"c").as("cu"))
+    val cb = dbc.groupBy($"hbg").agg(sum($"c").as("cb"))
+    val cu = dbc.groupBy($"hw1").agg(sum($"c").as("cu"))
     // |vocab| without the corpus-token-volume explode + 2-exchange
     // distinct the previous shape paid: every token occurrence is either
     // a non-final occurrence in a ≥2-token doc — hence a w1 value, hence
@@ -1012,11 +1015,12 @@ object TextOps {
     // document (element_at(ws, -1); ws is never empty — split of an empty
     // text yields [""]), so the distinct aggregate runs over doc-volume
     // instead of token-volume rows (guide §2.3: aggregate/shrink before
-    // the exchange).
-    val v = cu.select($"w1".as("tok"))
-      .union(toks.select(element_at($"ws", -1).as("tok")))
+    // the exchange). Distinct hashes = distinct tokens under the same
+    // injectivity pin.
+    val v = cu.select($"hw1".as("tok"))
+      .union(toks.select(xxhash64(element_at($"ws", -1)).as("tok")))
       .agg(countDistinct($"tok").as("v"))
-    dbc.join(cb, "bg").join(cu, "w1").crossJoin(broadcast(v))
+    dbc.join(cb, "hbg").join(cu, "hw1").crossJoin(broadcast(v))
       .withColumn("lnp", log(($"cb".cast("double") + lit(1.0)) /
         ($"cu".cast("double") + $"v".cast("double"))))
       .groupBy($"doc_id")
