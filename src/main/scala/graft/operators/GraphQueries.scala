@@ -1170,10 +1170,12 @@ object GraphQueries {
       // deg folded into the cached edge relation: all ten joins reuse
       // this one hash(src) partitioning
       val e2 = e.join(deg, "src").repartition($"src").cache()
-      val n = e2.select($"src").distinct().count()
+      // ONE distinct exchange over the cached edges serves both the N
+      // count and the r0 seed (review catch: the first cut ran it twice)
+      val nodes = e2.select($"src".as("node")).distinct().localCheckpoint()
+      val n = nodes.count()
       val teleport = (3L * PrScale) / (20L * n)
-      var r = e2.select($"src".as("node")).distinct()
-        .select($"node", lit(PrScale / n).as("r"))
+      var r = nodes.select($"node", lit(PrScale / n).as("r"))
       for (_ <- 1 to PrIters) {
         r = e2.join(r.withColumnRenamed("node", "src"), "src")
           .select($"dst", expr("(r * 17) div (20 * deg)").as("mv"))

@@ -101,16 +101,50 @@ object Bucketing {
     * mode from the frame's OWN session — setting it only on the outer
     * session leaves the clone in static mode, which silently turns
     * "overwrite my batch partition" into "overwrite the whole table"
-    * (DedupStreamSpec's cross-batch tests caught exactly this). */
+    * (DedupStreamSpec's cross-batch tests caught exactly this).
+    *
+    * REENTRANT per session (round 18): independent stores on ONE session
+    * may write concurrently (the parallelized fuzz lanes do; any
+    * multi-stream deployment could), and a plain save/set/restore races —
+    * the first finisher's restore flips the conf back to static while
+    * another writer's `INSERT OVERWRITE` is still executing, silently
+    * rewriting its WHOLE table instead of one partition. Every concurrent
+    * user wants the same value, so the fix is an epoch refcount per
+    * session: the first entrant saves the previous value and sets
+    * dynamic; only the last one out restores it. The counter map is
+    * synchronized; the body still runs unlocked (concurrent writes stay
+    * concurrent). Per-store serialization remains the caller's contract —
+    * this only makes DIFFERENT stores' writes safe to overlap. */
+  private val overwriteDepth =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, Option[String])]
+
   def withDynamicPartitionOverwrite[T](sessions: SparkSession*)(body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val distinct = sessions.distinct
-    val prevs = distinct.map(s => s -> s.conf.getOption(key))
-    distinct.foreach(_.conf.set(key, "dynamic"))
+    overwriteDepth.synchronized {
+      distinct.foreach { s =>
+        overwriteDepth.get(s) match {
+          case Some((n, prev)) => overwriteDepth(s) = (n + 1, prev)
+          case None =>
+            val prev = s.conf.getOption(key)
+            s.conf.set(key, "dynamic")
+            overwriteDepth(s) = (1, prev)
+        }
+      }
+    }
     try body
-    finally prevs.foreach {
-      case (s, Some(v)) => s.conf.set(key, v)
-      case (s, None) => s.conf.unset(key)
+    finally overwriteDepth.synchronized {
+      distinct.foreach { s =>
+        overwriteDepth(s) match {
+          case (1, prev) =>
+            overwriteDepth.remove(s)
+            prev match {
+              case Some(v) => s.conf.set(key, v)
+              case None => s.conf.unset(key)
+            }
+          case (n, prev) => overwriteDepth(s) = (n - 1, prev)
+        }
+      }
     }
   }
 }

@@ -223,9 +223,25 @@ object DedupStream {
           s"(retirement is terminal; re-upload under a new doc_id)")
     }
 
-    val oldSh = readIfExists(s, s"$indexDir/shingles", shingleSchema)
-      .filter(col("batch") < batchId)
-      .select(col("doc_id"), col("sh"))
+    val oldSh = {
+      val raw = readIfExists(s, s"$indexDir/shingles", shingleSchema)
+      // LOUD refusal of a pre-hashed-layout store (sh: array<string>):
+      // readIfExists infers the on-disk schema, and a silent union of
+      // string shingles with this batch's hashed longs would coerce to
+      // string and verify NOTHING across the boundary (empty intersects,
+      // every old-vs-new pair dropped). Terminal stores live for a
+      // lifetime — an old index must be rebuilt or purge-rewritten, not
+      // silently poisoned.
+      raw.schema.find(_.name == "sh").foreach { f =>
+        require(f.dataType == ArrayType(LongType, containsNull = false) ||
+            f.dataType == ArrayType(LongType, containsNull = true),
+          s"DedupStream: shingle store at $indexDir/shingles has element type " +
+            s"${f.dataType.simpleString} — a pre-hashed-layout (string) index " +
+            "cannot be appended to; rebuild the index or rewrite it via purgeRetired")
+      }
+      raw.filter(col("batch") < batchId)
+        .select(col("doc_id"), col("sh"))
+    }
 
     val cand0 = candidates(s, newBands, batchId, indexDir)
     val cand = removedPath.fold(cand0) { d =>
